@@ -1,0 +1,157 @@
+"""GFSK modulator: tone ids -> phase-continuous complex baseband.
+
+TPU-first formulation.  The reference builds the instantaneous-frequency
+track with a per-sample double loop and accumulates phase with `math.fmod`
+one sample at a time (src/ft8_tools/ft8_generator/modulator.py:27,56) — about
+1.5e5 Python iterations per message.  Here the track is three outer products
+(each output slot sees exactly three Gaussian pulse segments) and the phase
+accumulation is a hierarchical cumsum that stays accurate in float32:
+
+* within a symbol slot: cumsum over <= sps samples (values stay small),
+* across slots: a cumulative product of 79 unit phasors, so the growing
+  integer part of the phase never has to be represented.
+
+The waveform convention matches the reference exactly:
+``w[n] = sin(phi_n) - j cos(phi_n) = -j exp(j phi_n)``, raised-cosine
+amplitude ramps over the first/last sps/8 samples, and the reference's
+timing quirk where the Gaussian pulse of symbol i is centred at sample
+(i + 1.5) * sps (one symbol later than WSJT-X; the decoder's time sync
+absorbs the shift).  Validated to ~1e-5 against a float64 rerun of the
+reference algorithm.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..protocol import constants as C
+from ..protocol.encode import encode_tones
+
+__all__ = [
+    "gauss_window",
+    "gfsk_frequency_track",
+    "tones_to_baseband",
+    "ft8_baseband",
+    "ft8_passband",
+]
+
+_GFSK_BT = 2.0
+
+
+def gauss_window(bt: float, t: jnp.ndarray) -> jnp.ndarray:
+    """Gaussian frequency-smoothing pulse (integral of a Gaussian over 1 sym).
+
+    Same closed form as the reference (modulator.py:20): 0.5*(erf(k*bt*(t+.5))
+    - erf(k*bt*(t-.5))) with k = pi*sqrt(2/ln 2).
+    """
+    k = np.pi * np.sqrt(2.0 / np.log(2.0))
+    return 0.5 * (
+        jax.scipy.special.erf(k * bt * (t + 0.5))
+        - jax.scipy.special.erf(k * bt * (t - 0.5))
+    )
+
+
+def _window_segments(sps: int, dtype) -> jnp.ndarray:
+    """(3, sps) Gaussian pulse split into its three symbol-length segments."""
+    t = (jnp.arange(3 * sps, dtype=dtype) - 1.5 * sps) / sps
+    return gauss_window(_GFSK_BT, t).reshape(3, sps)
+
+
+def gfsk_frequency_track(tones: jnp.ndarray, sps: int,
+                         dtype=jnp.float32) -> jnp.ndarray:
+    """(..., 79) tone ids -> (..., 79, sps) tone-unit frequency track.
+
+    Output slot s overlaps exactly three Gaussian pulses (symbols s-1, s,
+    s+1, with the first/last tone extended past the frame edges), so the
+    track is a 3-term blend:  track[s] = te[s]*w2 + te[s+1]*w1 + te[s+2]*w0
+    with te = [0, t0, t0..t78, t78].  This reproduces the reference's
+    scatter-add construction (modulator.py:38-49) without loops.
+    """
+    w0, w1, w2 = _window_segments(sps, dtype)
+    t = tones.astype(dtype)
+    first = t[..., :1]
+    last = t[..., -1:]
+    zero = jnp.zeros_like(first)
+    te = jnp.concatenate([zero, first, t, last], axis=-1)  # (..., 82)
+    track = (
+        te[..., 0:79, None] * w2
+        + te[..., 1:80, None] * w1
+        + te[..., 2:81, None] * w0
+    )
+    return track  # (..., 79, sps)
+
+
+def _phase_fraction(track: jnp.ndarray, sps: int, fs: float, f0: float,
+                    dtype) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Phase (in cycles mod 1) at every sample, split as (slot phasor, frac).
+
+    Returns (E_slot[..., 79] complex unit phasors at slot starts,
+             frac[..., 79, sps] fractional cycles within each slot).
+    """
+    df = C.TONE_SPACING_HZ / fs          # cycles per sample per tone unit
+    c0 = f0 / fs                         # carrier cycles per sample
+
+    # Within-slot cycles: exclusive cumsum of per-sample cycle increments.
+    inc = track * df                                     # (..., 79, sps)
+    cs = jnp.cumsum(inc, axis=-1) - inc                  # exclusive
+    r = jnp.arange(sps, dtype=dtype)
+    frac_carrier = jnp.mod(c0 * r, 1.0)
+    frac = jnp.mod(cs + frac_carrier, 1.0)               # (..., 79, sps)
+
+    # Slot-start phases: accumulate per-slot totals as unit phasors so the
+    # integer cycle count is never represented (f32-exact for 79 products).
+    slot_cycles = jnp.mod(jnp.sum(inc, axis=-1) + jnp.mod(c0 * sps, 1.0), 1.0)
+    slot_phasor = jnp.exp(2j * jnp.pi * slot_cycles.astype(jnp.float32))
+    e = jnp.cumprod(slot_phasor, axis=-1)
+    e = jnp.roll(e, 1, axis=-1)
+    ones = jnp.ones_like(e[..., :1])
+    e = jnp.concatenate([ones, e[..., 1:]], axis=-1)     # exclusive cumprod
+    return e, frac
+
+
+@functools.partial(jax.jit, static_argnames=("sps", "fs", "f0"))
+def tones_to_baseband(tones: jnp.ndarray, sps: int, fs: float,
+                      f0: float) -> jnp.ndarray:
+    """(..., 79) tone ids -> (..., 79*sps) complex64 baseband at carrier f0."""
+    dtype = jnp.float32
+    track = gfsk_frequency_track(tones, sps, dtype)
+    e_slot, frac = _phase_fraction(track, sps, fs, f0, dtype)
+    w = e_slot[..., :, None] * jnp.exp(2j * jnp.pi * frac.astype(jnp.float32))
+    # reference convention: sin(phi) - j cos(phi) = -j * exp(j phi)
+    w = -1j * w
+    w = w.reshape(*tones.shape[:-1], C.NUM_SYMBOLS * sps)
+
+    # raised-cosine amplitude ramp over first/last sps//8 samples
+    # (modulator.py:70-73)
+    n = C.NUM_SYMBOLS * sps
+    nramp = sps // 8
+    i = jnp.arange(n, dtype=dtype)
+    up = 0.5 * (1.0 - jnp.cos(8.0 * jnp.pi * i / sps))
+    down = 0.5 * (1.0 + jnp.cos(8.0 * jnp.pi * (n - 1 - i) / sps))
+    ramp = jnp.where(i < nramp, up, 1.0)
+    ramp = jnp.where(i >= n - nramp, down, ramp)
+    return (w * ramp).astype(jnp.complex64)
+
+
+def ft8_baseband(payload: jnp.ndarray, fs: float, f0: float) -> jnp.ndarray:
+    """(..., 10) payload bytes -> complex baseband FT8 transmission."""
+    sps = int(C.SYMBOL_PERIOD_S * fs)
+    tones = encode_tones(payload)
+    return tones_to_baseband(tones, sps, float(fs), float(f0))
+
+
+def ft8_passband(payload: jnp.ndarray, fs: float, f0: float,
+                 fc: float) -> jnp.ndarray:
+    """Real passband waveform: Re{baseband * exp(j 2 pi fc t)}.
+
+    (reference: modulator.py:85-90)
+    """
+    bb = ft8_baseband(payload, fs, f0)
+    n = bb.shape[-1]
+    cyc = jnp.mod(float(fc) / float(fs) * jnp.arange(n, dtype=jnp.float32), 1.0)
+    carrier = jnp.exp(2j * jnp.pi * cyc)
+    return jnp.real(bb * carrier)
