@@ -18,6 +18,12 @@ timing quirk where the Gaussian pulse of symbol i is centred at sample
 (i + 1.5) * sps (one symbol later than WSJT-X; the decoder's time sync
 absorbs the shift).  Validated to ~1e-5 against a float64 rerun of the
 reference algorithm.
+
+Complex-at-the-boundary rule: this TPU backend cannot transfer complex
+arrays between host and device (complex *compute* inside jit is fine), so
+every jitted entry point here returns complex signals as a stacked
+``(..., n, 2)`` float32 [real, imag] array.  ``ft8_baseband`` combines the
+pair into numpy complex on the host for API convenience.
 """
 
 from __future__ import annotations
@@ -113,10 +119,9 @@ def _phase_fraction(track: jnp.ndarray, sps: int, fs: float, f0: float,
     return e, frac
 
 
-@functools.partial(jax.jit, static_argnames=("sps", "fs", "f0"))
-def tones_to_baseband(tones: jnp.ndarray, sps: int, fs: float,
+def _baseband_complex(tones: jnp.ndarray, sps: int, fs: float,
                       f0: float) -> jnp.ndarray:
-    """(..., 79) tone ids -> (..., 79*sps) complex64 baseband at carrier f0."""
+    """(..., 79) tone ids -> (..., 79*sps) complex64 baseband (jit-internal)."""
     dtype = jnp.float32
     track = gfsk_frequency_track(tones, sps, dtype)
     e_slot, frac = _phase_fraction(track, sps, fs, f0, dtype)
@@ -137,21 +142,41 @@ def tones_to_baseband(tones: jnp.ndarray, sps: int, fs: float,
     return (w * ramp).astype(jnp.complex64)
 
 
-def ft8_baseband(payload: jnp.ndarray, fs: float, f0: float) -> jnp.ndarray:
-    """(..., 10) payload bytes -> complex baseband FT8 transmission."""
+@functools.partial(jax.jit, static_argnames=("sps", "fs", "f0"))
+def tones_to_baseband(tones: jnp.ndarray, sps: int, fs: float,
+                      f0: float) -> jnp.ndarray:
+    """(..., 79) tone ids -> (..., 79*sps, 2) float32 [real, imag] baseband."""
+    w = _baseband_complex(tones, sps, fs, f0)
+    return jnp.stack([jnp.real(w), jnp.imag(w)], axis=-1)
+
+
+def ft8_baseband(payload, fs: float, f0: float) -> np.ndarray:
+    """(..., 10) payload bytes -> host numpy complex64 baseband transmission.
+
+    Convenience wrapper; performance paths should keep the stacked real
+    representation from tones_to_baseband on device.
+    """
     sps = int(C.SYMBOL_PERIOD_S * fs)
-    tones = encode_tones(payload)
-    return tones_to_baseband(tones, sps, float(fs), float(f0))
+    tones = encode_tones(jnp.asarray(payload))
+    ri = np.asarray(tones_to_baseband(tones, sps, float(fs), float(f0)))
+    return ri[..., 0] + 1j * ri[..., 1]
 
 
-def ft8_passband(payload: jnp.ndarray, fs: float, f0: float,
-                 fc: float) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("sps", "fs", "f0", "fc"))
+def tones_to_passband(tones: jnp.ndarray, sps: int, fs: float, f0: float,
+                      fc: float) -> jnp.ndarray:
     """Real passband waveform: Re{baseband * exp(j 2 pi fc t)}.
 
-    (reference: modulator.py:85-90)
+    The carrier phase is linear in frequency, so mixing to fc is identical to
+    generating the baseband at carrier f0 + fc — which keeps the whole phase
+    inside the float32-safe hierarchical accumulator instead of forming the
+    unbounded 2*pi*fc*n/fs product.  (reference: modulator.py:85-90)
     """
-    bb = ft8_baseband(payload, fs, f0)
-    n = bb.shape[-1]
-    cyc = jnp.mod(float(fc) / float(fs) * jnp.arange(n, dtype=jnp.float32), 1.0)
-    carrier = jnp.exp(2j * jnp.pi * cyc)
-    return jnp.real(bb * carrier)
+    return jnp.real(_baseband_complex(tones, sps, fs, f0 + fc))
+
+
+def ft8_passband(payload, fs: float, f0: float, fc: float) -> np.ndarray:
+    """(..., 10) payload bytes -> host numpy float32 passband transmission."""
+    sps = int(C.SYMBOL_PERIOD_S * fs)
+    tones = encode_tones(jnp.asarray(payload))
+    return np.asarray(tones_to_passband(tones, sps, float(fs), float(f0), float(fc)))
