@@ -9,6 +9,7 @@ src/ft8_tools/ft8_generator/crc.py:9 / ldpc.py:104 / encoder.py:15).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -58,7 +59,8 @@ def crc14(bits77: jnp.ndarray) -> jnp.ndarray:
     Returns the checksum as a scalar int32 (batched over leading dims).
     """
     crc_bits = jnp.mod(
-        jnp.matmul(bits77.astype(jnp.float32), _CRC_MATRIX_77_T), 2.0
+        jnp.matmul(bits77.astype(jnp.float32), _CRC_MATRIX_77_T,
+                   precision=jax.lax.Precision.HIGHEST), 2.0
     ).astype(jnp.int32)
     return jnp.sum(crc_bits * _CRC_WEIGHTS, axis=-1)
 
@@ -68,7 +70,10 @@ def encode_codeword(bits77: jnp.ndarray) -> jnp.ndarray:
 
     codeword = [payload77 | crc14 | parity83], one GF(2) matmul.
     """
-    cw = jnp.matmul(bits77.astype(jnp.float32), _ENCODE_MATRIX_T)
+    # HIGHEST precision: GF(2) accumulation must be integer-exact; the
+    # default lowering routes f32 matmuls through bf16.
+    cw = jnp.matmul(bits77.astype(jnp.float32), _ENCODE_MATRIX_T,
+                    precision=jax.lax.Precision.HIGHEST)
     return jnp.mod(cw, 2.0).astype(jnp.int32)
 
 

@@ -1,0 +1,86 @@
+"""Waterfall parity tests against scipy.signal.spectrogram."""
+
+import numpy as np
+import jax.numpy as jnp
+import scipy.signal
+
+from ft8_demodulator_tpu.ops.waterfall import (
+    calculate_spectrogram,
+    waterfall_complex,
+    waterfall_params,
+    waterfall_real,
+)
+
+
+def _scipy_waterfall(wave, fs, bpt, sps_step):
+    nperseg = int(0.16 * fs)
+    overlap = nperseg - nperseg // sps_step
+    nfft = int(fs / 6.25 * bpt)
+    f, t, s = scipy.signal.spectrogram(
+        wave, fs=fs, window="hann", nperseg=nperseg, noverlap=overlap,
+        nfft=nfft, detrend=False, return_onesided=False, scaling="spectrum",
+    )
+    s = 10 * np.log10(1e-12 + np.abs(s))
+    s = np.fft.fftshift(s, axes=0)
+    f = np.fft.fftshift(f)
+    return s, f, t
+
+
+def test_waterfall_real_matches_scipy(rng):
+    fs = 2000.0
+    wave = rng.standard_normal(int(3.0 * fs)).astype(np.float32)
+    wave += np.sin(2 * np.pi * 312.5 * np.arange(len(wave)) / fs).astype(np.float32)
+    for bpt, stp in [(2, 2), (4, 4)]:
+        p = waterfall_params(fs, bpt, stp)
+        got = np.asarray(waterfall_real(jnp.asarray(wave), p,
+                                        p.num_frames(len(wave))))
+        ref, f, _ = _scipy_waterfall(wave.astype(np.float64), fs, bpt, stp)
+        ref_pos = ref[f >= 0]
+        assert got.shape == ref_pos.shape
+        # compare in dB; floor masks tiny absolute-power differences
+        np.testing.assert_allclose(got, ref_pos, atol=0.05)
+
+
+def test_waterfall_matmul_and_fft_backends_agree(rng):
+    fs = 2000.0
+    wave = rng.standard_normal(int(2.0 * fs)).astype(np.float32)
+    p = waterfall_params(fs, 2, 2)
+    nf = p.num_frames(len(wave))
+    a = np.asarray(waterfall_real(jnp.asarray(wave), p, nf, backend="matmul"))
+    b = np.asarray(waterfall_real(jnp.asarray(wave), p, nf, backend="fft"))
+    np.testing.assert_allclose(a, b, atol=0.02)
+
+
+def test_waterfall_complex_matches_scipy(rng):
+    fs = 2000.0
+    n = int(2.0 * fs)
+    z = (rng.standard_normal(n) + 1j * rng.standard_normal(n)) * 0.1
+    z += np.exp(2j * np.pi * 400.0 * np.arange(n) / fs)
+    ri = np.stack([z.real, z.imag], axis=-1).astype(np.float32)
+    p = waterfall_params(fs, 2, 2)
+    got = np.asarray(waterfall_complex(jnp.asarray(ri), p, p.num_frames(n)))
+    ref, f, _ = _scipy_waterfall(z, fs, 2, 2)
+    np.testing.assert_allclose(got, ref[f >= 0], atol=0.05)
+
+
+def test_calculate_spectrogram_api(rng):
+    fs = 2000.0
+    wave = rng.standard_normal(int(1.0 * fs))
+    mag, f, t = calculate_spectrogram(wave, fs)
+    ref, rf, rt = _scipy_waterfall(wave, fs, 2, 2)
+    assert mag.shape == ref.shape
+    np.testing.assert_allclose(f, rf)
+    np.testing.assert_allclose(t, rt)
+    np.testing.assert_allclose(mag, ref, atol=0.05)
+
+
+def test_calculate_spectrogram_short_signal():
+    mag, f, t = calculate_spectrogram(np.zeros(10), 2000.0)
+    assert mag.size == 0 and f.size == 0 and t.size == 0
+
+
+def test_waterfall_params_geometry():
+    p = waterfall_params(12000.0, 2, 2)
+    assert p.nperseg == 1920 and p.hop == 960 and p.nfft == 3840
+    assert p.num_freq_bins == 1920
+    assert p.num_frames(12000 * 15) == (12000 * 15 - 1920) // 960 + 1
