@@ -1,0 +1,105 @@
+"""Command-line decoder: WAV in -> decoded FT8 messages out.
+
+Equivalent of the reference's from_wave.py CLI
+(src/tests/demodulator/from_wave.py:180-214), including optional
+frequency-drift correction, without the in-decoder plotting.
+
+    python -m ft8_demodulator_tpu.cli capture.wav --freq-min 300 --freq-max 900
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="ft8_demodulator_tpu",
+        description="Decode FT8 messages from a WAV capture",
+    )
+    p.add_argument("wave_file", help="input WAV path")
+    p.add_argument("--freq-min", type=float, default=None,
+                   help="minimum frequency (Hz)")
+    p.add_argument("--freq-max", type=float, default=None,
+                   help="maximum frequency (Hz)")
+    p.add_argument("--time-min", type=float, default=None,
+                   help="minimum time (s)")
+    p.add_argument("--time-max", type=float, default=None,
+                   help="maximum time (s)")
+    p.add_argument("--bins-per-tone", type=int, default=2,
+                   help="frequency bins per FT8 tone (freq oversampling)")
+    p.add_argument("--steps-per-symbol", type=int, default=2,
+                   help="time steps per FT8 symbol (time oversampling)")
+    p.add_argument("--max-candidates", type=int, default=20)
+    p.add_argument("--min-score", type=float, default=10.0)
+    p.add_argument("--max-iterations", type=int, default=20,
+                   help="LDPC belief-propagation iterations")
+    p.add_argument("--correction", action="store_true",
+                   help="apply frequency-drift correction before decoding")
+    p.add_argument("--no-dedup", action="store_true",
+                   help="report one row per surviving candidate "
+                        "(reference-compatible duplicates)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if not os.path.exists(args.wave_file):
+        print(f"Error: File {args.wave_file} does not exist", file=sys.stderr)
+        return 1
+
+    # defer heavy imports until after arg parsing
+    import numpy as np
+    from .demod import decode_ft8_message
+    from .io import read_wave_file
+
+    wave_data, sample_rate = read_wave_file(args.wave_file)
+    print(f"Read {args.wave_file}: {len(wave_data)} samples @ {sample_rate} Hz "
+          f"({len(wave_data) / sample_rate:.2f} s)")
+
+    if args.correction:
+        import scipy.signal
+        from .beacon import correct_frequency_drift
+
+        analytic = scipy.signal.hilbert(wave_data)
+        corrected, drift_rate = correct_frequency_drift(
+            analytic, sample_rate, params={
+                "bins_per_tone": args.bins_per_tone,
+                "steps_per_symbol": args.steps_per_symbol,
+            })
+        print(f"Estimated drift rate: {drift_rate * sample_rate:.2f} Hz/s")
+        wave_data = corrected
+
+    results = decode_ft8_message(
+        wave_data, sample_rate,
+        bins_per_tone=args.bins_per_tone,
+        steps_per_symbol=args.steps_per_symbol,
+        max_candidates=args.max_candidates,
+        min_score=args.min_score,
+        max_iterations=args.max_iterations,
+        freq_min=args.freq_min, freq_max=args.freq_max,
+        time_min=args.time_min, time_max=args.time_max,
+        deduplicate=not args.no_dedup,
+    )
+
+    if not results:
+        print("No FT8 messages decoded")
+        return 0
+
+    print(f"\nDecoded {len(results)} FT8 message(s):")
+    print("-" * 50)
+    for r in results:
+        print(f"Time: {r.time_sec:.2f} seconds")
+        print(f"Frequency: {r.freq_hz:.1f} Hz")
+        print(f"Score: {r.score:.1f}")
+        print(f"Payload: {r.message.payload.hex()}")
+        print(f"CRC check: {r.status.crc_calculated}")
+        print(f"LDPC errors: {r.status.ldpc_errors}")
+        print("-" * 50)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,189 @@
+"""End-to-end FT8 slot decoder.
+
+One jitted, fixed-shape pipeline per (signal length, fs, osr, K) config:
+
+    waterfall -> sync stencil -> top-K candidates -> vmapped LLR extraction
+    -> vmapped LDPC BP -> GF(2) CRC check -> packed payloads + accept mask
+
+Everything dynamic in the reference (heap top-N, BP early exit, per-candidate
+accept/reject) is fixed-shape masked computation, so the whole decode batches
+with vmap and shards with pjit.  The host wrapper `decode_ft8_message`
+mirrors the reference API (src/ft8_tools/ft8_demodulator/ft8_decode.py:288)
+minus its in-decoder matplotlib side effects, and adds optional hash dedup
+(the reference can return the same message once per surviving candidate).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.ldpc_decode import bp_decode_batch
+from ..ops.llr import extract_llrs
+from ..ops.sync import SearchGrid, find_candidates, search_grid, sync_scores
+from ..ops.waterfall import WaterfallParams, waterfall_params, waterfall_real, \
+    waterfall_complex
+from ..protocol import constants as C
+from .types import FT8Decode, FT8DecodeStatus, FT8Message, SlotDecodeResult
+
+__all__ = ["decode_waterfall", "decode_slot", "decode_ft8_message"]
+
+_CRC_MATRIX_77_T = jnp.asarray(C.CRC_MATRIX_77.T, dtype=jnp.float32)
+_CRC_WEIGHTS = jnp.asarray(2 ** np.arange(C.CRC_BITS - 1, -1, -1),
+                           dtype=jnp.int32)
+_BYTE_WEIGHTS = jnp.asarray(2 ** np.arange(7, -1, -1), dtype=jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("g", "max_candidates",
+                                             "max_iterations"))
+def decode_waterfall(mag: jnp.ndarray, g: SearchGrid, max_candidates: int,
+                     min_score: float,
+                     max_iterations: int = 20) -> SlotDecodeResult:
+    """Positive-frequency dB waterfall (F, T) -> SlotDecodeResult (K rows)."""
+    scores = sync_scores(mag, g)
+    abs_time, abs_freq, score, cand_valid = find_candidates(
+        scores, g, max_candidates, min_score)
+
+    llrs = extract_llrs(mag, abs_time, abs_freq, g.time_osr, g.freq_osr,
+                        g.num_blocks)
+    plain, ldpc_errors = bp_decode_batch(llrs, max_iterations)
+
+    bits77 = plain[:, : C.PAYLOAD_BITS].astype(jnp.float32)
+    crc_bits = jnp.mod(
+        jnp.matmul(bits77, _CRC_MATRIX_77_T,
+                   precision=jax.lax.Precision.HIGHEST), 2.0
+    ).astype(jnp.int32)
+    crc_calc = jnp.sum(crc_bits * _CRC_WEIGHTS, axis=-1)
+    crc_extracted = jnp.sum(
+        plain[:, C.PAYLOAD_BITS: C.LDPC_K] * _CRC_WEIGHTS, axis=-1)
+
+    # payload bytes: 77 bits + 3 zero pad, packed MSB-first
+    pad = jnp.zeros((plain.shape[0], 3), plain.dtype)
+    bits80 = jnp.concatenate([plain[:, : C.PAYLOAD_BITS], pad], axis=-1)
+    payload = jnp.sum(
+        bits80.reshape(-1, C.PAYLOAD_BYTES, 8) * _BYTE_WEIGHTS, axis=-1
+    ).astype(jnp.uint8)
+
+    success = cand_valid & (ldpc_errors == 0) & (crc_calc == crc_extracted)
+    return SlotDecodeResult(
+        success=success, payload=payload, crc=crc_calc,
+        crc_extracted=crc_extracted, ldpc_errors=ldpc_errors,
+        abs_time=abs_time, abs_freq=abs_freq, score=score,
+        candidate_valid=cand_valid,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "p", "num_frames", "max_candidates", "max_iterations", "is_complex"))
+def decode_slot(wave: jnp.ndarray, p: WaterfallParams, num_frames: int,
+                max_candidates: int = 20, min_score: float = 10.0,
+                max_iterations: int = 20,
+                is_complex: bool = False) -> SlotDecodeResult:
+    """Audio (n,) real — or (n, 2) [re, im] — -> SlotDecodeResult.
+
+    The single-chip flagship entry point: one jit containing STFT, search
+    and decode.  Batch with vmap over a leading axis; shard with pjit.
+    """
+    if is_complex:
+        mag = waterfall_complex(wave, p, num_frames)
+    else:
+        mag = waterfall_real(wave, p, num_frames)
+    g = search_grid(p.num_freq_bins, num_frames, p.time_osr, p.freq_osr)
+    return decode_waterfall(mag, g, max_candidates, min_score, max_iterations)
+
+
+def _format_results(res: SlotDecodeResult, hop_seconds: float,
+                    freq_step_hz: float, time_base: float, freq_base: float,
+                    deduplicate: bool) -> list[FT8Decode]:
+    """Convert the fixed-shape device result into host FT8Decode rows."""
+    res = jax.tree_util.tree_map(np.asarray, res)
+    out: list[FT8Decode] = []
+    seen: set[int] = set()
+    for k in range(res.success.shape[0]):
+        if not bool(res.success[k]):
+            continue
+        h = int(res.crc[k])
+        if deduplicate:
+            if h in seen:
+                continue
+            seen.add(h)
+        msg = FT8Message(payload=bytes(res.payload[k].tolist()), hash=h)
+        status = FT8DecodeStatus(
+            ldpc_errors=int(res.ldpc_errors[k]),
+            crc_extracted=int(res.crc_extracted[k]),
+            crc_calculated=int(res.crc[k]),
+        )
+        out.append(FT8Decode(
+            message=msg, status=status,
+            time_sec=time_base + float(res.abs_time[k]) * hop_seconds,
+            freq_hz=freq_base + float(res.abs_freq[k]) * freq_step_hz,
+            score=float(res.score[k]),
+        ))
+    return out
+
+
+def decode_ft8_message(wave_data, sample_rate: float,
+                       bins_per_tone: int = 2, steps_per_symbol: int = 2,
+                       max_candidates: int = 20, min_score: float = 10.0,
+                       max_iterations: int = 20,
+                       freq_min: float | None = None,
+                       freq_max: float | None = None,
+                       time_min: float | None = None,
+                       time_max: float | None = None,
+                       deduplicate: bool = True) -> list[FT8Decode]:
+    """Decode all FT8 messages in an audio capture (host API).
+
+    Mirrors the reference decode_ft8_message (ft8_decode.py:288) with two
+    deliberate fixes: reported time/frequency are true physical units even
+    when a crop is applied (the reference reports crop-relative frequency
+    and divides a waterfall index by the audio rate, ft8_decode.py:387-388),
+    and duplicate decodes of one message are merged unless
+    deduplicate=False.
+    """
+    wave = np.asarray(wave_data)
+    p = waterfall_params(sample_rate, bins_per_tone, steps_per_symbol)
+    if wave.shape[-1] < p.nperseg:
+        return []
+    num_frames = p.num_frames(wave.shape[-1])
+
+    if np.iscomplexobj(wave):
+        ri = np.stack([wave.real, wave.imag], axis=-1).astype(np.float32)
+        mag = waterfall_complex(jnp.asarray(ri), p, num_frames)
+    else:
+        mag = waterfall_real(jnp.asarray(wave.astype(np.float32)), p,
+                             num_frames)
+
+    # frequency / time crops (host-side static slicing keeps the jitted
+    # pipeline fixed-shape per crop config)
+    freqs = np.arange(p.num_freq_bins) * (C.TONE_SPACING_HZ / p.freq_osr)
+    times = (np.arange(num_frames) * p.hop + p.nperseg / 2) / p.fs
+    f_lo = 0
+    if freq_min is not None or freq_max is not None:
+        fmask = (freqs >= (freq_min if freq_min is not None else freqs[0])) \
+            & (freqs <= (freq_max if freq_max is not None else freqs[-1]))
+        f_lo = int(np.argmax(fmask))
+        f_hi = int(len(fmask) - np.argmax(fmask[::-1]))
+        mag = mag[f_lo:f_hi]
+    t_lo = 0
+    if time_min is not None or time_max is not None:
+        tmask = (times >= (time_min if time_min is not None else times[0])) \
+            & (times <= (time_max if time_max is not None else times[-1]))
+        t_lo = int(np.argmax(tmask))
+        t_hi = int(len(tmask) - np.argmax(tmask[::-1]))
+        mag = mag[:, t_lo:t_hi]
+
+    g = search_grid(mag.shape[0], mag.shape[1], p.time_osr, p.freq_osr)
+    if g.num_times <= 0 or g.num_freqs <= 0:
+        return []
+    res = decode_waterfall(mag, g, max_candidates, float(min_score),
+                           max_iterations)
+    hop_seconds = C.SYMBOL_PERIOD_S / p.time_osr
+    freq_step = C.TONE_SPACING_HZ / p.freq_osr
+    return _format_results(
+        res, hop_seconds, freq_step,
+        time_base=t_lo * hop_seconds, freq_base=(f_lo) * freq_step,
+        deduplicate=deduplicate,
+    )

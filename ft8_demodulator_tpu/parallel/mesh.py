@@ -1,0 +1,33 @@
+"""Device-mesh helpers.
+
+Axis conventions for the framework:
+
+* ``stream`` — contiguous time segments of one long audio stream
+  (sequence parallelism with overlap-save halos),
+* ``channel`` — independent audio channels / receivers (data parallelism),
+
+Multi-host pods: call jax.distributed.initialize() before building a mesh;
+jax.devices() then spans all hosts and the same code shards over ICI/DCN.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "P", "NamedSharding"]
+
+
+def make_mesh(stream: int = 1, channel: int = 1,
+              devices=None) -> Mesh:
+    """Build a (channel, stream) mesh over the available devices."""
+    devices = list(jax.devices()) if devices is None else list(devices)
+    need = stream * channel
+    if need > len(devices):
+        raise ValueError(
+            f"mesh {channel}x{stream} needs {need} devices, "
+            f"have {len(devices)}")
+    grid = np.array(devices[:need]).reshape(channel, stream)
+    return Mesh(grid, axis_names=("channel", "stream"))

@@ -1,0 +1,180 @@
+"""Sharded continuous-stream decoding with overlap-save halo exchange.
+
+The sequence-parallel path (SURVEY §2.3): a long audio stream is split into
+equal blocks sharded over the mesh's ``stream`` axis; independent channels
+shard over ``channel``.  Each block needs to see one full FT8 frame
+(79 symbols) past its right edge so transmissions straddling a block
+boundary decode exactly once — the halo travels left over ICI with a single
+``jax.lax.ppermute`` per step, the TPU-native equivalent of the reference's
+"read the neighbouring samples from the same numpy array" (it has no
+streaming mode at all; nearest analog is the .npy stage chaining,
+src/tests/channel/test_signal_processing.py:52).
+
+Candidate start times are restricted to the local block, so each message is
+owned by exactly one shard; a final cross-shard hash dedup handles the rare
+double-decode of one transmission at slightly different offsets.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..demod.decode import decode_waterfall
+from ..demod.types import FT8Decode, FT8DecodeStatus, FT8Message, \
+    SlotDecodeResult
+from ..ops.sync import SearchGrid
+from ..ops.waterfall import WaterfallParams, waterfall_params, waterfall_real
+from ..protocol import constants as C
+
+__all__ = ["stream_halo_samples", "decode_stream_sharded", "decode_stream"]
+
+
+def stream_halo_samples(p: WaterfallParams) -> int:
+    """Samples of right-halo each block needs: one full frame + one symbol."""
+    return (C.NUM_SYMBOLS + 1) * p.nperseg
+
+
+def _local_grid(p: WaterfallParams, block_frames: int,
+                ext_frames: int) -> SearchGrid:
+    """Search grid owning start times [0, block) against the extended view."""
+    ext_blocks = ext_frames // p.time_osr
+    num_times = block_frames  # start times 0 .. block_frames-1
+    return SearchGrid(
+        time_osr=p.time_osr, freq_osr=p.freq_osr, num_blocks=ext_blocks,
+        t_start=0, num_times=num_times,
+        num_freqs=max(0, p.num_freq_bins - 7 * p.freq_osr),
+    )
+
+
+def _decode_block(block: jnp.ndarray, halo: jnp.ndarray, p: WaterfallParams,
+                  max_candidates: int, min_score: float,
+                  max_iterations: int) -> SlotDecodeResult:
+    """One shard's work: extend with the right halo, decode locally-owned
+    start times."""
+    extended = jnp.concatenate([block, halo], axis=-1)
+    ext_frames = p.num_frames(extended.shape[-1])
+    block_frames = block.shape[-1] // p.hop
+    mag = waterfall_real(extended, p, ext_frames)
+    g = _local_grid(p, block_frames, ext_frames)
+    return decode_waterfall(mag, g, max_candidates, min_score, max_iterations)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("p", "mesh", "max_candidates", "max_iterations"),
+)
+def decode_stream_sharded(audio: jnp.ndarray, p: WaterfallParams, mesh: Mesh,
+                          max_candidates: int = 20, min_score: float = 10.0,
+                          max_iterations: int = 20) -> SlotDecodeResult:
+    """(channels, n_samples) audio -> per-block stacked SlotDecodeResult.
+
+    n_samples must divide evenly into mesh.shape['stream'] blocks of whole
+    hops; channels must divide by mesh.shape['channel'].  Result arrays have
+    shape (channels, n_blocks, K, ...).
+    """
+    n_stream = mesh.shape["stream"]
+    channels, n_samples = audio.shape
+    block_len = n_samples // n_stream
+    assert block_len * n_stream == n_samples
+    assert block_len % p.hop == 0
+    halo_len = min(stream_halo_samples(p), block_len)
+
+    def shard_fn(local):
+        """local: (channels / channel_shards, block_len) on one device."""
+        head = local[:, :halo_len]
+        # device i receives the head of device i+1 (zeros at the stream end)
+        perm = [(i, i - 1) for i in range(1, n_stream)]
+        halo = jax.lax.ppermute(head, "stream", perm)
+        res = jax.vmap(lambda b, h: _decode_block(
+            b, h, p, max_candidates, min_score, max_iterations))(local, halo)
+        # add the stream axis back for the out_spec: (ch, 1, K, ...)
+        return jax.tree_util.tree_map(lambda x: x[:, None], res)
+
+    from jax.experimental.shard_map import shard_map
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=P("channel", "stream"),
+        out_specs=jax.tree_util.tree_map(
+            lambda _: P("channel", "stream"), _result_spec_tree()),
+        check_rep=False,
+    )
+    return fn(audio)
+
+
+def _result_spec_tree() -> SlotDecodeResult:
+    """A SlotDecodeResult-shaped tree usable as a tree_map template."""
+    z = 0
+    return SlotDecodeResult(z, z, z, z, z, z, z, z, z)
+
+
+def decode_stream(audio: np.ndarray, sample_rate: float,
+                  mesh: Mesh | None = None,
+                  bins_per_tone: int = 2, steps_per_symbol: int = 2,
+                  max_candidates: int = 20, min_score: float = 10.0,
+                  max_iterations: int = 20) -> list[FT8Decode]:
+    """Host API: decode a long (or multi-channel) capture over the mesh.
+
+    audio: (n,) or (channels, n) float samples.  The stream is padded to a
+    whole number of equal blocks per stream shard.
+    """
+    from .mesh import make_mesh
+
+    audio = np.asarray(audio, dtype=np.float32)
+    if audio.ndim == 1:
+        audio = audio[None, :]
+    p = waterfall_params(sample_rate, bins_per_tone, steps_per_symbol)
+
+    if mesh is None:
+        mesh = make_mesh(stream=len(jax.devices()), channel=1)
+    n_stream = mesh.shape["stream"]
+    n_channel = mesh.shape["channel"]
+    if audio.shape[0] % n_channel:
+        reps = -(-audio.shape[0] // n_channel) * n_channel
+        audio = np.pad(audio, ((0, reps - audio.shape[0]), (0, 0)))
+
+    # pad the stream to n_stream equal blocks of whole hops
+    block = -(-audio.shape[1] // (n_stream * p.hop)) * p.hop
+    total = block * n_stream
+    audio = np.pad(audio, ((0, 0), (0, total - audio.shape[1])))
+
+    res = decode_stream_sharded(jnp.asarray(audio), p, mesh,
+                                max_candidates, float(min_score),
+                                max_iterations)
+    res = jax.tree_util.tree_map(np.asarray, res)
+
+    hop_seconds = C.SYMBOL_PERIOD_S / p.time_osr
+    freq_step = C.TONE_SPACING_HZ / p.freq_osr
+    block_frames = block // p.hop
+    out: list[FT8Decode] = []
+    seen: set[tuple[int, int, int]] = set()
+    channels, blocks, k = res.success.shape
+    for c in range(channels):
+        for b in range(blocks):
+            for i in range(k):
+                if not res.success[c, b, i]:
+                    continue
+                t_abs = int(res.abs_time[c, b, i]) + b * block_frames
+                h = int(res.crc[c, b, i])
+                # dedup key: message hash within +-1 frame period per channel
+                key = (c, h, int(round(t_abs * hop_seconds / C.SLOT_PERIOD_S)))
+                if key in seen:
+                    continue
+                seen.add(key)
+                out.append(FT8Decode(
+                    message=FT8Message(
+                        payload=bytes(res.payload[c, b, i].tolist()), hash=h),
+                    status=FT8DecodeStatus(
+                        ldpc_errors=int(res.ldpc_errors[c, b, i]),
+                        crc_extracted=int(res.crc_extracted[c, b, i]),
+                        crc_calculated=h),
+                    time_sec=t_abs * hop_seconds,
+                    freq_hz=float(res.abs_freq[c, b, i]) * freq_step,
+                    score=float(res.score[c, b, i]),
+                ))
+    out.sort(key=lambda r: (r.time_sec, r.freq_hz))
+    return out

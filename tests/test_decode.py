@@ -1,0 +1,124 @@
+"""End-to-end decode tests: generate -> noise -> decode roundtrips."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ft8_demodulator_tpu.demod import decode_ft8_message
+from ft8_demodulator_tpu.ops.gfsk import ft8_passband
+from ft8_demodulator_tpu.ops.ldpc_decode import bp_decode_batch, ldpc_check
+from ft8_demodulator_tpu.protocol import encode_codeword, payload_to_bits
+
+PAYLOAD = np.array([0x1C, 0x3F, 0x8A, 0x6A, 0xE2, 0x07, 0xA1, 0xE3, 0x94, 0x51],
+                   dtype=np.uint8)
+
+
+def _expected(payload):
+    """Decoded payloads carry only the 77-bit field: byte 9 low bits clear."""
+    out = payload.copy()
+    out[9] &= 0xF8
+    return bytes(out.tolist())
+
+
+def _noisy_signal(payload, fs, f0, snr_db, rng, pad_s=(0.5, 0.5)):
+    wave = ft8_passband(payload, fs, f0, 0.0)
+    wave = np.concatenate([
+        np.zeros(int(pad_s[0] * fs), np.float32),
+        wave,
+        np.zeros(int(pad_s[1] * fs), np.float32),
+    ])
+    sig_power = np.mean(ft8_passband(payload, fs, f0, 0.0) ** 2)
+    noise_power = sig_power / 10 ** (snr_db / 10)
+    return wave + rng.standard_normal(len(wave)).astype(np.float32) * np.sqrt(noise_power)
+
+
+def test_bp_decodes_clean_codeword():
+    bits77 = payload_to_bits(jnp.asarray(PAYLOAD))
+    cw = np.asarray(encode_codeword(bits77))
+    llr = jnp.asarray((2.0 * cw - 1.0) * 4.0)[None, :]
+    plain, errs = bp_decode_batch(llr, 20)
+    assert int(errs[0]) == 0
+    np.testing.assert_array_equal(np.asarray(plain[0]), cw)
+    assert int(ldpc_check(jnp.asarray(cw[None, :]))[0]) == 0
+
+
+def test_bp_corrects_bit_flips(rng):
+    bits77 = payload_to_bits(jnp.asarray(PAYLOAD))
+    cw = np.asarray(encode_codeword(bits77)).astype(np.float64)
+    llr = (2.0 * cw - 1.0) * 4.0
+    flip = rng.choice(174, size=8, replace=False)
+    llr[flip] *= -1.0
+    plain, errs = bp_decode_batch(jnp.asarray(llr, dtype=jnp.float32)[None], 20)
+    assert int(errs[0]) == 0
+    np.testing.assert_array_equal(np.asarray(plain[0]), cw.astype(np.int64))
+
+
+def test_bp_rejects_noise(rng):
+    llr = jnp.asarray(rng.standard_normal((2, 174)).astype(np.float32) * 4.0)
+    _, errs = bp_decode_batch(llr, 20)
+    assert (np.asarray(errs) > 0).all()
+
+
+def test_decode_clean_signal(rng):
+    fs, f0 = 2000.0, 300.0
+    wave = _noisy_signal(PAYLOAD, fs, f0, 20.0, rng)
+    results = decode_ft8_message(wave, fs)
+    assert len(results) == 1
+    r = results[0]
+    assert r.message.payload == _expected(PAYLOAD)
+    assert r.status.ldpc_errors == 0
+    assert abs(r.freq_hz - f0) < 7.0
+    assert abs(r.time_sec - 0.5) < 0.2
+
+
+def test_decode_negative_snr(rng):
+    fs, f0 = 2000.0, 300.0
+    wave = _noisy_signal(PAYLOAD, fs, f0, -13.0, rng)
+    results = decode_ft8_message(wave, fs, min_score=1.0)
+    assert any(r.message.payload == _expected(PAYLOAD) for r in results)
+
+
+def test_decode_multiple_signals(rng):
+    fs = 2000.0
+    p2 = np.array([0xAA, 0x02, 0x03, 0x04, 0x05, 0x06, 0x07, 0x08, 0x09, 0xF8],
+                  dtype=np.uint8)
+    w1 = _noisy_signal(PAYLOAD, fs, 300.0, 10.0, rng)
+    w2 = _noisy_signal(p2, fs, 600.0, 10.0, rng)
+    wave = w1 + w2
+    results = decode_ft8_message(wave, fs, min_score=5.0)
+    payloads = {r.message.payload for r in results}
+    assert _expected(PAYLOAD) in payloads
+    assert _expected(p2) in payloads
+    assert len(results) == len(payloads)  # dedup holds
+
+
+def test_decode_empty_and_short_signals():
+    assert decode_ft8_message(np.zeros(0, np.float32), 2000.0) == []
+    assert decode_ft8_message(np.zeros(100, np.float32), 2000.0) == []
+    # long enough for a waterfall but too short for any candidate window
+    assert decode_ft8_message(np.zeros(2000, np.float32), 2000.0) == []
+
+
+def test_decode_noise_only_returns_nothing(rng):
+    wave = rng.standard_normal(int(2000 * 13)).astype(np.float32)
+    assert decode_ft8_message(wave, 2000.0) == []
+
+
+def test_decode_freq_crop(rng):
+    fs, f0 = 2000.0, 600.0
+    wave = _noisy_signal(PAYLOAD, fs, f0, 10.0, rng)
+    results = decode_ft8_message(wave, fs, freq_min=500.0, freq_max=750.0)
+    assert len(results) == 1
+    # frequency must be reported in absolute Hz despite the crop
+    assert abs(results[0].freq_hz - f0) < 7.0
+    # cropping away the signal band finds nothing
+    assert decode_ft8_message(wave, fs, freq_min=100.0, freq_max=400.0) == []
+
+
+def test_decode_duplicates_without_dedup(rng):
+    fs, f0 = 2000.0, 300.0
+    wave = _noisy_signal(PAYLOAD, fs, f0, 15.0, rng)
+    dup = decode_ft8_message(wave, fs, min_score=1.0, deduplicate=False)
+    ded = decode_ft8_message(wave, fs, min_score=1.0, deduplicate=True)
+    assert len(ded) == 1
+    assert len(dup) >= len(ded)
