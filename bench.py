@@ -1,0 +1,121 @@
+"""Flagship benchmark: batched single-chip FT8 slot decode throughput.
+
+Config 1/3 of BASELINE.json: batches of 15 s @ 12 kHz slots, osr 2x2,
+20 candidates, 20 BP iterations — the full pipeline (STFT -> sync stencil ->
+top-k -> LLR -> LDPC BP -> CRC) as one jitted program, vmapped over the
+batch.  Prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline is the speedup over the reference's pure-Python decoder on the
+identical workload: 11.71 s per slot, measured in this image on 2026-08-16
+(src/ft8_tools/ft8_demodulator/ft8_decode.py decode_ft8_message, fs=12 kHz,
+15 s slot, osr 2x2, max_candidates=20, min_score=10, max_iterations=20 —
+the reference has no published wall-clock numbers of its own).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_SECONDS_PER_SLOT = 11.71  # measured; see module docstring
+
+FS = 12000.0
+SLOT_S = 15.0
+BATCH = 8
+REPS = 5
+MAX_CANDIDATES = 20
+
+
+def _make_batch(rng):
+    """Synthesise BATCH noisy slots, each holding one FT8 signal at 0 dB."""
+    import jax
+    import jax.numpy as jnp
+
+    from ft8_demodulator_tpu.ops.gfsk import _baseband_complex
+    from ft8_demodulator_tpu.protocol import constants as C
+    from ft8_demodulator_tpu.protocol.encode import encode_tones
+
+    n = int(FS * SLOT_S)
+    sps = int(C.SYMBOL_PERIOD_S * FS)
+    payloads = rng.integers(0, 256, size=(BATCH, 10), dtype=np.uint8)
+    payloads[:, 9] &= 0xF8
+
+    @jax.jit
+    def synth(payloads, noise, f0s):
+        tones = encode_tones(payloads)
+        waves = jax.vmap(
+            lambda t, f0: jnp.real(_baseband_complex(t, sps, FS, f0))
+        )(tones, f0s)
+        sig = jnp.zeros((BATCH, n), jnp.float32)
+        sig = sig.at[:, : waves.shape[1]].set(waves)
+        power = jnp.mean(waves ** 2, axis=1, keepdims=True)
+        return sig + noise * jnp.sqrt(power)
+
+    noise = jnp.asarray(rng.standard_normal((BATCH, n)).astype(np.float32))
+    f0s = jnp.asarray(
+        (500.0 + 100.0 * rng.integers(0, 40, BATCH)).astype(np.float32))
+    return synth(jnp.asarray(payloads), noise, f0s), payloads
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from ft8_demodulator_tpu.demod.decode import decode_slot
+    from ft8_demodulator_tpu.ops.waterfall import waterfall_params
+
+    rng = np.random.default_rng(42)
+    batch, payloads = _make_batch(rng)
+
+    n = int(FS * SLOT_S)
+    p = waterfall_params(FS, 2, 2)
+    num_frames = p.num_frames(n)
+
+    @jax.jit
+    def decode_batch(waves):
+        return jax.vmap(lambda w: decode_slot(
+            w, p, num_frames, max_candidates=MAX_CANDIDATES,
+            min_score=10.0, max_iterations=20))(waves)
+
+    # warmup / compile
+    res = decode_batch(batch)
+    jax.block_until_ready(res)
+
+    # sanity: the batch must actually decode (guards against a benchmark
+    # that got fast by decoding nothing)
+    ok = np.asarray(res.success).any(axis=1)
+    decoded = np.asarray(res.payload)
+    n_correct = 0
+    for b in range(BATCH):
+        rows = decoded[b][np.asarray(res.success[b])]
+        want = payloads[b].copy()
+        want[9] &= 0xF8
+        if any((row == want).all() for row in rows):
+            n_correct += 1
+
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        res = decode_batch(batch)
+    jax.block_until_ready(res)
+    dt = time.perf_counter() - t0
+
+    slots_per_sec = BATCH * REPS / dt
+    cand_per_sec = slots_per_sec * MAX_CANDIDATES
+    print(json.dumps({
+        "metric": "candidate-decodes/sec/chip",
+        "value": round(cand_per_sec, 2),
+        "unit": "candidates/s",
+        "vs_baseline": round(
+            slots_per_sec * REFERENCE_SECONDS_PER_SLOT, 2),
+        "slots_per_sec": round(slots_per_sec, 3),
+        "decode_yield": f"{n_correct}/{BATCH}",
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

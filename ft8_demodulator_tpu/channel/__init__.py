@@ -1,0 +1,13 @@
+"""Satellite channel: SGP4 propagation, geometry, Doppler ops."""
+
+from .channel import Channel, GroundStation, SPEED_OF_LIGHT
+from .doppler import (add_complex_awgn, apply_doppler,
+                      compensate_linear_doppler, decimate)
+from .sgp4 import TLE, Sgp4, parse_tle
+
+__all__ = [
+    "Channel", "GroundStation", "SPEED_OF_LIGHT",
+    "TLE", "Sgp4", "parse_tle",
+    "apply_doppler", "compensate_linear_doppler", "add_complex_awgn",
+    "decimate",
+]

@@ -1,0 +1,68 @@
+"""JAX channel ops: Doppler application/compensation and AWGN.
+
+Device-side counterparts of the reference's channel test scripts
+(src/tests/channel/test_signal_after_channel.py:49-59,
+test_signal_processing.py:40-49).  Complex signals cross the host boundary
+as stacked (..., n, 2) float32 [real, imag].
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["apply_doppler", "compensate_linear_doppler", "add_complex_awgn",
+           "decimate"]
+
+
+def _to_complex(ri: jnp.ndarray) -> jnp.ndarray:
+    return ri[..., 0] + 1j * ri[..., 1]
+
+
+def _to_ri(z: jnp.ndarray) -> jnp.ndarray:
+    return jnp.stack([jnp.real(z), jnp.imag(z)], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("fs",))
+def apply_doppler(wave_ri: jnp.ndarray, doppler_hz: jnp.ndarray,
+                  fs: float) -> jnp.ndarray:
+    """y[i] = x[i] * exp(-j 2 pi f_d[i] * t_i), the reference's channel
+    convention (instantaneous shift times absolute time,
+    test_signal_after_channel.py:55-58)."""
+    n = wave_ri.shape[-2]
+    t = jnp.arange(n, dtype=jnp.float32) / fs
+    z = _to_complex(wave_ri) * jnp.exp(-2j * jnp.pi * doppler_hz * t)
+    return _to_ri(z)
+
+
+@functools.partial(jax.jit, static_argnames=("fs",))
+def compensate_linear_doppler(wave_ri: jnp.ndarray, slope_hz_per_sample: float,
+                              intercept_hz: float, fs: float) -> jnp.ndarray:
+    """Undo a linear Doppler model: y = x * exp(+j 2 pi (a*t*fs + b) * t)
+    (test_signal_processing.py:45-46)."""
+    n = wave_ri.shape[-2]
+    t = jnp.arange(n, dtype=jnp.float32) / fs
+    phase = (slope_hz_per_sample * t * fs + intercept_hz) * t
+    z = _to_complex(wave_ri) * jnp.exp(2j * jnp.pi * phase)
+    return _to_ri(z)
+
+
+@functools.partial(jax.jit, static_argnames=("snr_db",))
+def add_complex_awgn(wave_ri: jnp.ndarray, key: jax.Array,
+                     snr_db: float) -> jnp.ndarray:
+    """Add circular Gaussian noise at the given SNR relative to the signal's
+    own mean power.  Matches the reference's per-quadrature sigma convention
+    (noise std sqrt(noise_power) per real/imag component,
+    test_signal_after_channel.py:42-43)."""
+    power = jnp.mean(wave_ri[..., 0] ** 2 + wave_ri[..., 1] ** 2)
+    sigma = jnp.sqrt(power / 10.0 ** (snr_db / 10.0))
+    noise = jax.random.normal(key, wave_ri.shape, wave_ri.dtype) * sigma
+    return wave_ri + noise
+
+
+def decimate(wave_ri: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Plain stride decimation (the reference downsamples without an
+    anti-alias filter, test_signal_processing.py:48-49)."""
+    return wave_ri[..., ::factor, :]

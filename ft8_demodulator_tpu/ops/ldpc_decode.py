@@ -91,10 +91,16 @@ def bp_decode(llr: jnp.ndarray, max_iterations: int = 20):
     the scan always runs max_iterations steps; a halted mask freezes the
     state once the reference would have broken out.
     """
-    tov0 = jnp.zeros((C.LDPC_N, C.VAR_MAX_DEG), jnp.float32)
-    toc0 = jnp.zeros((C.LDPC_M, C.CHECK_MAX_DEG), jnp.float32)
-    plain0 = jnp.zeros((C.LDPC_N,), jnp.int32)
-    state0 = (tov0, toc0, plain0, jnp.int32(C.LDPC_M), jnp.bool_(False))
+    # derive the zero inits from llr so they inherit its sharding/varying
+    # axes — plain jnp.zeros constants break lax.scan's carry-type check
+    # when this kernel runs inside shard_map
+    zero = llr[0] * 0.0
+    tov0 = jnp.zeros((C.LDPC_N, C.VAR_MAX_DEG), jnp.float32) + zero
+    toc0 = jnp.zeros((C.LDPC_M, C.CHECK_MAX_DEG), jnp.float32) + zero
+    plain0 = jnp.zeros((C.LDPC_N,), jnp.int32) + zero.astype(jnp.int32)
+    min0 = jnp.int32(C.LDPC_M) + zero.astype(jnp.int32)
+    halted0 = zero != 0.0
+    state0 = (tov0, toc0, plain0, min0, halted0)
 
     def step(state, _):
         tov, toc, plain_out, min_err, halted = state

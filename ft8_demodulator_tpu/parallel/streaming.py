@@ -95,13 +95,12 @@ def decode_stream_sharded(audio: jnp.ndarray, p: WaterfallParams, mesh: Mesh,
         # add the stream axis back for the out_spec: (ch, 1, K, ...)
         return jax.tree_util.tree_map(lambda x: x[:, None], res)
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     fn = shard_map(
         shard_fn, mesh=mesh,
         in_specs=P("channel", "stream"),
         out_specs=jax.tree_util.tree_map(
             lambda _: P("channel", "stream"), _result_spec_tree()),
-        check_rep=False,
     )
     return fn(audio)
 

@@ -1,26 +1,25 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
-TPU hardware is not available in CI; sharding/collective tests fake a mesh via
-XLA's host-platform device-count flag.  These env vars must be set before JAX
-initialises its backends, hence the import-order gymnastics here.
+TPU hardware is not available in CI; sharding/collective tests fake a mesh
+with 8 virtual CPU devices.  Note: in this image the axon TPU plugin forces
+``jax_platforms=axon,cpu`` and ignores the JAX_PLATFORMS env var, so the
+override must go through jax.config *after* import and *before* any backend
+initialisation — this conftest must be the first thing that touches jax.
 """
-
-import os
-
-os.environ["JAX_PLATFORMS"] = "cpu"  # the image pre-sets axon (TPU)
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
 
 import numpy as np
 import pytest
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 
 @pytest.fixture(scope="session")
 def goldens():
     """Golden fixtures generated once from the reference implementation."""
+    import os
     path = os.path.join(os.path.dirname(__file__), "goldens", "protocol_goldens.npz")
     return np.load(path)
 

@@ -1,0 +1,155 @@
+"""Satellite channel tests against the reference's committed fixtures.
+
+The reference repo ships Doppler-regression goldens produced by the real
+sgp4+pymap3d stack (StarLink-1030, 2.45 GHz): our native SGP4 + geodesy
+chain must reproduce them.
+"""
+
+import datetime
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ft8_demodulator_tpu.channel import (Channel, add_complex_awgn,
+                                         apply_doppler,
+                                         compensate_linear_doppler, parse_tle)
+from ft8_demodulator_tpu.channel.sgp4 import Sgp4, julian_date
+from ft8_demodulator_tpu.channel import geodesy as geo
+
+TLE = {
+    "name": "StarLink-1030",
+    "TLE_line1": "1 44735U 19074Y   24151.67073227  .00005623  00000+0  39580-3 0  9994",
+    "TLE_line2": "2 44735  53.0540 235.6876 0001395  85.6354 274.4795 15.06429209250797",
+}
+STATION = {
+    "name": "Station",
+    "latitude_deg": 20.75046789797617,
+    "longitude_deg": 116.55005431954011,
+    "altitude_m": 0,
+}
+
+# goldens from the committed fixture
+# src/tests/channel/doppler_shift_test/doppler_frequency_shift_info.txt
+GOLDEN_START = datetime.datetime(2024, 6, 1, 15, 59, 19)
+GOLDEN_FS = 50000.0
+GOLDEN_FC = 2.45e9
+GOLDEN_SLOPE = -0.013079927101496858     # Hz / sample
+GOLDEN_INTERCEPT = 7928.5668029596945    # Hz
+
+
+@pytest.fixture(scope="module")
+def channel():
+    return Channel(STATION, TLE)
+
+
+def test_tle_parsing():
+    tle = parse_tle(TLE["TLE_line1"], TLE["TLE_line2"])
+    assert tle.satnum == "44735"
+    assert abs(tle.ecco - 0.0001395) < 1e-9
+    assert abs(np.rad2deg(tle.inclo) - 53.0540) < 1e-6
+    # epoch 24151.67073227 = 2024 day 151.67...
+    assert abs(tle.epoch_jd - (julian_date(2024, 1, 1) - 1 + 151.67073227)) < 1e-9
+
+
+def test_orbital_period(channel):
+    period = channel.get_orbital_period()
+    assert abs(period - 24 * 60 / 15.06429209) < 0.01   # ~95.6 min
+
+
+def test_sgp4_orbit_radius_sane(channel):
+    r, v = channel.propagator.propagate(np.linspace(0, 200, 500))
+    radius = np.linalg.norm(r, axis=-1)
+    # StarLink shell ~550 km altitude
+    assert (radius > 6800).all() and (radius < 7050).all()
+    speed = np.linalg.norm(v, axis=-1)
+    assert (speed > 7.2).all() and (speed < 7.9).all()
+
+
+def test_doppler_sequence_matches_reference_fixture(channel, tmp_path):
+    doppler = channel.get_doppler_frequency_shift_sequence(
+        GOLDEN_START, 2.0, 5000.0, GOLDEN_FC, save_path=str(tmp_path))
+    # compare against the golden linear model over the same window
+    t_samples = np.arange(len(doppler)) * (GOLDEN_FS / 5000.0)
+    golden = GOLDEN_SLOPE * t_samples + GOLDEN_INTERCEPT
+    err = np.abs(doppler - golden)
+    # fixture slope/intercept describe a 20 s window; over our 2 s prefix
+    # the linear model itself is good to a few Hz — require agreement well
+    # under 1% of the Doppler magnitude
+    assert err.max() < 40.0, f"max doppler error {err.max():.1f} Hz"
+    assert (tmp_path / "doppler_frequency_shift.npy").exists()
+    assert (tmp_path / "doppler_frequency_shift_info.txt").exists()
+
+
+def test_doppler_full_window_regression(channel):
+    """Regression over the same 20 s window as the fixture: slope/intercept."""
+    from scipy import stats
+    n = 2000  # 100 Hz sampling is plenty for a linear fit
+    jd0 = float(geo.datetime_to_jd(GOLDEN_START))
+    jd = jd0 + np.arange(n) / 100.0 / 86400.0
+    doppler = channel.normalized_doppler_by_ecef_jd(jd) * GOLDEN_FC
+    x = np.arange(n) * (GOLDEN_FS / 100.0)  # in 50 kHz sample units
+    slope, intercept, r, _, _ = stats.linregress(x, doppler)
+    assert abs(slope - GOLDEN_SLOPE) / abs(GOLDEN_SLOPE) < 0.01
+    assert abs(intercept - GOLDEN_INTERCEPT) < 30.0
+    assert abs(r) > 0.99999
+
+
+def test_elevation_and_pass_prediction(channel):
+    # the fixture pass: satellite above 30 deg around the golden start time
+    el = channel.calculate_elevation_groundStation_to_satellite(GOLDEN_START)
+    assert el > 30.0
+    start = datetime.datetime(2024, 6, 1, 15, 0, 0)
+    end = datetime.datetime(2024, 6, 1, 17, 0, 0)
+    passes = channel.satellite_overhead_time_prediction(start, end, 30.0)
+    assert passes, "expected at least one pass in the window"
+    t_enter, duration, max_el = passes[0]
+    assert max_el > 30.0
+    assert t_enter <= GOLDEN_START <= t_enter + duration
+
+
+def test_star_point_and_map(channel, tmp_path):
+    lat, lon, alt = channel.get_satellite_star_point(GOLDEN_START)
+    assert -90 <= lat <= 90 and -180 <= lon <= 180
+    assert 500e3 < alt < 600e3  # StarLink shell altitude in metres
+    pts = channel.get_satellite_star_point_map(
+        GOLDEN_START, 60, datetime.timedelta(seconds=1),
+        is_save_fig=True, save_fig_path=str(tmp_path))
+    assert (tmp_path / "satellite_star_point_map.html").exists()
+    assert len(pts) >= 1
+
+
+def test_geodetic_roundtrip():
+    ecef = geo.geodetic2ecef(STATION["latitude_deg"],
+                             STATION["longitude_deg"], 123.0)
+    lat, lon, alt = geo.ecef2geodetic(ecef)
+    assert abs(lat - STATION["latitude_deg"]) < 1e-9
+    assert abs(lon - STATION["longitude_deg"]) < 1e-9
+    assert abs(alt - 123.0) < 1e-6
+
+
+def test_doppler_apply_compensate_roundtrip(rng):
+    fs = 2000.0
+    n = 4000
+    z = np.exp(2j * np.pi * 100.0 * np.arange(n) / fs)
+    ri = jnp.asarray(np.stack([z.real, z.imag], -1).astype(np.float32))
+    slope, intercept = -0.001, 500.0
+    t = np.arange(n) / fs
+    doppler = jnp.asarray((slope * t * fs + intercept).astype(np.float32))
+    shifted = apply_doppler(ri, doppler, fs)
+    # the reference's compensation convention is exp(+j2pi(a t fs + b) t),
+    # the exact inverse of apply_doppler with a linear model
+    restored = np.asarray(compensate_linear_doppler(
+        shifted, slope, intercept, fs))
+    np.testing.assert_allclose(restored, np.asarray(ri), atol=2e-3)
+
+
+def test_awgn_power(rng):
+    n = 50000
+    ri = jnp.asarray(np.stack([np.ones(n), np.zeros(n)], -1).astype(np.float32))
+    noisy = np.asarray(add_complex_awgn(ri, jax.random.PRNGKey(0), 10.0))
+    noise = noisy - np.asarray(ri)
+    measured = (noise ** 2).sum(-1).mean()
+    # per-quadrature sigma^2 = P/SNR -> total complex noise power 2*P/SNR
+    assert abs(measured - 2 * 0.1) < 0.01

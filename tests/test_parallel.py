@@ -1,0 +1,63 @@
+"""Mesh-sharded streaming decode tests on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from ft8_demodulator_tpu.ops.gfsk import ft8_passband
+from ft8_demodulator_tpu.parallel.mesh import make_mesh
+from ft8_demodulator_tpu.parallel.streaming import decode_stream
+
+PAYLOAD_A = np.array([0x1C, 0x3F, 0x8A, 0x6A, 0xE2, 0x07, 0xA1, 0xE3, 0x94, 0x50],
+                     dtype=np.uint8)
+PAYLOAD_B = np.array([0xAA, 0x02, 0x03, 0x04, 0x05, 0x06, 0x07, 0x08, 0x09, 0xF8],
+                     dtype=np.uint8)
+
+FS = 2000.0
+
+
+def _place(stream, wave, t_sec):
+    i = int(t_sec * FS)
+    stream[i: i + len(wave)] += wave
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_stream_decode_finds_messages_across_boundaries(rng):
+    # 8 stream shards x 15 s = 120 s of audio; block boundaries at 15 s
+    # multiples.  The 23 s message straddles the 30 s boundary only if long;
+    # 12.64 s frame from t=23 s crosses the 30 s boundary.
+    n = int(FS * 120)
+    stream = (rng.standard_normal(n) * 0.02).astype(np.float32)
+    wa = ft8_passband(PAYLOAD_A, FS, 400.0, 0.0)
+    wb = ft8_passband(PAYLOAD_B, FS, 700.0, 0.0)
+    _place(stream, wa, 2.0)          # inside shard 0
+    _place(stream, wb, 23.0)         # straddles the 30 s boundary
+    _place(stream, wa, 61.0)         # shard 4, different time slot
+
+    mesh = make_mesh(stream=8, channel=1)
+    results = decode_stream(stream, FS, mesh=mesh, min_score=4.0)
+
+    rows = [(r.message.payload.hex(), round(r.time_sec), round(r.freq_hz))
+            for r in results]
+    assert (PAYLOAD_A.tobytes().hex(), 2, 400) in rows
+    assert (PAYLOAD_B.tobytes().hex(), 23, 700) in rows
+    assert (PAYLOAD_A.tobytes().hex(), 61, 400) in rows
+    # each transmission decodes exactly once (ownership + dedup)
+    assert len(rows) == len(set(rows)) == 3
+
+
+def test_stream_decode_multi_channel(rng):
+    n = int(FS * 30)  # 2 stream shards x 15 s with channel axis 4
+    audio = (rng.standard_normal((4, n)) * 0.02).astype(np.float32)
+    wa = ft8_passband(PAYLOAD_A, FS, 500.0, 0.0)
+    audio[1, int(1.0 * FS): int(1.0 * FS) + len(wa)] += wa
+    audio[3, int(16.0 * FS): int(16.0 * FS) + len(wa)] += wa
+
+    mesh = make_mesh(stream=2, channel=4)
+    results = decode_stream(audio, FS, mesh=mesh, min_score=4.0)
+    assert len(results) == 2
+    payloads = {r.message.payload.hex() for r in results}
+    assert payloads == {PAYLOAD_A.tobytes().hex()}
