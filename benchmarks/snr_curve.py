@@ -1,0 +1,110 @@
+"""Yield-vs-SNR curve: the reference's sensitivity benchmark, batched.
+
+Equivalent of src/tests/demodulator/test_ft8_standard.py — which loops
+20 random payloads per (fs, SNR) point through the Python decoder — but the
+whole (SNR x trials) grid is one batched device program: TX synthesis,
+noise injection and decode all vmapped.  Success criterion matches the
+reference: a point passes if >= 50% of trials decode the exact payload
+(test_ft8_standard.py:97-101); noise power is over the full fs/2 band.
+
+Usage:  python benchmarks/snr_curve.py [--fs 2000] [--trials 20]
+                 [--snr-start -21] [--snr-stop -10] [--snr-step 0.5]
+Prints one JSON object with the curve and the minimum passing SNR.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def run_curve(fs: float, snrs, trials: int, f0: float = None,
+              min_score: float = 1.0, max_candidates: int = 20,
+              seed: int = 0, bins_per_tone: int = 2,
+              steps_per_symbol: int = 2):
+    """Returns (snr_list, success_rate_list, wall_seconds)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ft8_demodulator_tpu.demod.decode import decode_slot
+    from ft8_demodulator_tpu.ops.gfsk import _baseband_complex
+    from ft8_demodulator_tpu.ops.waterfall import waterfall_params
+    from ft8_demodulator_tpu.protocol import constants as C
+    from ft8_demodulator_tpu.protocol.encode import encode_tones
+
+    rng = np.random.default_rng(seed)
+    sps = int(C.SYMBOL_PERIOD_S * fs)
+    n = sps * C.NUM_SYMBOLS + int(fs)  # signal + 1 s pad
+    f0 = f0 if f0 is not None else fs / 8.0
+    p = waterfall_params(fs, bins_per_tone, steps_per_symbol)
+    num_frames = p.num_frames(n)
+
+    payloads = rng.integers(0, 256, size=(trials, 10), dtype=np.uint8)
+    payloads[:, 9] &= 0xF8
+
+    @jax.jit
+    def synth(payloads_d, noise, snr_db):
+        tones = encode_tones(payloads_d)
+        waves = jax.vmap(
+            lambda t: jnp.real(_baseband_complex(t, sps, fs, f0)))(tones)
+        sig = jnp.zeros((trials, n), jnp.float32)
+        sig = sig.at[:, sps // 2: sps // 2 + waves.shape[1]].set(waves)
+        power = jnp.mean(waves ** 2, axis=1, keepdims=True)
+        scale = jnp.sqrt(power / 10.0 ** (snr_db / 10.0))
+        return sig + noise * scale
+
+    @jax.jit
+    def decode_batch(waves):
+        return jax.vmap(lambda w: decode_slot(
+            w, p, num_frames, max_candidates=max_candidates,
+            min_score=min_score, max_iterations=20))(waves)
+
+    payloads_d = jnp.asarray(payloads)
+    expected = payloads.copy()
+    expected[:, 9] &= 0xF8
+
+    rates = []
+    t0 = time.perf_counter()
+    for snr in snrs:
+        noise = jnp.asarray(
+            rng.standard_normal((trials, n)).astype(np.float32))
+        res = decode_batch(synth(payloads_d, noise, jnp.float32(snr)))
+        ok = 0
+        pl = np.asarray(res.payload)
+        su = np.asarray(res.success)
+        for t in range(trials):
+            if any((row == expected[t]).all() for row in pl[t][su[t]]):
+                ok += 1
+        rates.append(ok / trials)
+    return list(snrs), rates, time.perf_counter() - t0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fs", type=float, default=2000.0)
+    ap.add_argument("--trials", type=int, default=20)
+    ap.add_argument("--snr-start", type=float, default=-21.0)
+    ap.add_argument("--snr-stop", type=float, default=-10.0)
+    ap.add_argument("--snr-step", type=float, default=0.5)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    snrs = np.arange(args.snr_start, args.snr_stop + 1e-9, args.snr_step)
+    snr_list, rates, wall = run_curve(args.fs, snrs.tolist(), args.trials,
+                                      seed=args.seed)
+    passing = [s for s, r in zip(snr_list, rates) if r >= 0.5]
+    print(json.dumps({
+        "fs": args.fs,
+        "trials_per_point": args.trials,
+        "snr_db": snr_list,
+        "success_rate": rates,
+        "min_snr_50pct": min(passing) if passing else None,
+        "wall_seconds": round(wall, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
