@@ -1,0 +1,68 @@
+"""Tests: SDR loopback seam, plotting artifacts, analytic geometry model."""
+
+import numpy as np
+import pytest
+
+from ft8_demodulator_tpu.channel.geomodel import CircularOrbitModel
+from ft8_demodulator_tpu.io import read_wave_file, write_wave_file
+from ft8_demodulator_tpu.io.sdr import (LoopbackSDR, receive_and_decode,
+                                        transmit_ft8)
+
+PAYLOAD = np.array([0x1C, 0x3F, 0x8A, 0x6A, 0xE2, 0x07, 0xA1, 0xE3, 0x94, 0x50],
+                   dtype=np.uint8)
+
+
+def test_sdr_loopback_roundtrip():
+    fs = 4000.0
+    sdr = LoopbackSDR(sample_rate=fs, rx_buffer_size=int(fs * 0.16),
+                      noise_sigma=0.02, dc_offset=0.05 + 0.02j)
+    transmit_ft8(sdr, PAYLOAD, f0=500.0)
+    results = receive_and_decode(sdr, num_buffers=85, min_score=4.0)
+    assert any(r.message.payload == PAYLOAD.tobytes() for r in results)
+
+
+def test_wav_roundtrip(tmp_path, rng):
+    samples = np.clip(rng.standard_normal(4096) * 0.3, -1, 1).astype(np.float32)
+    path = str(tmp_path / "t.wav")
+    write_wave_file(path, samples, 8000)
+    back, rate = read_wave_file(path)
+    assert rate == 8000
+    np.testing.assert_allclose(back, samples, atol=1e-4)
+
+
+def test_plotting_artifacts(tmp_path):
+    from ft8_demodulator_tpu.plotting import (plot_drift_vs_freq_error,
+                                              plot_gfsk_pulse,
+                                              plot_snr_curve,
+                                              plot_snr_vs_freq_error,
+                                              plot_spectrogram)
+    mag = np.random.default_rng(0).standard_normal((64, 32))
+    f = np.linspace(0, 1000, 64)
+    t = np.linspace(0, 15, 32)
+    assert plot_spectrogram(mag, f, t, path=str(tmp_path / "s.png"))
+    assert plot_gfsk_pulse(path=str(tmp_path / "g.png"))
+    assert plot_snr_vs_freq_error([35, 30], [1.6, 0.2],
+                                  path=str(tmp_path / "e.png"))
+    assert plot_drift_vs_freq_error([100, 900], [10.6, 1.1],
+                                    path=str(tmp_path / "d.png"))
+    assert plot_snr_curve([-21, -15], [0.0, 1.0], 2000.0,
+                          path=str(tmp_path / "c.png"))
+    for name in ["s.png", "g.png", "e.png", "d.png", "c.png"]:
+        assert (tmp_path / name).stat().st_size > 0
+
+
+def test_circular_orbit_model():
+    m = CircularOrbitModel(altitude_m=550e3, max_elevation_deg=90.0,
+                           min_elevation_deg=10.0)
+    # overhead pass of a 550 km orbit: a few minutes, not hours
+    dur = m.pass_duration_s()
+    assert 200 < dur < 800
+    # Doppler: odd function, zero at closest approach, LEO-magnitude at edges
+    t = np.array([-300.0, 0.0, 300.0])
+    fd = m.doppler_hz(t, 437e6)
+    assert abs(fd[1]) < 1e-6
+    assert fd[0] > 1000 and fd[2] < -1000
+    np.testing.assert_allclose(fd[0], -fd[2], rtol=1e-9)
+    # higher max-elevation passes last longer
+    low = CircularOrbitModel(550e3, max_elevation_deg=30.0)
+    assert low.pass_duration_s() < dur
