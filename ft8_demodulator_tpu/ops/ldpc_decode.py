@@ -1,11 +1,20 @@
-"""LDPC(174,91) sum-product belief propagation as a fixed-iteration kernel.
+"""LDPC(174,91) sum-product belief propagation as batched MXU matmuls.
 
-The reference decoder (src/ft8_tools/ft8_demodulator/ldpc_decoder.py:54) runs
-a Python triple loop per iteration with data-dependent early exit.  Here one
-iteration is a handful of gathers over constant adjacency tables plus
-elementwise tanh algebra, a jax.lax.scan runs a static number of iterations,
-and the early-exit semantics are reproduced with a "halted" mask so the
-whole thing vmaps over candidates:
+The reference decoder (src/ft8_tools/ft8_demodulator/ldpc_decoder.py:54)
+runs a Python triple loop per iteration with data-dependent early exit.
+A naive port would use gathers over the adjacency tables, but tiny gathers
+lower poorly on TPU; instead the message routing is baked into constant
+one-hot matrices so one BP iteration is three small dense matmuls plus
+elementwise tanh algebra:
+
+* variable->check:  Tnm = tov_sum @ R1 - tov_flat @ R2   (routing matmuls)
+* check->variable:  leave-one-out products via exclusive prefix/suffix
+  cumprods along the (<=7)-slot check axis — no division, no gather
+* syndrome:         plain @ H^T mod 2
+
+The whole kernel is natively batched over candidates (the leading dim feeds
+the MXU), a jax.lax.scan runs a static number of iterations, and the
+reference's early-exit semantics are reproduced with a "halted" mask:
 
 * hard-decision converging to the (forbidden) all-zero codeword freezes the
   state without improving min_errors (ldpc_decoder.py:76-78),
@@ -13,7 +22,7 @@ whole thing vmaps over candidates:
 * otherwise min_errors tracks the best syndrome seen.
 
 tanh/atanh use the same rational (Pade) approximations as the reference —
-they are division+multiply only, ideal for the VPU.
+division+multiply only, ideal for the VPU.
 """
 
 from __future__ import annotations
@@ -22,19 +31,40 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..protocol import constants as C
 
 __all__ = ["fast_tanh", "fast_atanh", "ldpc_check", "bp_decode",
            "bp_decode_batch"]
 
-_CHECK_ADJ = jnp.asarray(C.CHECK_ADJ)                  # (83, 7) 0-based, -1 pad
-_CHECK_MASK = jnp.asarray(C.CHECK_MASK)                # (83, 7)
-_CHECK_ADJ_SAFE = jnp.asarray(C.CHECK_ADJ.clip(min=0))
-_CHECK_SLOT_IN_VAR = jnp.asarray(C.CHECK_SLOT_IN_VAR)  # (83, 7)
-_VAR_ADJ = jnp.asarray(C.VAR_ADJ)                      # (174, 3)
-_VAR_SLOT_IN_CHECK = jnp.asarray(C.VAR_SLOT_IN_CHECK)  # (174, 3)
-_PARITY = jnp.asarray(C.PARITY_CHECK.astype(jnp.float32))  # (83, 174)
+_NMI = C.LDPC_M * C.CHECK_MAX_DEG     # 581 flat (check, slot) pairs
+_NNJ = C.LDPC_N * C.VAR_MAX_DEG       # 522 flat (var, slot) pairs
+
+
+def _build_routing():
+    """Constant one-hot routing matrices for the message-passing matmuls."""
+    # R1[n, mi] = 1 where check m's slot i reads variable n's total
+    r1 = np.zeros((C.LDPC_N, _NMI), np.float32)
+    # R2[nj, mi] = 1 where check m's slot i excludes tov[n, j] (n's slot for m)
+    r2 = np.zeros((_NNJ, _NMI), np.float32)
+    mask = np.zeros(_NMI, np.float32)
+    for m in range(C.LDPC_M):
+        for i in range(C.CHECK_DEG[m]):
+            mi = m * C.CHECK_MAX_DEG + i
+            n = C.CHECK_ADJ[m, i]
+            j = C.CHECK_SLOT_IN_VAR[m, i]
+            r1[n, mi] = 1.0
+            r2[n * C.VAR_MAX_DEG + j, mi] = 1.0
+            mask[mi] = 1.0
+    return r1, r2, mask
+
+
+_R1, _R2, _MI_MASK = _build_routing()
+_R1_D = jnp.asarray(_R1)
+_R2_D = jnp.asarray(_R2)
+_MI_MASK_D = jnp.asarray(_MI_MASK)
+_PARITY_T = jnp.asarray(C.PARITY_CHECK.astype(np.float32).T)  # (174, 83)
 
 
 def fast_tanh(x: jnp.ndarray) -> jnp.ndarray:
@@ -54,80 +84,82 @@ def fast_atanh(x: jnp.ndarray) -> jnp.ndarray:
     return a / b
 
 
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)
+
+
 def ldpc_check(plain: jnp.ndarray) -> jnp.ndarray:
     """(..., 174) hard bits -> number of failed parity checks."""
-    syndrome = jnp.mod(
-        jnp.matmul(plain.astype(jnp.float32), _PARITY.T,
-                   precision=jax.lax.Precision.HIGHEST), 2.0)
+    syndrome = jnp.mod(_mm(plain.astype(jnp.float32), _PARITY_T), 2.0)
     return jnp.sum(syndrome, axis=-1).astype(jnp.int32)
 
 
-def _bp_iteration(llr, tov, toc):
-    """One sum-product iteration; returns updated (tov, toc)."""
-    # variable -> check: for check m slot i with variable n,
-    # Tnm = llr[n] + sum_j tov[n, j] - tov[n, slot_of_m]
-    tov_sum = llr + jnp.sum(tov, axis=-1)                     # (174,)
-    n_of = _CHECK_ADJ_SAFE                                    # (83, 7)
-    tnm = tov_sum[n_of] - jnp.take_along_axis(
-        tov[n_of], _CHECK_SLOT_IN_VAR[..., None], axis=-1
-    )[..., 0]
-    toc = jnp.where(_CHECK_MASK, fast_tanh(-tnm / 2.0), 1.0)  # (83, 7)
+def _excl_products(toc: jnp.ndarray) -> jnp.ndarray:
+    """(..., 83, 7) -> leave-one-out products along the last axis."""
+    ones = jnp.ones_like(toc[..., :1])
+    prefix = jnp.concatenate(
+        [ones, jnp.cumprod(toc[..., :-1], axis=-1)], axis=-1)
+    suffix = jnp.concatenate(
+        [jnp.cumprod(toc[..., :0:-1], axis=-1)[..., ::-1], ones], axis=-1)
+    return prefix * suffix
 
-    # check -> variable: for variable n slot j with check m,
-    # Tmn = prod over check m's slots except n's own slot
-    rows = toc[_VAR_ADJ]                                      # (174, 3, 7)
-    excl = jnp.arange(C.CHECK_MAX_DEG)[None, None, :] == \
-        _VAR_SLOT_IN_CHECK[..., None]
-    tmn = jnp.prod(jnp.where(excl, 1.0, rows), axis=-1)       # (174, 3)
-    tov = -2.0 * fast_atanh(tmn)
-    return tov, toc
+
+def _bp_iteration(llr, tov_sum, tov_flat):
+    """One sum-product iteration (batched): returns new tov (..., 522)."""
+    # variable -> check: Tnm = (llr + sum_j tov[n,j]) - tov[n, slot_of_m]
+    tnm = _mm(tov_sum, _R1_D) - _mm(tov_flat, _R2_D)        # (..., 581)
+    toc = jnp.where(_MI_MASK_D > 0, fast_tanh(-tnm / 2.0), 1.0)
+    # check -> variable: leave-one-out product over each check's slots
+    tmn_mi = _excl_products(
+        toc.reshape(*toc.shape[:-1], C.LDPC_M, C.CHECK_MAX_DEG))
+    tmn = _mm(tmn_mi.reshape(*toc.shape[:-1], _NMI), _R2_D.T)  # (..., 522)
+    return -2.0 * fast_atanh(tmn)
 
 
 @functools.partial(jax.jit, static_argnames=("max_iterations",))
-def bp_decode(llr: jnp.ndarray, max_iterations: int = 20):
-    """(174,) LLRs -> (plain (174,) int32, min_errors int32).
+def bp_decode_batch(llrs: jnp.ndarray, max_iterations: int = 20):
+    """(..., 174) LLRs -> (plain (..., 174) int32, min_errors (..., ) int32).
 
     Fixed-shape equivalent of the reference bp_decode (ldpc_decoder.py:54):
-    the scan always runs max_iterations steps; a halted mask freezes the
-    state once the reference would have broken out.
+    the scan always runs max_iterations steps; a halted mask freezes each
+    row's state once the reference would have broken out of its loop.
     """
-    # derive the zero inits from llr so they inherit its sharding/varying
-    # axes — plain jnp.zeros constants break lax.scan's carry-type check
-    # when this kernel runs inside shard_map
-    zero = llr[0] * 0.0
-    tov0 = jnp.zeros((C.LDPC_N, C.VAR_MAX_DEG), jnp.float32) + zero
-    toc0 = jnp.zeros((C.LDPC_M, C.CHECK_MAX_DEG), jnp.float32) + zero
-    plain0 = jnp.zeros((C.LDPC_N,), jnp.int32) + zero.astype(jnp.int32)
+    batch_shape = llrs.shape[:-1]
+    zero = llrs[..., 0] * 0.0                                   # (...,)
+    tov0 = jnp.zeros((*batch_shape, _NNJ), jnp.float32) + zero[..., None]
+    plain0 = jnp.zeros((*batch_shape, C.LDPC_N), jnp.int32) \
+        + zero[..., None].astype(jnp.int32)
     min0 = jnp.int32(C.LDPC_M) + zero.astype(jnp.int32)
     halted0 = zero != 0.0
-    state0 = (tov0, toc0, plain0, min0, halted0)
 
     def step(state, _):
-        tov, toc, plain_out, min_err, halted = state
-        messages = llr + jnp.sum(tov, axis=-1)
-        plain = (messages > 0).astype(jnp.int32)
-        zero_cw = jnp.sum(plain) == 0
+        tov, plain_out, min_err, halted = state
+        tov_sum = llrs + jnp.sum(
+            tov.reshape(*batch_shape, C.LDPC_N, C.VAR_MAX_DEG), axis=-1)
+        plain = (tov_sum > 0).astype(jnp.int32)
+        zero_cw = jnp.sum(plain, axis=-1) == 0
         errors = ldpc_check(plain)
 
         live = ~halted
-        # reference order: zero-codeword break happens before the error
+        # reference order: the zero-codeword break happens before the error
         # check, so min_errors must not absorb the zero codeword's syndrome
         new_min = jnp.where(live & ~zero_cw, jnp.minimum(min_err, errors),
                             min_err)
-        new_plain = jnp.where(live, plain, plain_out)
+        new_plain = jnp.where(live[..., None], plain, plain_out)
         new_halted = halted | (live & (zero_cw | (errors == 0)))
 
-        tov_next, toc_next = _bp_iteration(llr, tov, toc)
-        keep = new_halted
-        tov = jnp.where(keep, tov, tov_next)
-        toc = jnp.where(keep, toc, toc_next)
-        return (tov, toc, new_plain, new_min, new_halted), None
+        tov_next = _bp_iteration(llrs, tov_sum, tov)
+        tov = jnp.where(new_halted[..., None], tov, tov_next)
+        return (tov, new_plain, new_min, new_halted), None
 
+    state0 = (tov0, plain0, min0, halted0)
     state, _ = jax.lax.scan(step, state0, None, length=max_iterations)
-    _, _, plain, min_err, _ = state
+    _, plain, min_err, _ = state
     return plain, min_err
 
 
-def bp_decode_batch(llrs: jnp.ndarray, max_iterations: int = 20):
-    """(K, 174) LLRs -> (plain (K, 174), min_errors (K,)) via vmap."""
-    return jax.vmap(lambda l: bp_decode(l, max_iterations))(llrs)
+def bp_decode(llr: jnp.ndarray, max_iterations: int = 20):
+    """Single-codeword convenience wrapper: (174,) -> ((174,), scalar)."""
+    plain, err = bp_decode_batch(llr[None, :], max_iterations)
+    return plain[0], err[0]

@@ -47,22 +47,36 @@ def extract_llrs(mag: jnp.ndarray, abs_time: jnp.ndarray,
     """Waterfall (F, T) + candidates (K,) -> LLRs (K, 174), normalised.
 
     abs_time may be negative (pre-roll); symbols falling outside the
-    waterfall get LLR 0.
+    waterfall get LLR 0.  TPU note: per-candidate reads are one contiguous
+    dynamic_slice followed by static strided selection — scattered gathers
+    of (58, 8) index pairs lower to very slow code on TPU.
     """
+    tau, phi = time_osr, freq_osr
     num_frames = mag.shape[-1]
-    sym = jnp.asarray(C.DATA_SYMBOL_POSITIONS)          # (58,)
-    base = jnp.floor_divide(abs_time, time_osr)          # (K,)
-    block = base[:, None] + sym[None, :]                 # (K, 58)
-    valid = (block >= 0) & (block < num_blocks)
+    sym = C.DATA_SYMBOL_POSITIONS                         # (58,) host
+    sym_lo, sym_hi = int(sym.min()), int(sym.max())       # 7, 71
+    # pad so every candidate's (8 tones x symbol span) window is in bounds
+    left = 10 * tau  # pre-roll margin (candidates start at >= -10 symbols)
+    right = max(0, sym_hi * tau + 1 + left)               # generous tail
+    padded = jnp.pad(mag, ((0, 0), (left, right)))
+    win_t = (sym_hi - sym_lo) * tau + 1                   # time window length
+    win_f = 7 * phi + 1                                   # tone window height
 
-    t_idx = abs_time[:, None] + sym[None, :] * time_osr  # (K, 58)
-    t_idx = jnp.clip(t_idx, 0, num_frames - 1)
-    f_idx = abs_freq[:, None] + jnp.arange(8)[None, :] * freq_osr  # (K, 8)
+    def one(t0, f0):
+        block = jax.lax.dynamic_slice(
+            padded, (f0, left + t0 + sym_lo * tau), (win_f, win_t))
+        tones = block[:: phi, :]                          # (8, 65-ish)
+        return tones[:, (sym - sym_lo) * tau]             # (8, 58) static take
 
-    # powers[k, s, i] = mag[f_idx[k, i], t_idx[k, s]]
-    powers = mag[f_idx[:, None, :], t_idx[:, :, None]]   # (K, 58, 8)
-    s2 = jnp.take(powers, _GRAY, axis=-1)                # Gray reorder
-    llr = _llr_from_powers(s2)                           # (K, 58, 3)
+    powers = jax.vmap(one)(abs_time, abs_freq)            # (K, 8, 58)
+    powers = jnp.swapaxes(powers, -1, -2)                 # (K, 58, 8)
+
+    base = jnp.floor_divide(abs_time, tau)                # (K,)
+    block_idx = base[:, None] + jnp.asarray(sym)[None, :]
+    valid = (block_idx >= 0) & (block_idx < num_blocks)
+
+    s2 = jnp.take(powers, _GRAY, axis=-1)                 # Gray reorder
+    llr = _llr_from_powers(s2)                            # (K, 58, 3)
     llr = jnp.where(valid[:, :, None], llr, 0.0)
     return normalize_llrs(llr.reshape(llr.shape[0], C.LDPC_N))
 
