@@ -1,0 +1,133 @@
+"""Online streaming decode session with checkpoint/resume.
+
+SURVEY §5: the reference's only "resume" story is .npy stage artifacts.
+Here a StreamSession consumes an unbounded audio stream in arbitrary-sized
+feeds, decodes each completed block (with a one-frame lookahead so
+transmissions straddling block edges decode exactly once), deduplicates
+across blocks, and can snapshot its full state to disk and resume later —
+per-slot decode state persistence for long-running receivers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..config import DecoderConfig, STANDARD
+from ..ops.sync import SearchGrid
+from ..ops.waterfall import waterfall_real
+from ..protocol import constants as C
+from .decode import decode_waterfall
+from .types import FT8Decode, FT8DecodeStatus, FT8Message
+
+__all__ = ["StreamSession"]
+
+
+class StreamSession:
+    """Incremental decoder over a continuous sample stream."""
+
+    def __init__(self, fs: float, config: DecoderConfig = STANDARD,
+                 block_seconds: float = float(C.SLOT_PERIOD_S)):
+        self.fs = float(fs)
+        self.config = config
+        self.p = config.waterfall(fs)
+        # block is a whole number of hops; lookahead covers one full frame
+        hops = max(1, int(round(block_seconds * fs / self.p.hop)))
+        self.block_len = hops * self.p.hop
+        self.lookahead = (C.NUM_SYMBOLS + 1) * self.p.nperseg
+        self._buffer = np.zeros(0, np.float32)
+        self._offset_samples = 0      # absolute sample index of buffer[0]
+        self._seen: set[tuple[int, int]] = set()
+
+    # -- streaming -----------------------------------------------------------
+
+    def feed(self, samples: np.ndarray) -> list[FT8Decode]:
+        """Append samples; decode and return any newly-completed blocks."""
+        self._buffer = np.concatenate(
+            [self._buffer, np.asarray(samples, np.float32)])
+        out: list[FT8Decode] = []
+        while len(self._buffer) >= self.block_len + self.lookahead:
+            out.extend(self._decode_block())
+        return out
+
+    def flush(self) -> list[FT8Decode]:
+        """Decode whatever remains (end of stream)."""
+        out: list[FT8Decode] = []
+        while len(self._buffer) >= self.p.nperseg:
+            out.extend(self._decode_block(final=True))
+            if len(self._buffer) < self.block_len + self.lookahead:
+                break
+        return out
+
+    def _decode_block(self, final: bool = False) -> list[FT8Decode]:
+        cfg = self.config
+        take = min(len(self._buffer), self.block_len + self.lookahead)
+        chunk = self._buffer[:take]
+        if take < self.block_len + self.lookahead:
+            chunk = np.pad(chunk, (0, self.block_len + self.lookahead - take))
+        num_frames = self.p.num_frames(len(chunk))
+        mag = waterfall_real(jnp.asarray(chunk), self.p, num_frames)
+        block_frames = self.block_len // self.p.hop
+        g = SearchGrid(
+            time_osr=self.p.time_osr, freq_osr=self.p.freq_osr,
+            num_blocks=num_frames // self.p.time_osr,
+            t_start=0, num_times=block_frames,
+            num_freqs=max(0, self.p.num_freq_bins - 7 * self.p.freq_osr),
+        )
+        res = decode_waterfall(mag, g, cfg.max_candidates, cfg.min_score,
+                               cfg.max_iterations)
+        res = {k: np.asarray(v) for k, v in res._asdict().items()}
+
+        hop_seconds = C.SYMBOL_PERIOD_S / self.p.time_osr
+        freq_step = C.TONE_SPACING_HZ / self.p.freq_osr
+        frame_offset = self._offset_samples // self.p.hop
+        out = []
+        for k in range(res["success"].shape[0]):
+            if not res["success"][k]:
+                continue
+            t_abs = int(res["abs_time"][k]) + frame_offset
+            h = int(res["crc"][k])
+            key = (h, int(round(t_abs * hop_seconds / C.SLOT_PERIOD_S)))
+            if key in self._seen:
+                continue
+            self._seen.add(key)
+            out.append(FT8Decode(
+                message=FT8Message(
+                    payload=bytes(res["payload"][k].tolist()), hash=h),
+                status=FT8DecodeStatus(
+                    ldpc_errors=int(res["ldpc_errors"][k]),
+                    crc_extracted=int(res["crc_extracted"][k]),
+                    crc_calculated=h),
+                time_sec=t_abs * hop_seconds,
+                freq_hz=float(res["abs_freq"][k]) * freq_step,
+                score=float(res["score"][k]),
+            ))
+        self._buffer = self._buffer[self.block_len:]
+        self._offset_samples += self.block_len
+        return out
+
+    # -- checkpoint / resume ---------------------------------------------------
+
+    def save(self, path: str) -> None:
+        """Snapshot the full session state to an .npz checkpoint."""
+        seen = np.array(sorted(self._seen), dtype=np.int64).reshape(-1, 2)
+        np.savez(path, fs=self.fs, buffer=self._buffer,
+                 offset=self._offset_samples, seen=seen,
+                 config=np.array(list(self.config), dtype=np.float64),
+                 block_seconds=self.block_len / self.fs)
+
+    @classmethod
+    def load(cls, path: str) -> "StreamSession":
+        data = np.load(path)
+        cfgvals = data["config"]
+        cfg = DecoderConfig(
+            bins_per_tone=int(cfgvals[0]), steps_per_symbol=int(cfgvals[1]),
+            max_candidates=int(cfgvals[2]), min_score=float(cfgvals[3]),
+            max_iterations=int(cfgvals[4]))
+        sess = cls(float(data["fs"]), cfg,
+                   block_seconds=float(data["block_seconds"]))
+        sess._buffer = data["buffer"].astype(np.float32)
+        sess._offset_samples = int(data["offset"])
+        sess._seen = {(int(a), int(b)) for a, b in data["seen"]}
+        return sess

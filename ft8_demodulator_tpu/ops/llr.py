@@ -47,32 +47,33 @@ def extract_llrs(mag: jnp.ndarray, abs_time: jnp.ndarray,
     """Waterfall (F, T) + candidates (K,) -> LLRs (K, 174), normalised.
 
     abs_time may be negative (pre-roll); symbols falling outside the
-    waterfall get LLR 0.  TPU note: per-candidate reads are one contiguous
-    dynamic_slice followed by static strided selection — scattered gathers
-    of (58, 8) index pairs lower to very slow code on TPU.
+    waterfall get LLR 0.  TPU note: the data-dependent reads are expressed
+    as two batched one-hot matmuls (frequency select, then time select) so
+    the whole extraction runs on the MXU — scattered gathers of (58, 8)
+    index pairs lower to code ~100x slower on TPU.
     """
     tau, phi = time_osr, freq_osr
-    num_frames = mag.shape[-1]
-    sym = C.DATA_SYMBOL_POSITIONS                         # (58,) host
-    sym_lo, sym_hi = int(sym.min()), int(sym.max())       # 7, 71
-    # pad so every candidate's (8 tones x symbol span) window is in bounds
-    left = 10 * tau  # pre-roll margin (candidates start at >= -10 symbols)
-    right = max(0, sym_hi * tau + 1 + left)               # generous tail
-    padded = jnp.pad(mag, ((0, 0), (left, right)))
-    win_t = (sym_hi - sym_lo) * tau + 1                   # time window length
-    win_f = 7 * phi + 1                                   # tone window height
+    num_freqs, num_frames = mag.shape
+    sym = jnp.asarray(C.DATA_SYMBOL_POSITIONS)            # (58,)
 
-    def one(t0, f0):
-        block = jax.lax.dynamic_slice(
-            padded, (f0, left + t0 + sym_lo * tau), (win_f, win_t))
-        tones = block[:: phi, :]                          # (8, 65-ish)
-        return tones[:, (sym - sym_lo) * tau]             # (8, 58) static take
+    # frequency one-hot: rows select mag[f0 + tone*phi, :]
+    f_idx = abs_freq[:, None] + jnp.arange(8) * phi       # (K, 8)
+    f_hot = (f_idx[..., None] ==
+             jnp.arange(num_freqs)).astype(jnp.float32)   # (K, 8, F)
+    rows = jnp.einsum("ktf,fn->ktn", f_hot, mag,
+                      precision=jax.lax.Precision.HIGHEST)  # (K, 8, T)
 
-    powers = jax.vmap(one)(abs_time, abs_freq)            # (K, 8, 58)
+    # time one-hot: columns select frame t0 + sym*tau (clipped; masked below)
+    t_idx = abs_time[:, None] + sym[None, :] * tau        # (K, 58)
+    t_clip = jnp.clip(t_idx, 0, num_frames - 1)
+    t_hot = (t_clip[:, None, :] ==
+             jnp.arange(num_frames)[None, :, None]).astype(jnp.float32)
+    powers = jnp.einsum("ktn,kns->kts", rows, t_hot,
+                        precision=jax.lax.Precision.HIGHEST)  # (K, 8, 58)
     powers = jnp.swapaxes(powers, -1, -2)                 # (K, 58, 8)
 
     base = jnp.floor_divide(abs_time, tau)                # (K,)
-    block_idx = base[:, None] + jnp.asarray(sym)[None, :]
+    block_idx = base[:, None] + sym[None, :]
     valid = (block_idx >= 0) & (block_idx < num_blocks)
 
     s2 = jnp.take(powers, _GRAY, axis=-1)                 # Gray reorder

@@ -1,0 +1,68 @@
+"""Streaming session tests: incremental feeds, boundaries, checkpoint/resume."""
+
+import numpy as np
+
+from ft8_demodulator_tpu.config import DecoderConfig
+from ft8_demodulator_tpu.demod.stream_session import StreamSession
+from ft8_demodulator_tpu.ops.gfsk import ft8_passband
+
+PAYLOAD_A = np.array([0x1C, 0x3F, 0x8A, 0x6A, 0xE2, 0x07, 0xA1, 0xE3, 0x94, 0x50],
+                     dtype=np.uint8)
+PAYLOAD_B = np.array([0xAA, 0x02, 0x03, 0x04, 0x05, 0x06, 0x07, 0x08, 0x09, 0xF8],
+                     dtype=np.uint8)
+FS = 2000.0
+CFG = DecoderConfig(min_score=4.0)
+
+
+def _stream(rng, events, total_s):
+    audio = (rng.standard_normal(int(FS * total_s)) * 0.02).astype(np.float32)
+    for payload, t, f0 in events:
+        w = ft8_passband(payload, FS, f0, 0.0)
+        i = int(t * FS)
+        audio[i: i + len(w)] += w
+    return audio
+
+
+def test_incremental_feed_decodes_everything(rng):
+    audio = _stream(rng, [
+        (PAYLOAD_A, 2.0, 400.0),
+        (PAYLOAD_B, 23.0, 700.0),   # straddles the 15 s / 30 s block edge
+        (PAYLOAD_A, 47.0, 500.0),
+    ], total_s=75.0)
+
+    sess = StreamSession(FS, CFG)
+    results = []
+    # feed in awkward chunk sizes
+    for chunk in np.array_split(audio, 23):
+        results.extend(sess.feed(chunk))
+    results.extend(sess.flush())
+
+    rows = {(r.message.payload.hex(), round(r.time_sec), round(r.freq_hz))
+            for r in results}
+    assert (PAYLOAD_A.tobytes().hex(), 2, 400) in rows
+    assert (PAYLOAD_B.tobytes().hex(), 23, 700) in rows
+    assert (PAYLOAD_A.tobytes().hex(), 47, 500) in rows
+    assert len(results) == 3  # exactly-once across block boundaries
+
+
+def test_checkpoint_resume(tmp_path, rng):
+    audio = _stream(rng, [
+        (PAYLOAD_A, 2.0, 400.0),
+        (PAYLOAD_B, 40.0, 600.0),
+    ], total_s=60.0)
+    half = len(audio) // 2
+
+    sess = StreamSession(FS, CFG)
+    first = sess.feed(audio[:half])
+    ckpt = str(tmp_path / "session.npz")
+    sess.save(ckpt)
+
+    resumed = StreamSession.load(ckpt)
+    second = resumed.feed(audio[half:])
+    second.extend(resumed.flush())
+
+    all_rows = {(r.message.payload.hex(), round(r.time_sec))
+                for r in first + second}
+    assert (PAYLOAD_A.tobytes().hex(), 2) in all_rows
+    assert (PAYLOAD_B.tobytes().hex(), 40) in all_rows
+    assert len(first) + len(second) == 2
