@@ -25,8 +25,8 @@ REFERENCE_SECONDS_PER_SLOT = 11.71  # measured; see module docstring
 
 FS = 12000.0
 SLOT_S = 15.0
-BATCH = 8
-REPS = 5
+BATCH = 64
+REPS = 10
 MAX_CANDIDATES = 20
 
 

@@ -47,29 +47,32 @@ def extract_llrs(mag: jnp.ndarray, abs_time: jnp.ndarray,
     """Waterfall (F, T) + candidates (K,) -> LLRs (K, 174), normalised.
 
     abs_time may be negative (pre-roll); symbols falling outside the
-    waterfall get LLR 0.  TPU note: the data-dependent reads are expressed
-    as two batched one-hot matmuls (frequency select, then time select) so
-    the whole extraction runs on the MXU — scattered gathers of (58, 8)
-    index pairs lower to code ~100x slower on TPU.
+    waterfall get LLR 0.  TPU notes: the frequency reads collapse into ONE
+    one-hot matmul with a merged (K*8) M-dimension (per-candidate batched
+    matmuls with M=8 waste >90% of the MXU and measure ~5x slower); the
+    time reads are a static-shaped take_along_axis on the minor axis of the
+    small (K, 8, T) row block, which lowers well — unlike scattered (58, 8)
+    2-D index-pair gathers, which measure ~100x slower.
     """
     tau, phi = time_osr, freq_osr
     num_freqs, num_frames = mag.shape
+    k = abs_freq.shape[0]
     sym = jnp.asarray(C.DATA_SYMBOL_POSITIONS)            # (58,)
 
-    # frequency one-hot: rows select mag[f0 + tone*phi, :]
-    f_idx = abs_freq[:, None] + jnp.arange(8) * phi       # (K, 8)
-    f_hot = (f_idx[..., None] ==
-             jnp.arange(num_freqs)).astype(jnp.float32)   # (K, 8, F)
-    rows = jnp.einsum("ktf,fn->ktn", f_hot, mag,
-                      precision=jax.lax.Precision.HIGHEST)  # (K, 8, T)
+    # frequency select: one (K*8, F) one-hot matmul against the waterfall.
+    # Exact in any precision (one nonzero per row), but HIGHEST keeps the
+    # magnitudes bit-identical to the stencil path.
+    f_idx = (abs_freq[:, None] + jnp.arange(8) * phi).reshape(k * 8)
+    f_hot = (f_idx[:, None] == jnp.arange(num_freqs)).astype(jnp.float32)
+    rows = jnp.matmul(f_hot, mag,
+                      precision=jax.lax.Precision.HIGHEST)  # (K*8, T)
+    rows = rows.reshape(k, 8, num_frames)
 
-    # time one-hot: columns select frame t0 + sym*tau (clipped; masked below)
+    # time select: static-shape gather along the minor axis
     t_idx = abs_time[:, None] + sym[None, :] * tau        # (K, 58)
     t_clip = jnp.clip(t_idx, 0, num_frames - 1)
-    t_hot = (t_clip[:, None, :] ==
-             jnp.arange(num_frames)[None, :, None]).astype(jnp.float32)
-    powers = jnp.einsum("ktn,kns->kts", rows, t_hot,
-                        precision=jax.lax.Precision.HIGHEST)  # (K, 8, 58)
+    powers = jnp.take_along_axis(
+        rows, t_clip[:, None, :], axis=-1)                # (K, 8, 58)
     powers = jnp.swapaxes(powers, -1, -2)                 # (K, 58, 8)
 
     base = jnp.floor_divide(abs_time, tau)                # (K,)

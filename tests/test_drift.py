@@ -17,11 +17,15 @@ from ft8_demodulator_tpu.ops.gfsk import ft8_baseband
 
 PAYLOAD = np.array([0x1C, 0x3F, 0x8A, 0x6A, 0xE2, 0x07, 0xA1, 0xE3, 0x94, 0x50],
                    dtype=np.uint8)
-FS = 8192.0
+# the reference bench uses fs=32768 (test_correction.py): at 900 Hz/s the
+# chirp sweeps ~1 kHz -> 14 kHz, which must stay inside the visible
+# positive-frequency half [0, fs/2) for the argmax tracker to see it
+FS = 32768.0
 F0 = 1000.0
 
 
-def _chirped_signal(drift_hz_per_s, esn0_db, rng, pad_s=2.0):
+def _chirped_signal(drift_hz_per_s, esn0_db, seed, pad_s=2.0):
+    rng = np.random.default_rng(seed)
     bb = ft8_baseband(PAYLOAD, FS, F0).astype(np.complex128)
     pad = int(pad_s * FS)
     sig = np.concatenate([np.zeros(pad, np.complex128), bb,
@@ -54,9 +58,9 @@ def test_continuity_detector_finds_clean_track():
     assert 110 <= end <= 125
 
 
-def test_drift_correction_recovers_decode(rng):
+def test_drift_correction_recovers_decode():
     drift = 568.0  # Hz/s — the reference bench's default chirp rate
-    sig = _chirped_signal(drift, 35.0, rng)
+    sig = _chirped_signal(drift, 35.0, seed=11)
     # uncorrected, the chirped signal must NOT decode
     assert not _decode_payloads(sig, min_score=4.0)
     corrected, rate = correct_frequency_drift(sig, FS)
@@ -66,21 +70,22 @@ def test_drift_correction_recovers_decode(rng):
 
 
 @pytest.mark.parametrize("drift", [200.0, 900.0])
-def test_drift_rate_tolerance(drift, rng):
-    sig = _chirped_signal(drift, 35.0, rng)
+def test_drift_rate_tolerance(drift):
+    sig = _chirped_signal(drift, 35.0, seed=22)
     corrected, rate = correct_frequency_drift(sig, FS)
     assert PAYLOAD.tobytes().hex() in _decode_payloads(corrected, min_score=4.0)
 
 
-def test_no_signal_returns_input(rng):
+def test_no_signal_returns_input():
+    rng = np.random.default_rng(33)
     noise = (rng.standard_normal(40000) + 1j * rng.standard_normal(40000))
-    corrected, rate = correct_frequency_drift(noise, FS)
+    corrected, rate = correct_frequency_drift(noise, 8192.0)
     assert rate == 0.0
     np.testing.assert_allclose(corrected.real, noise.real, atol=1e-5)
 
 
-def test_stacked_real_imag_convention(rng):
-    sig = _chirped_signal(568.0, 35.0, rng)
+def test_stacked_real_imag_convention():
+    sig = _chirped_signal(568.0, 35.0, seed=44)
     ri = np.stack([sig.real, sig.imag], -1).astype(np.float32)
     corrected, rate = correct_frequency_drift(ri, FS)
     assert corrected.shape == ri.shape and corrected.dtype == np.float32
