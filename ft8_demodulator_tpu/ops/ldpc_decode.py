@@ -1,25 +1,30 @@
-"""LDPC(174,91) sum-product belief propagation as batched MXU matmuls.
+"""LDPC(174,91) sum-product belief propagation, batched and TPU-shaped.
 
 The reference decoder (src/ft8_tools/ft8_demodulator/ldpc_decoder.py:54)
 runs a Python triple loop per iteration with data-dependent early exit.
-The message routing between the flat (check, slot) and (variable, slot)
-layouts uses STATIC constant index vectors on the minor axis (fast on TPU,
-measured ~1.6x faster than one-hot routing matmuls and exact in f32;
-dynamic 2-D index-pair gathers are ~100x slower):
+Here one iteration is a handful of wide vector ops on flat, SLOT-MAJOR
+message arrays:
 
-* variable->check:  Tnm = tov_sum[IDX_VAR_OF_MI] - tov_flat[IDX_SLOT_OF_MI]
-* check->variable:  leave-one-out products via exclusive prefix/suffix
-  cumprods along the (<=7)-slot check axis — no division, no gather
-* syndrome:         plain @ H^T mod 2 (one matmul)
+* messages live as (..., 522) variable->check and (..., 581) check->variable
+  arrays laid out slot-major (slot j's block of all 174 variables / slot i's
+  block of all 83 checks is contiguous), so per-slot views are static
+  contiguous slices — no reshapes, no relayouts;
+* routing between the two layouts uses constant index vectors on the minor
+  axis (static gathers; measured far faster than one-hot routing matmuls or
+  dynamic 2-D gathers on TPU);
+* the leave-one-out product over each check's <=7 slots is an unrolled
+  exclusive prefix/suffix product over 7 contiguous (..., 83) blocks —
+  exact, no division;
+* the syndrome is one (174, 83) matmul mod 2.
 
-The whole kernel is natively batched over candidates (the leading dim feeds
-the MXU), a jax.lax.scan runs a static number of iterations, and the
-reference's early-exit semantics are reproduced with a "halted" mask:
+The whole kernel is natively batched over candidates, a jax.lax.scan runs a
+static number of iterations, and the reference's early-exit semantics are
+reproduced with a "halted" mask:
 
 * hard-decision converging to the (forbidden) all-zero codeword freezes the
   state without improving min_errors (ldpc_decoder.py:76-78),
 * reaching zero parity errors freezes the state with that codeword,
-* otherwise min_errors tracks the best syndrome seen.
+* otherwise min_errors tracks the best syndrome weight seen.
 
 tanh/atanh use the same rational (Pade) approximations as the reference —
 division+multiply only, ideal for the VPU.
@@ -38,26 +43,26 @@ from ..protocol import constants as C
 __all__ = ["fast_tanh", "fast_atanh", "ldpc_check", "bp_decode",
            "bp_decode_batch"]
 
-_NMI = C.LDPC_M * C.CHECK_MAX_DEG     # 581 flat (check, slot) pairs
-_NNJ = C.LDPC_N * C.VAR_MAX_DEG       # 522 flat (var, slot) pairs
+_M, _N = C.LDPC_M, C.LDPC_N
+_CD, _VD = C.CHECK_MAX_DEG, C.VAR_MAX_DEG
+_NMI = _M * _CD     # 581 flat (slot, check) pairs, slot-major: mi = i*83 + m
+_NNJ = _N * _VD     # 522 flat (slot, var) pairs, slot-major: nj = j*174 + n
 
 
 def _build_routing():
-    """Constant routing index vectors between the two flat layouts."""
-    # for flat check-slot mi: which variable and which (var, slot) to exclude
-    var_of_mi = np.zeros(_NMI, np.int32)
-    nj_of_mi = np.zeros(_NMI, np.int32)
-    # for flat var-slot nj: which check-slot mi produced its message
-    mi_of_nj = np.zeros(_NNJ, np.int32)
+    """Constant routing index vectors between the two slot-major layouts."""
+    var_of_mi = np.zeros(_NMI, np.int32)   # variable read by check-slot mi
+    nj_of_mi = np.zeros(_NMI, np.int32)    # (var, slot) excluded by mi
+    mi_of_nj = np.full(_NNJ, 0, np.int32)  # check-slot feeding var-slot nj
     mask = np.zeros(_NMI, np.float32)
-    for m in range(C.LDPC_M):
+    for m in range(_M):
         for i in range(C.CHECK_DEG[m]):
-            mi = m * C.CHECK_MAX_DEG + i
+            mi = i * _M + m
             n = C.CHECK_ADJ[m, i]
             j = C.CHECK_SLOT_IN_VAR[m, i]
             var_of_mi[mi] = n
-            nj_of_mi[mi] = n * C.VAR_MAX_DEG + j
-            mi_of_nj[n * C.VAR_MAX_DEG + j] = mi
+            nj_of_mi[mi] = j * _N + n
+            mi_of_nj[j * _N + n] = mi
             mask[mi] = 1.0
     return var_of_mi, nj_of_mi, mi_of_nj, mask
 
@@ -87,37 +92,41 @@ def fast_atanh(x: jnp.ndarray) -> jnp.ndarray:
     return a / b
 
 
-def _mm(a, b):
-    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST,
-                      preferred_element_type=jnp.float32)
-
-
 def ldpc_check(plain: jnp.ndarray) -> jnp.ndarray:
     """(..., 174) hard bits -> number of failed parity checks."""
-    syndrome = jnp.mod(_mm(plain.astype(jnp.float32), _PARITY_T), 2.0)
+    syndrome = jnp.mod(
+        jnp.matmul(plain.astype(jnp.float32), _PARITY_T,
+                   precision=jax.lax.Precision.HIGHEST), 2.0)
     return jnp.sum(syndrome, axis=-1).astype(jnp.int32)
 
 
-def _excl_products(toc: jnp.ndarray) -> jnp.ndarray:
-    """(..., 83, 7) -> leave-one-out products along the last axis."""
-    ones = jnp.ones_like(toc[..., :1])
-    prefix = jnp.concatenate(
-        [ones, jnp.cumprod(toc[..., :-1], axis=-1)], axis=-1)
-    suffix = jnp.concatenate(
-        [jnp.cumprod(toc[..., :0:-1], axis=-1)[..., ::-1], ones], axis=-1)
-    return prefix * suffix
-
-
-def _bp_iteration(llr, tov_sum, tov_flat):
-    """One sum-product iteration (batched): returns new tov (..., 522)."""
-    # variable -> check: Tnm = (llr + sum_j tov[n,j]) - tov[n, slot_of_m]
-    tnm = tov_sum[..., _VAR_OF_MI_D] - tov_flat[..., _NJ_OF_MI_D]
+def _bp_iteration(tov_sum, tov):
+    """One sum-product iteration; tov is slot-major (..., 522)."""
+    tnm = tov_sum[..., _VAR_OF_MI_D] - tov[..., _NJ_OF_MI_D]   # (..., 581)
     toc = jnp.where(_MI_MASK_D > 0, fast_tanh(-tnm / 2.0), 1.0)
-    # check -> variable: leave-one-out product over each check's slots
-    tmn_mi = _excl_products(
-        toc.reshape(*toc.shape[:-1], C.LDPC_M, C.CHECK_MAX_DEG))
-    tmn = tmn_mi.reshape(*toc.shape[:-1], _NMI)[..., _MI_OF_NJ_D]
+
+    # leave-one-out products over the 7 slot blocks (exclusive prefix/suffix)
+    blocks = [toc[..., i * _M: (i + 1) * _M] for i in range(_CD)]
+    pre = [None] * _CD
+    suf = [None] * _CD
+    acc = jnp.ones_like(blocks[0])
+    for i in range(_CD):
+        pre[i] = acc
+        acc = acc * blocks[i]
+    acc = jnp.ones_like(blocks[0])
+    for i in range(_CD - 1, -1, -1):
+        suf[i] = acc
+        acc = acc * blocks[i]
+    excl = jnp.concatenate([pre[i] * suf[i] for i in range(_CD)], axis=-1)
+
+    tmn = excl[..., _MI_OF_NJ_D]                               # (..., 522)
     return -2.0 * fast_atanh(tmn)
+
+
+def _tov_sum(llrs, tov):
+    """llr + per-variable sum of the 3 slot blocks (slot-major layout)."""
+    return (llrs + tov[..., 0 * _N: 1 * _N] + tov[..., 1 * _N: 2 * _N]
+            + tov[..., 2 * _N: 3 * _N])
 
 
 @functools.partial(jax.jit, static_argnames=("max_iterations",))
@@ -129,17 +138,18 @@ def bp_decode_batch(llrs: jnp.ndarray, max_iterations: int = 20):
     row's state once the reference would have broken out of its loop.
     """
     batch_shape = llrs.shape[:-1]
-    zero = llrs[..., 0] * 0.0                                   # (...,)
+    # derive zero inits from the input so they inherit its sharding/varying
+    # axes — plain constants break lax.scan's carry-type check in shard_map
+    zero = llrs[..., 0] * 0.0
     tov0 = jnp.zeros((*batch_shape, _NNJ), jnp.float32) + zero[..., None]
-    plain0 = jnp.zeros((*batch_shape, C.LDPC_N), jnp.int32) \
+    plain0 = jnp.zeros((*batch_shape, _N), jnp.int32) \
         + zero[..., None].astype(jnp.int32)
-    min0 = jnp.int32(C.LDPC_M) + zero.astype(jnp.int32)
+    min0 = jnp.int32(_M) + zero.astype(jnp.int32)
     halted0 = zero != 0.0
 
     def step(state, _):
         tov, plain_out, min_err, halted = state
-        tov_sum = llrs + jnp.sum(
-            tov.reshape(*batch_shape, C.LDPC_N, C.VAR_MAX_DEG), axis=-1)
+        tov_sum = _tov_sum(llrs, tov)
         plain = (tov_sum > 0).astype(jnp.int32)
         zero_cw = jnp.sum(plain, axis=-1) == 0
         errors = ldpc_check(plain)
@@ -152,7 +162,7 @@ def bp_decode_batch(llrs: jnp.ndarray, max_iterations: int = 20):
         new_plain = jnp.where(live[..., None], plain, plain_out)
         new_halted = halted | (live & (zero_cw | (errors == 0)))
 
-        tov_next = _bp_iteration(llrs, tov_sum, tov)
+        tov_next = _bp_iteration(tov_sum, tov)
         tov = jnp.where(new_halted[..., None], tov, tov_next)
         return (tov, new_plain, new_min, new_halted), None
 
