@@ -6,18 +6,34 @@ window of nperseg = 0.16*fs samples, hop = nperseg//steps_per_symbol,
 nfft = fs/6.25 * bins_per_tone, 'spectrum' scaling (|X|^2 / sum(win)^2),
 10*log10(1e-12 + .) dB, positive-frequency half.
 
-TPU-first design: the transform is expressed as two real matmuls against
-constant cos/sin DFT matrices of shape (nperseg, nfft//2).  This
+TPU-first design: the transform is expressed as real matmuls against
+constant cos/sin DFT matrices — they run on the MXU (the FFT op lowers to
+scalar-ish code on TPU), need no zero-padding of frames to nfft (the DFT
+matrix already encodes the oversampled bin spacing), and fold the Hann
+window in for free.
 
-* runs on the MXU (the FFT op lowers to scalar-ish code on TPU),
-* needs no zero-padding of frames to nfft (the DFT matrix already encodes
-  the oversampled bin spacing), and
-* fuses the Hann window into the matrix for free.
+For the standard FT8 geometry (hop = nperseg/time_osr exactly and
+nfft = freq_osr * nperseg exactly — true whenever 0.16*fs and fs/6.25 are
+integers, since 0.16 * 6.25 == 1) the ``block`` backend exploits the frame
+overlap instead of recomputing it: the audio is cut into NON-overlapping
+hop-length blocks, ONE (hop, nfft/2 + 2*freq_osr) DFT matmul transforms
+each block once, and each frame's spectrum is recovered exactly as
 
-For very large configurations where the DFT matrices would not pay off,
-``backend="fft"`` switches to jnp.fft.  Complex input (drift-correction
-path) is carried as stacked (..., n, 2) float32 [real, imag] — complex
-arrays cannot cross the host<->device boundary on this TPU backend.
+    U_t[k] = sum_s  e^{-2pi i s k / (freq_osr*time_osr)} * P_{t+s}[k]
+
+(the length-(s*hop) time offset of block s inside frame t is a pure phase)
+followed by the periodic-Hann window applied as an exact 3-tap stencil in
+frequency, X[k] = 0.5*U[k] - 0.25*U[k-freq_osr] - 0.25*U[k+freq_osr].
+This is bit-for-bit the same arithmetic graph quality (float32, HIGHEST
+precision matmuls) at 1/time_osr of the matmul FLOPs, and it removes the
+overlapping-frame gather (blocks are a contiguous reshape).
+
+For geometries where those divisibility conditions fail, ``backend=
+"matmul"`` computes dense per-frame window-fused DFT matmuls, and for very
+large configurations where DFT matrices stop paying off, ``backend="fft"``
+switches to jnp.fft.  Complex input (drift-correction path) is carried as
+stacked (..., n, 2) float32 [real, imag] — complex arrays cannot cross the
+host<->device boundary on this TPU backend.
 """
 
 from __future__ import annotations
@@ -101,6 +117,86 @@ def frame_signal(wave: jnp.ndarray, nperseg: int, hop: int,
     return jnp.take(wave, idx, axis=-1)
 
 
+def _block_geometry_ok(p: WaterfallParams) -> bool:
+    """True iff the overlap-reusing block backend is exact for p."""
+    return (p.hop * p.time_osr == p.nperseg
+            and p.nfft == p.freq_osr * p.nperseg
+            and p.hop > 0)
+
+
+@functools.lru_cache(maxsize=16)
+def _block_dft_matrices(hop: int, nfft: int,
+                        num_freq_bins: int, freq_osr: int):
+    """(hop, num_freq_bins + 2*freq_osr) cos/sin DFT matrices.
+
+    Column c corresponds to DFT bin k = c - freq_osr (the extra columns on
+    both sides feed the 3-tap Hann stencil).  No window is folded in.
+    """
+    n = np.arange(hop)[:, None]
+    k = np.arange(-freq_osr, num_freq_bins + freq_osr)[None, :]
+    ang = -2.0 * np.pi * ((n * k) % nfft) / nfft
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=16)
+def _block_combine_phases(p: WaterfallParams):
+    """Per-block phase vectors w[s, k] = e^{-2pi i s k/(freq_osr*time_osr)}.
+
+    Shape (time_osr, num_freq_bins + 2*freq_osr, 2) [cos, -sin] as float32;
+    k runs over the stencil-extended bin range starting at -freq_osr.
+    """
+    s = np.arange(p.time_osr)[:, None]
+    k = np.arange(-p.freq_osr, p.num_freq_bins + p.freq_osr)[None, :]
+    # s*hop sample delay of block s => phase -2pi*s*hop*k/nfft; with
+    # hop*time_osr == nperseg and nfft == freq_osr*nperseg this reduces to
+    # -2pi*s*k/(freq_osr*time_osr) exactly.
+    period = p.freq_osr * p.time_osr
+    ang = -2.0 * np.pi * ((s * k) % period) / period
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def _block_spectrum(wave: jnp.ndarray, p: WaterfallParams, num_frames: int):
+    """Real (..., n) -> per-block DFT (..., nb, Kx2) [re, im] via one matmul."""
+    nb = num_frames + p.time_osr - 1
+    blocks = wave[..., : nb * p.hop].reshape(*wave.shape[:-1], nb, p.hop)
+    cos_m, sin_m = _block_dft_matrices(p.hop, p.nfft, p.num_freq_bins,
+                                       p.freq_osr)
+
+    def mm(a, b):
+        return jnp.matmul(a, jnp.asarray(b),
+                          precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=jnp.float32)
+
+    return mm(blocks, cos_m), mm(blocks, sin_m)
+
+
+def _block_power(frames_re_im, p: WaterfallParams,
+                 num_frames: int) -> jnp.ndarray:
+    """Combine block spectra into per-frame windowed power (..., T, K)."""
+    pr, pi = frames_re_im
+    wc, ws = _block_combine_phases(p)
+    ur = jnp.zeros(pr.shape[:-2] + (num_frames, pr.shape[-1]), jnp.float32)
+    ui = ur
+    for s in range(p.time_osr):
+        prs = pr[..., s: s + num_frames, :]
+        pis = pi[..., s: s + num_frames, :]
+        c = jnp.asarray(wc[s])
+        d = jnp.asarray(ws[s])   # note: phase = c + j*d with d = sin(ang)
+        ur = ur + prs * c - pis * d
+        ui = ui + prs * d + pis * c
+    # periodic Hann as exact 3-tap stencil over the extended bin axis
+    phi = p.freq_osr
+    k0, k1 = phi, phi + p.num_freq_bins
+
+    def hann(u):
+        return (0.5 * u[..., k0:k1] - 0.25 * u[..., k0 - phi: k1 - phi]
+                - 0.25 * u[..., k0 + phi: k1 + phi])
+
+    xr = hann(ur)
+    xi = hann(ui)
+    return xr * xr + xi * xi
+
+
 def _power_spectrum(frames_r: jnp.ndarray, frames_i, p: WaterfallParams,
                     backend: str) -> jnp.ndarray:
     """frames (..., T, nperseg) -> positive-freq power (..., T, nfft//2).
@@ -149,15 +245,29 @@ def _waterfall(frames_r, frames_i, p: WaterfallParams, backend: str):
 def _pick_backend(p: WaterfallParams, backend: str | None) -> str:
     if backend is not None:
         return backend
+    if _block_geometry_ok(p) and p.hop <= _MATMUL_MAX_NPERSEG:
+        return "block"
     return "matmul" if p.nperseg <= _MATMUL_MAX_NPERSEG else "fft"
+
+
+def _db(power: jnp.ndarray, p: WaterfallParams) -> jnp.ndarray:
+    scale = 1.0 / float(np.sum(_hann_periodic(p.nperseg)) ** 2)
+    mag_db = 10.0 * jnp.log10(_DB_FLOOR + power * scale)
+    # waterfall layout is (freq, time) to match the reference indexing
+    return jnp.swapaxes(mag_db, -1, -2)
 
 
 @functools.partial(jax.jit, static_argnames=("p", "num_frames", "backend"))
 def waterfall_real(wave: jnp.ndarray, p: WaterfallParams, num_frames: int,
                    backend: str | None = None) -> jnp.ndarray:
     """Real audio (..., n) -> dB waterfall (..., nfft//2, num_frames)."""
+    backend = _pick_backend(p, backend)
+    if backend == "block":
+        power = _block_power(_block_spectrum(wave, p, num_frames), p,
+                             num_frames)
+        return _db(power, p)
     frames = frame_signal(wave, p.nperseg, p.hop, num_frames)
-    return _waterfall(frames, None, p, _pick_backend(p, backend))
+    return _waterfall(frames, None, p, backend)
 
 
 @functools.partial(jax.jit, static_argnames=("p", "num_frames", "backend"))
@@ -165,9 +275,15 @@ def waterfall_complex(wave_ri: jnp.ndarray, p: WaterfallParams,
                       num_frames: int,
                       backend: str | None = None) -> jnp.ndarray:
     """Complex signal (..., n, 2) [re, im] -> dB waterfall (..., F, T)."""
+    backend = _pick_backend(p, backend)
+    if backend == "block":
+        rr, ri = _block_spectrum(wave_ri[..., 0], p, num_frames)
+        ir, ii = _block_spectrum(wave_ri[..., 1], p, num_frames)
+        power = _block_power((rr - ii, ri + ir), p, num_frames)
+        return _db(power, p)
     frames_r = frame_signal(wave_ri[..., 0], p.nperseg, p.hop, num_frames)
     frames_i = frame_signal(wave_ri[..., 1], p.nperseg, p.hop, num_frames)
-    return _waterfall(frames_r, frames_i, p, _pick_backend(p, backend))
+    return _waterfall(frames_r, frames_i, p, backend)
 
 
 def calculate_spectrogram(wave_data: np.ndarray, sample_rate: float,
