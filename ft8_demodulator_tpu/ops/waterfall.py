@@ -155,16 +155,37 @@ def _block_combine_phases(p: WaterfallParams):
     return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
 
 
-def _block_spectrum(wave: jnp.ndarray, p: WaterfallParams, num_frames: int):
-    """Real (..., n) -> per-block DFT (..., nb, Kx2) [re, im] via one matmul."""
+# DFT matmul precision.  HIGH (bf16x3, 3 MXU passes) is the default: its
+# only deviation from exact f32 (HIGHEST, 6 passes) is ~1e-3 dB off spectral
+# nulls, and the SNR yield curve at the sensitivity cliff is point-identical
+# to HIGHEST (fs 2 kHz, 50 trials x 13 SNRs; see benchmarks/snr_curve.py).
+# DEFAULT (1 pass) loses ~37 dB on nulls — measurably wrong.  Override with
+# FT8_DFT_PRECISION=highest for exact f32.
+_DFT_PRECISION = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}[__import__("os").environ.get("FT8_DFT_PRECISION", "high").lower()]
+
+
+def _block_spectrum(wave: jnp.ndarray, p: WaterfallParams, num_frames: int,
+                    precision=None):
+    """Real (..., n) -> per-block DFT (..., nb, Kx) [re, im] via one matmul.
+
+    Kx = num_freq_bins + 2*freq_osr (stencil halo), nb = num_frames +
+    time_osr - 1 blocks.  Block-major layout keeps the matmul minor
+    dimension large and 128-friendly (Kx) — measured faster than the
+    bin-major transpose on TPU.
+    """
+    if precision is None:
+        precision = _DFT_PRECISION
     nb = num_frames + p.time_osr - 1
     blocks = wave[..., : nb * p.hop].reshape(*wave.shape[:-1], nb, p.hop)
     cos_m, sin_m = _block_dft_matrices(p.hop, p.nfft, p.num_freq_bins,
                                        p.freq_osr)
 
     def mm(a, b):
-        return jnp.matmul(a, jnp.asarray(b),
-                          precision=jax.lax.Precision.HIGHEST,
+        return jnp.matmul(a, jnp.asarray(b), precision=precision,
                           preferred_element_type=jnp.float32)
 
     return mm(blocks, cos_m), mm(blocks, sin_m)
@@ -172,7 +193,7 @@ def _block_spectrum(wave: jnp.ndarray, p: WaterfallParams, num_frames: int):
 
 def _block_power(frames_re_im, p: WaterfallParams,
                  num_frames: int) -> jnp.ndarray:
-    """Combine block spectra into per-frame windowed power (..., T, K)."""
+    """Combine block-major spectra into windowed power (..., T, K)."""
     pr, pi = frames_re_im
     wc, ws = _block_combine_phases(p)
     ur = jnp.zeros(pr.shape[:-2] + (num_frames, pr.shape[-1]), jnp.float32)
@@ -181,7 +202,7 @@ def _block_power(frames_re_im, p: WaterfallParams,
         prs = pr[..., s: s + num_frames, :]
         pis = pi[..., s: s + num_frames, :]
         c = jnp.asarray(wc[s])
-        d = jnp.asarray(ws[s])   # note: phase = c + j*d with d = sin(ang)
+        d = jnp.asarray(ws[s])   # phase = c + j*d with d = sin(ang)
         ur = ur + prs * c - pis * d
         ui = ui + prs * d + pis * c
     # periodic Hann as exact 3-tap stencil over the extended bin axis
@@ -250,7 +271,9 @@ def _pick_backend(p: WaterfallParams, backend: str | None) -> str:
     return "matmul" if p.nperseg <= _MATMUL_MAX_NPERSEG else "fft"
 
 
-def _db(power: jnp.ndarray, p: WaterfallParams) -> jnp.ndarray:
+def _block_waterfall(frames_re_im, p: WaterfallParams,
+                     num_frames: int) -> jnp.ndarray:
+    power = _block_power(frames_re_im, p, num_frames)   # (..., T, K)
     scale = 1.0 / float(np.sum(_hann_periodic(p.nperseg)) ** 2)
     mag_db = 10.0 * jnp.log10(_DB_FLOOR + power * scale)
     # waterfall layout is (freq, time) to match the reference indexing
@@ -263,9 +286,8 @@ def waterfall_real(wave: jnp.ndarray, p: WaterfallParams, num_frames: int,
     """Real audio (..., n) -> dB waterfall (..., nfft//2, num_frames)."""
     backend = _pick_backend(p, backend)
     if backend == "block":
-        power = _block_power(_block_spectrum(wave, p, num_frames), p,
-                             num_frames)
-        return _db(power, p)
+        return _block_waterfall(_block_spectrum(wave, p, num_frames), p,
+                                num_frames)
     frames = frame_signal(wave, p.nperseg, p.hop, num_frames)
     return _waterfall(frames, None, p, backend)
 
@@ -279,8 +301,7 @@ def waterfall_complex(wave_ri: jnp.ndarray, p: WaterfallParams,
     if backend == "block":
         rr, ri = _block_spectrum(wave_ri[..., 0], p, num_frames)
         ir, ii = _block_spectrum(wave_ri[..., 1], p, num_frames)
-        power = _block_power((rr - ii, ri + ir), p, num_frames)
-        return _db(power, p)
+        return _block_waterfall((rr - ii, ri + ir), p, num_frames)
     frames_r = frame_signal(wave_ri[..., 0], p.nperseg, p.hop, num_frames)
     frames_i = frame_signal(wave_ri[..., 1], p.nperseg, p.hop, num_frames)
     return _waterfall(frames_r, frames_i, p, backend)
