@@ -25,7 +25,7 @@ REFERENCE_SECONDS_PER_SLOT = 11.71  # measured; see module docstring
 
 FS = 12000.0
 SLOT_S = 15.0
-BATCH = 64
+BATCH = int(__import__("os").environ.get("FT8_BENCH_BATCH", "64"))
 REPS = 10
 MAX_CANDIDATES = 20
 
