@@ -114,3 +114,18 @@ def plot_snr_curve(snr_db, success_rate, fs: float,
     plt.savefig(path)
     plt.close()
     return path
+
+
+def plot_snr_vs_bandwidth(bandwidth_hz, min_snr_db,
+                          path: str = "snr_vs_bandwidth.png") -> str:
+    """Sensitivity-vs-bandwidth curve (reference test_ft8_standard.py:111)."""
+    plt = _plt()
+    plt.figure(figsize=(8, 5))
+    plt.plot(bandwidth_hz, min_snr_db, "o-")
+    plt.xlabel("Noise bandwidth fs/2 (Hz)")
+    plt.ylabel("Min full-band SNR with >=50% decode (dB)")
+    plt.title("FT8 sensitivity vs bandwidth")
+    plt.grid(True)
+    plt.savefig(path)
+    plt.close()
+    return path
