@@ -58,3 +58,45 @@ def test_compat_spectrogram_and_band_select(rng):
     sub, fsub = compat.select_frequency_band(mag, f, 0.0, 500.0)
     assert fsub.min() >= 0.0 and fsub.max() <= 500.0
     assert sub.shape[0] == fsub.shape[0]
+
+
+def test_compat_crc_helpers_round_trip(goldens):
+    payload = goldens["p1_payload"]
+    a91 = compat.crc_generator(payload)
+
+    # embedded checksum == checksum over the zero-padded first 82 bits
+    msg = a91.copy()
+    msg[9] &= 0xF8
+    msg[10] = 0
+    msg[11] = 0
+    crc = int(compat.calc_crc(msg, 82))
+    assert crc == int(compat.get_crc_from_a91(a91))
+    assert crc == compat.compute_crc(bytearray(msg), 82)
+    assert compat.extract_crc(bytearray(a91)) == crc
+
+    out = bytearray(12)
+    compat.add_crc(bytearray(payload.tolist()) + bytearray(2), out)
+    assert bytes(out) == bytes(a91.tolist())
+
+
+def test_compat_symbol_and_framing_chain(goldens):
+    a91 = compat.crc_generator(goldens["p1_payload"])
+    cw = compat.ldpc_generator(a91)
+    syms = compat.symbolIdSequence_generator(cw)
+    assert syms.shape == (58,) and syms.max() <= 7
+    itones = compat.itones_generator(syms)
+    np.testing.assert_array_equal(itones, goldens["p1_tones"])
+    np.testing.assert_array_equal(itones[:7], [3, 1, 4, 0, 6, 5, 2])
+
+
+def test_compat_modulator_chain_matches_baseband(goldens):
+    fs, f0 = 2000.0, 300.0
+    itones = compat.ft8_encode(goldens["p1_payload"])
+    track = compat.gfsk_modulation_waveform_generator(itones, fs)
+    sps = int(0.16 * fs)
+    assert track.shape == ((79 + 2) * sps,)
+    # track edges settle on the first/last tone's frequency
+    assert abs(track[sps + sps // 2] - 6.25 * itones[0]) < 0.3
+    wave = compat.ft8_modulation_waveform_generator(track, fs, f0)
+    ref = compat.ft8_baseband_generator(goldens["p1_payload"], fs, f0)
+    np.testing.assert_allclose(wave, ref, atol=2e-3)
