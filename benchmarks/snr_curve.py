@@ -94,14 +94,22 @@ def main():
     ap.add_argument("--snr-stop", type=float, default=-10.0)
     ap.add_argument("--snr-step", type=float, default=0.5)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--bins-per-tone", type=int, default=2)
+    ap.add_argument("--steps-per-symbol", type=int, default=2)
+    ap.add_argument("--max-candidates", type=int, default=20)
     args = ap.parse_args()
 
     snrs = np.arange(args.snr_start, args.snr_stop + 1e-9, args.snr_step)
     snr_list, rates, wall = run_curve(args.fs, snrs.tolist(), args.trials,
-                                      seed=args.seed)
+                                      seed=args.seed,
+                                      bins_per_tone=args.bins_per_tone,
+                                      steps_per_symbol=args.steps_per_symbol,
+                                      max_candidates=args.max_candidates)
     passing = [s for s, r in zip(snr_list, rates) if r >= 0.5]
     print(json.dumps({
         "fs": args.fs,
+        "osr": [args.bins_per_tone, args.steps_per_symbol],
+        "max_candidates": args.max_candidates,
         "trials_per_point": args.trials,
         "snr_db": snr_list,
         "success_rate": rates,

@@ -70,9 +70,6 @@ def _build_routing():
 
 
 _VAR_OF_MI, _NJ_OF_MI, _MI_OF_NJ, _MI_MASK = _build_routing()
-_VAR_OF_MI_D = jnp.asarray(_VAR_OF_MI)
-_NJ_OF_MI_D = jnp.asarray(_NJ_OF_MI)
-_MI_OF_NJ_D = jnp.asarray(_MI_OF_NJ)
 _MI_MASK_D = jnp.asarray(_MI_MASK)
 _PARITY_T = jnp.asarray(C.PARITY_CHECK.astype(np.float32).T)  # (174, 83)
 
