@@ -41,6 +41,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-dedup", action="store_true",
                    help="report one row per surviving candidate "
                         "(reference-compatible duplicates)")
+    p.add_argument("--stream", action="store_true",
+                   help="decode through the streaming session (fixed-shape "
+                        "blocks: long captures never recompile; reported "
+                        "times are absolute within the file)")
+    p.add_argument("--block-seconds", type=float, default=15.0,
+                   help="streaming block size in seconds (with --stream)")
     return p
 
 
@@ -72,17 +78,36 @@ def main(argv=None) -> int:
         print(f"Estimated drift rate: {drift_rate * sample_rate:.2f} Hz/s")
         wave_data = corrected
 
-    results = decode_ft8_message(
-        wave_data, sample_rate,
-        bins_per_tone=args.bins_per_tone,
-        steps_per_symbol=args.steps_per_symbol,
-        max_candidates=args.max_candidates,
-        min_score=args.min_score,
-        max_iterations=args.max_iterations,
-        freq_min=args.freq_min, freq_max=args.freq_max,
-        time_min=args.time_min, time_max=args.time_max,
-        deduplicate=not args.no_dedup,
-    )
+    if args.stream:
+        from .config import DecoderConfig
+        from .demod.stream_session import StreamSession
+
+        session = StreamSession(
+            sample_rate,
+            DecoderConfig(bins_per_tone=args.bins_per_tone,
+                          steps_per_symbol=args.steps_per_symbol,
+                          max_candidates=args.max_candidates,
+                          min_score=args.min_score,
+                          max_iterations=args.max_iterations),
+            block_seconds=args.block_seconds)
+        results = []
+        chunk = max(session.block_len, int(sample_rate))
+        for start in range(0, len(wave_data), chunk):
+            results.extend(session.feed(
+                np.asarray(wave_data[start: start + chunk], np.float32)))
+        results.extend(session.flush())
+    else:
+        results = decode_ft8_message(
+            wave_data, sample_rate,
+            bins_per_tone=args.bins_per_tone,
+            steps_per_symbol=args.steps_per_symbol,
+            max_candidates=args.max_candidates,
+            min_score=args.min_score,
+            max_iterations=args.max_iterations,
+            freq_min=args.freq_min, freq_max=args.freq_max,
+            time_min=args.time_min, time_max=args.time_max,
+            deduplicate=not args.no_dedup,
+        )
 
     if not results:
         print("No FT8 messages decoded")

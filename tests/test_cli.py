@@ -1,0 +1,43 @@
+"""CLI tests: batch and streaming decode of a synthesized WAV."""
+
+import numpy as np
+import pytest
+
+from ft8_demodulator_tpu.cli import main
+from ft8_demodulator_tpu.io import write_wave_file
+from ft8_demodulator_tpu.ops.gfsk import ft8_passband
+
+
+@pytest.fixture()
+def wav_path(tmp_path, goldens, rng):
+    fs = 2000.0
+    wave = np.asarray(ft8_passband(goldens["p1_payload"], fs, 400.0, 0.0))
+    sig = np.zeros(int(fs * 15), np.float32)
+    sig[1000: 1000 + len(wave)] = wave
+    sig += rng.standard_normal(len(sig)).astype(np.float32) * 0.02
+    path = tmp_path / "t.wav"
+    write_wave_file(str(path), sig / np.abs(sig).max() * 0.8, fs)
+    want = goldens["p1_payload"].copy()
+    want[9] &= 0xF8          # low 3 bits of byte 9 lie past the 77-bit field
+    return str(path), want
+
+
+def _decoded_payloads(capsys):
+    lines = capsys.readouterr().out.splitlines()
+    return [ln.split(": ")[1] for ln in lines if ln.startswith("Payload:")]
+
+
+def test_cli_batch_decode(wav_path, capsys):
+    path, payload = wav_path
+    assert main([path, "--min-score", "5"]) == 0
+    assert bytes(payload.tolist()).hex() in _decoded_payloads(capsys)
+
+
+def test_cli_stream_decode(wav_path, capsys):
+    path, payload = wav_path
+    assert main([path, "--stream", "--min-score", "5"]) == 0
+    assert bytes(payload.tolist()).hex() in _decoded_payloads(capsys)
+
+
+def test_cli_missing_file(capsys):
+    assert main(["/nonexistent/x.wav"]) == 1
