@@ -32,4 +32,7 @@ class DecoderConfig(NamedTuple):
 
 # the reference's standard operating points, for convenience
 STANDARD = DecoderConfig()
-DEEP_SEARCH = DecoderConfig(bins_per_tone=4, steps_per_symbol=4, min_score=1.0)
+# high-sensitivity preset: measured 0.5 dB deeper than STANDARD at the fs-2kHz
+# cliff (benchmarks/results/sensitivity_presets_v5e.json)
+DEEP_SEARCH = DecoderConfig(bins_per_tone=4, steps_per_symbol=4,
+                            max_candidates=40, min_score=1.0)

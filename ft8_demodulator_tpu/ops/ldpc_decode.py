@@ -80,8 +80,20 @@ def _onehot_route(idx: np.ndarray, num_src: int) -> np.ndarray:
 
 
 _R_VAR_OF_MI = jnp.asarray(_onehot_route(_VAR_OF_MI, _N))    # (174, 581)
-_R_NJ_OF_MI = jnp.asarray(_onehot_route(_NJ_OF_MI, _NNJ))    # (522, 581)
 _R_MI_OF_NJ = jnp.asarray(_onehot_route(_MI_OF_NJ, _NMI))    # (581, 522)
+
+
+def _build_leave_one_out() -> np.ndarray:
+    """(522, 581) +-1 matrix M with tov @ M == (per-check var sums minus the
+    excluded slot), so tnm = llrs @ R_VAR_OF_MI + tov @ M in ONE matmul."""
+    s_sum = np.zeros((_NNJ, _N), np.float32)       # sums a var's 3 slots
+    for j in range(_VD):
+        s_sum[j * _N: (j + 1) * _N] = np.eye(_N, dtype=np.float32)
+    return s_sum @ _onehot_route(_VAR_OF_MI, _N) \
+        - _onehot_route(_NJ_OF_MI, _NNJ)
+
+
+_M_LOO = jnp.asarray(_build_leave_one_out())                  # (522, 581)
 
 
 def _route(x: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
@@ -115,9 +127,13 @@ def ldpc_check(plain: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(syndrome, axis=-1).astype(jnp.int32)
 
 
-def _bp_iteration(tov_sum, tov):
-    """One sum-product iteration; tov is slot-major (..., 522)."""
-    tnm = _route(tov_sum, _R_VAR_OF_MI) - _route(tov, _R_NJ_OF_MI)  # (.., 581)
+def _bp_iteration(llr_routed, tov):
+    """One sum-product iteration; tov is slot-major (..., 522).
+
+    llr_routed = llrs @ R_VAR_OF_MI is loop-invariant (precomputed once);
+    the leave-one-out message sum is a single +-1 routing matmul.
+    """
+    tnm = llr_routed + _route(tov, _M_LOO)                     # (.., 581)
     toc = jnp.where(_MI_MASK_D > 0, fast_tanh(-tnm / 2.0), 1.0)
 
     # leave-one-out products over the 7 slot blocks (exclusive prefix/suffix)
@@ -162,6 +178,8 @@ def bp_decode_batch(llrs: jnp.ndarray, max_iterations: int = 20):
     min0 = jnp.int32(_M) + zero.astype(jnp.int32)
     halted0 = zero != 0.0
 
+    llr_routed = _route(llrs, _R_VAR_OF_MI)   # loop-invariant
+
     def cond(state):
         it, _, _, _, halted = state
         return (it < max_iterations) & ~jnp.all(halted)
@@ -181,7 +199,7 @@ def bp_decode_batch(llrs: jnp.ndarray, max_iterations: int = 20):
         new_plain = jnp.where(live[..., None], plain, plain_out)
         new_halted = halted | (live & (zero_cw | (errors == 0)))
 
-        tov_next = _bp_iteration(tov_sum, tov)
+        tov_next = _bp_iteration(llr_routed, tov)
         tov = jnp.where(new_halted[..., None], tov, tov_next)
         return (it + 1, tov, new_plain, new_min, new_halted)
 
