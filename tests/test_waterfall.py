@@ -5,6 +5,7 @@ import jax.numpy as jnp
 import scipy.signal
 
 from ft8_demodulator_tpu.ops.waterfall import (
+    _pick_backend,
     calculate_spectrogram,
     waterfall_complex,
     waterfall_params,
@@ -84,3 +85,34 @@ def test_waterfall_params_geometry():
     assert p.nperseg == 1920 and p.hop == 960 and p.nfft == 3840
     assert p.num_freq_bins == 1920
     assert p.num_frames(12000 * 15) == (12000 * 15 - 1920) // 960 + 1
+
+
+def test_block_backend_selected_and_matches_dense(rng):
+    # standard geometry: hop*time_osr == nperseg and nfft == freq_osr*nperseg
+    p = waterfall_params(12000.0, 2, 2)
+    assert _pick_backend(p, None) == "block"
+    n = int(12000.0 * 3)
+    nf = p.num_frames(n)
+    wave = rng.standard_normal(n).astype(np.float32)
+    a = np.asarray(waterfall_real(jnp.asarray(wave), p, nf, backend="matmul"))
+    b = np.asarray(waterfall_real(jnp.asarray(wave), p, nf, backend="block"))
+    np.testing.assert_allclose(a, b, atol=2e-2)
+
+
+def test_odd_rate_falls_back_to_dense_and_matches_scipy(rng):
+    # fs = 1999: nperseg 319 is odd, hop*2 != nperseg -> block is inexact
+    p = waterfall_params(1999.0, 2, 2)
+    assert _pick_backend(p, None) == "matmul"
+    n = int(1999.0 * 4)
+    nf = p.num_frames(n)
+    wave = rng.standard_normal(n).astype(np.float32)
+    got = np.asarray(waterfall_real(jnp.asarray(wave), p, nf))
+    _, _, s = scipy.signal.spectrogram(
+        wave, fs=1999.0, nperseg=p.nperseg,
+        noverlap=p.nperseg - p.hop, nfft=p.nfft, window="hann",
+        scaling="spectrum", mode="magnitude", detrend=False)
+    ref = 10.0 * np.log10(1e-12 + s.astype(np.float64) ** 2)
+    nf_min = min(got.shape[0], ref.shape[0])   # odd nfft: scipy emits one
+    nt_min = min(got.shape[1], ref.shape[1])   # extra one-sided bin
+    np.testing.assert_allclose(got[:nf_min, :nt_min], ref[:nf_min, :nt_min],
+                               atol=6e-2)
