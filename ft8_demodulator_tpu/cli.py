@@ -47,6 +47,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "times are absolute within the file)")
     p.add_argument("--block-seconds", type=float, default=15.0,
                    help="streaming block size in seconds (with --stream)")
+    p.add_argument("--metrics", action="store_true",
+                   help="print structured per-slot decode metrics as JSON")
     return p
 
 
@@ -97,7 +99,7 @@ def main(argv=None) -> int:
                 np.asarray(wave_data[start: start + chunk], np.float32)))
         results.extend(session.flush())
     else:
-        results = decode_ft8_message(
+        out = decode_ft8_message(
             wave_data, sample_rate,
             bins_per_tone=args.bins_per_tone,
             steps_per_symbol=args.steps_per_symbol,
@@ -107,7 +109,14 @@ def main(argv=None) -> int:
             freq_min=args.freq_min, freq_max=args.freq_max,
             time_min=args.time_min, time_max=args.time_max,
             deduplicate=not args.no_dedup,
+            return_metrics=args.metrics,
         )
+        if args.metrics:
+            import json
+            results, metrics = out
+            print("Metrics: " + json.dumps(metrics.asdict()))
+        else:
+            results = out
 
     if not results:
         print("No FT8 messages decoded")

@@ -133,7 +133,8 @@ def decode_ft8_message(wave_data, sample_rate: float,
                        freq_max: float | None = None,
                        time_min: float | None = None,
                        time_max: float | None = None,
-                       deduplicate: bool = True) -> list[FT8Decode]:
+                       deduplicate: bool = True,
+                       return_metrics: bool = False):
     """Decode all FT8 messages in an audio capture (host API).
 
     Mirrors the reference decode_ft8_message (ft8_decode.py:288) with two
@@ -143,10 +144,16 @@ def decode_ft8_message(wave_data, sample_rate: float,
     and duplicate decodes of one message are merged unless
     deduplicate=False.
     """
+    def _empty():
+        if not return_metrics:
+            return []
+        from ..utils.metrics import SlotMetrics
+        return [], SlotMetrics(0, 0, 0, float("-inf"), float("nan"), 0.0)
+
     wave = np.asarray(wave_data)
     p = waterfall_params(sample_rate, bins_per_tone, steps_per_symbol)
     if wave.shape[-1] < p.nperseg:
-        return []
+        return _empty()
     num_frames = p.num_frames(wave.shape[-1])
 
     if np.iscomplexobj(wave):
@@ -177,13 +184,17 @@ def decode_ft8_message(wave_data, sample_rate: float,
 
     g = search_grid(mag.shape[0], mag.shape[1], p.time_osr, p.freq_osr)
     if g.num_times <= 0 or g.num_freqs <= 0:
-        return []
+        return _empty()
     res = decode_waterfall(mag, g, max_candidates, float(min_score),
                            max_iterations)
     hop_seconds = C.SYMBOL_PERIOD_S / p.time_osr
     freq_step = C.TONE_SPACING_HZ / p.freq_osr
-    return _format_results(
+    rows = _format_results(
         res, hop_seconds, freq_step,
         time_base=t_lo * hop_seconds, freq_base=(f_lo) * freq_step,
         deduplicate=deduplicate,
     )
+    if not return_metrics:
+        return rows
+    from ..utils.metrics import summarize_slot
+    return rows, summarize_slot(res)

@@ -41,3 +41,14 @@ def test_cli_stream_decode(wav_path, capsys):
 
 def test_cli_missing_file(capsys):
     assert main(["/nonexistent/x.wav"]) == 1
+
+
+def test_cli_metrics(wav_path, capsys):
+    path, payload = wav_path
+    assert main([path, "--min-score", "5", "--metrics"]) == 0
+    out = capsys.readouterr().out
+    import json
+    line = next(ln for ln in out.splitlines() if ln.startswith("Metrics: "))
+    m = json.loads(line.removeprefix("Metrics: "))
+    assert m["decodes"] >= 1 and m["unique_messages"] >= 1
+    assert m["candidates_found"] >= m["decodes"]
