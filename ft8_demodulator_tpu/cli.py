@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="streaming block size in seconds (with --stream)")
     p.add_argument("--metrics", action="store_true",
                    help="print structured per-slot decode metrics as JSON")
+    p.add_argument("--passes", type=int, default=1,
+                   help="decode passes; >1 subtracts decoded signals and "
+                        "re-decodes the residual (recovers transmissions "
+                        "buried under stronger co-channel ones)")
     return p
 
 
@@ -110,6 +114,7 @@ def main(argv=None) -> int:
             time_min=args.time_min, time_max=args.time_max,
             deduplicate=not args.no_dedup,
             return_metrics=args.metrics,
+            passes=args.passes,
         )
         if args.metrics:
             import json

@@ -134,7 +134,8 @@ def decode_ft8_message(wave_data, sample_rate: float,
                        time_min: float | None = None,
                        time_max: float | None = None,
                        deduplicate: bool = True,
-                       return_metrics: bool = False):
+                       return_metrics: bool = False,
+                       passes: int = 1):
     """Decode all FT8 messages in an audio capture (host API).
 
     Mirrors the reference decode_ft8_message (ft8_decode.py:288) with two
@@ -143,6 +144,13 @@ def decode_ft8_message(wave_data, sample_rate: float,
     and divides a waterfall index by the audio rate, ft8_decode.py:387-388),
     and duplicate decodes of one message are merged unless
     deduplicate=False.
+
+    passes > 1 enables subtraction decoding (beyond the reference): after
+    each pass, every decoded transmission is re-synthesised, frequency-
+    refined, amplitude/phase-fitted and subtracted from the audio, and the
+    residual is decoded again — recovering weaker signals hidden under
+    strong ones (real audio only).  Messages found by later passes are
+    always deduplicated against earlier ones.
     """
     def _empty():
         if not return_metrics:
@@ -155,46 +163,75 @@ def decode_ft8_message(wave_data, sample_rate: float,
     if wave.shape[-1] < p.nperseg:
         return _empty()
     num_frames = p.num_frames(wave.shape[-1])
-
-    if np.iscomplexobj(wave):
-        ri = np.stack([wave.real, wave.imag], axis=-1).astype(np.float32)
-        mag = waterfall_complex(jnp.asarray(ri), p, num_frames)
+    is_complex = bool(np.iscomplexobj(wave))
+    if is_complex:
+        passes = 1
+        wave_d = jnp.asarray(
+            np.stack([wave.real, wave.imag], axis=-1).astype(np.float32))
     else:
-        mag = waterfall_real(jnp.asarray(wave.astype(np.float32)), p,
-                             num_frames)
-
-    # frequency / time crops (host-side static slicing keeps the jitted
-    # pipeline fixed-shape per crop config)
-    freqs = np.arange(p.num_freq_bins) * (C.TONE_SPACING_HZ / p.freq_osr)
-    times = (np.arange(num_frames) * p.hop + p.nperseg / 2) / p.fs
-    f_lo = 0
-    if freq_min is not None or freq_max is not None:
-        fmask = (freqs >= (freq_min if freq_min is not None else freqs[0])) \
-            & (freqs <= (freq_max if freq_max is not None else freqs[-1]))
-        f_lo = int(np.argmax(fmask))
-        f_hi = int(len(fmask) - np.argmax(fmask[::-1]))
-        mag = mag[f_lo:f_hi]
-    t_lo = 0
-    if time_min is not None or time_max is not None:
-        tmask = (times >= (time_min if time_min is not None else times[0])) \
-            & (times <= (time_max if time_max is not None else times[-1]))
-        t_lo = int(np.argmax(tmask))
-        t_hi = int(len(tmask) - np.argmax(tmask[::-1]))
-        mag = mag[:, t_lo:t_hi]
-
-    g = search_grid(mag.shape[0], mag.shape[1], p.time_osr, p.freq_osr)
-    if g.num_times <= 0 or g.num_freqs <= 0:
-        return _empty()
-    res = decode_waterfall(mag, g, max_candidates, float(min_score),
-                           max_iterations)
+        wave_d = jnp.asarray(wave.astype(np.float32))
     hop_seconds = C.SYMBOL_PERIOD_S / p.time_osr
     freq_step = C.TONE_SPACING_HZ / p.freq_osr
-    rows = _format_results(
-        res, hop_seconds, freq_step,
-        time_base=t_lo * hop_seconds, freq_base=(f_lo) * freq_step,
-        deduplicate=deduplicate,
-    )
+
+    rows: list[FT8Decode] = []
+    seen_hashes: set[int] = set()
+    first_res = None
+    for pass_idx in range(max(1, passes)):
+        mag = waterfall_complex(wave_d, p, num_frames) if is_complex \
+            else waterfall_real(wave_d, p, num_frames)
+
+        # frequency / time crops (host-side static slicing keeps the jitted
+        # pipeline fixed-shape per crop config)
+        freqs = np.arange(p.num_freq_bins) * freq_step
+        times = (np.arange(num_frames) * p.hop + p.nperseg / 2) / p.fs
+        f_lo = 0
+        if freq_min is not None or freq_max is not None:
+            fmask = (freqs >= (freq_min if freq_min is not None
+                               else freqs[0])) \
+                & (freqs <= (freq_max if freq_max is not None else freqs[-1]))
+            f_lo = int(np.argmax(fmask))
+            f_hi = int(len(fmask) - np.argmax(fmask[::-1]))
+            mag = mag[f_lo:f_hi]
+        t_lo = 0
+        if time_min is not None or time_max is not None:
+            tmask = (times >= (time_min if time_min is not None
+                               else times[0])) \
+                & (times <= (time_max if time_max is not None else times[-1]))
+            t_lo = int(np.argmax(tmask))
+            t_hi = int(len(tmask) - np.argmax(tmask[::-1]))
+            mag = mag[:, t_lo:t_hi]
+
+        g = search_grid(mag.shape[0], mag.shape[1], p.time_osr, p.freq_osr)
+        if g.num_times <= 0 or g.num_freqs <= 0:
+            if pass_idx == 0:
+                return _empty()
+            break
+        res = decode_waterfall(mag, g, max_candidates, float(min_score),
+                               max_iterations)
+        if first_res is None:
+            first_res = res
+        new_rows = _format_results(
+            res, hop_seconds, freq_step,
+            time_base=t_lo * hop_seconds, freq_base=f_lo * freq_step,
+            deduplicate=deduplicate,
+        )
+        # later passes always dedup against everything already reported
+        for r in new_rows:
+            if pass_idx > 0 and r.message.hash in seen_hashes:
+                continue
+            seen_hashes.add(r.message.hash)
+            rows.append(r)
+
+        if pass_idx + 1 < max(1, passes):
+            if not bool(np.asarray(res.success).any()):
+                break
+            from ..ops.subtract import subtract_decoded
+            wave_d = subtract_decoded(
+                wave_d, p, res.payload,
+                res.abs_time + jnp.int32(t_lo),
+                res.abs_freq + jnp.int32(f_lo), res.success)
+
     if not return_metrics:
         return rows
     from ..utils.metrics import summarize_slot
-    return rows, summarize_slot(res)
+    return rows, summarize_slot(first_res)
