@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def run_curve(fs: float, snrs, trials: int, f0: float = None,
               min_score: float = 1.0, max_candidates: int = 20,
               seed: int = 0, bins_per_tone: int = 2,
-              steps_per_symbol: int = 2):
+              steps_per_symbol: int = 2, use_osd: bool = False):
     """Returns (snr_list, success_rate_list, wall_seconds)."""
     import jax
     import jax.numpy as jnp
@@ -64,7 +64,7 @@ def run_curve(fs: float, snrs, trials: int, f0: float = None,
     def decode_batch(waves):
         return jax.vmap(lambda w: decode_slot(
             w, p, num_frames, max_candidates=max_candidates,
-            min_score=min_score, max_iterations=20))(waves)
+            min_score=min_score, max_iterations=20, use_osd=use_osd))(waves)
 
     payloads_d = jnp.asarray(payloads)
     expected = payloads.copy()
@@ -97,6 +97,8 @@ def main():
     ap.add_argument("--bins-per-tone", type=int, default=2)
     ap.add_argument("--steps-per-symbol", type=int, default=2)
     ap.add_argument("--max-candidates", type=int, default=20)
+    ap.add_argument("--osd", action="store_true",
+                    help="layer ordered-statistics decoding over BP")
     args = ap.parse_args()
 
     snrs = np.arange(args.snr_start, args.snr_stop + 1e-9, args.snr_step)
@@ -104,12 +106,14 @@ def main():
                                       seed=args.seed,
                                       bins_per_tone=args.bins_per_tone,
                                       steps_per_symbol=args.steps_per_symbol,
-                                      max_candidates=args.max_candidates)
+                                      max_candidates=args.max_candidates,
+                                      use_osd=args.osd)
     passing = [s for s, r in zip(snr_list, rates) if r >= 0.5]
     print(json.dumps({
         "fs": args.fs,
         "osr": [args.bins_per_tone, args.steps_per_symbol],
         "max_candidates": args.max_candidates,
+        "osd": args.osd,
         "trials_per_point": args.trials,
         "snr_db": snr_list,
         "success_rate": rates,

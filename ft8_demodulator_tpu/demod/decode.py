@@ -38,11 +38,16 @@ _BYTE_WEIGHTS = jnp.asarray(2 ** np.arange(7, -1, -1), dtype=jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("g", "max_candidates",
-                                             "max_iterations"))
+                                             "max_iterations", "use_osd"))
 def decode_waterfall(mag: jnp.ndarray, g: SearchGrid, max_candidates: int,
-                     min_score: float,
-                     max_iterations: int = 20) -> SlotDecodeResult:
-    """Positive-frequency dB waterfall (F, T) -> SlotDecodeResult (K rows)."""
+                     min_score: float, max_iterations: int = 20,
+                     use_osd: bool = False) -> SlotDecodeResult:
+    """Positive-frequency dB waterfall (F, T) -> SlotDecodeResult (K rows).
+
+    use_osd layers ordered-statistics decoding (ops/osd.py, beyond the
+    reference) over candidates whose BP decode did not yield a CRC-valid
+    codeword.
+    """
     scores = sync_scores(mag, g)
     abs_time, abs_freq, score, cand_valid = find_candidates(
         scores, g, max_candidates, min_score)
@@ -50,6 +55,22 @@ def decode_waterfall(mag: jnp.ndarray, g: SearchGrid, max_candidates: int,
     llrs = extract_llrs(mag, abs_time, abs_freq, g.time_osr, g.freq_osr,
                         g.num_blocks)
     plain, ldpc_errors = bp_decode_batch(llrs, max_iterations)
+
+    if use_osd:
+        from ..ops.osd import osd_decode_batch
+
+        bp_bits77 = plain[:, : C.PAYLOAD_BITS].astype(jnp.float32)
+        bp_crc = jnp.mod(jnp.matmul(bp_bits77, _CRC_MATRIX_77_T,
+                                    precision=jax.lax.Precision.HIGHEST),
+                         2.0).astype(jnp.int32)
+        bp_crc_ok = (jnp.sum(bp_crc * _CRC_WEIGHTS, axis=-1)
+                     == jnp.sum(plain[:, C.PAYLOAD_BITS: C.LDPC_K]
+                                * _CRC_WEIGHTS, axis=-1))
+        bp_success = (ldpc_errors == 0) & bp_crc_ok
+        osd_plain, osd_ok = osd_decode_batch(llrs)
+        take = ~bp_success & osd_ok
+        plain = jnp.where(take[:, None], osd_plain, plain)
+        ldpc_errors = jnp.where(take, 0, ldpc_errors)
 
     bits77 = plain[:, : C.PAYLOAD_BITS].astype(jnp.float32)
     crc_bits = jnp.mod(
@@ -77,11 +98,13 @@ def decode_waterfall(mag: jnp.ndarray, g: SearchGrid, max_candidates: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "p", "num_frames", "max_candidates", "max_iterations", "is_complex"))
+    "p", "num_frames", "max_candidates", "max_iterations", "is_complex",
+    "use_osd"))
 def decode_slot(wave: jnp.ndarray, p: WaterfallParams, num_frames: int,
                 max_candidates: int = 20, min_score: float = 10.0,
                 max_iterations: int = 20,
-                is_complex: bool = False) -> SlotDecodeResult:
+                is_complex: bool = False,
+                use_osd: bool = False) -> SlotDecodeResult:
     """Audio (n,) real — or (n, 2) [re, im] — -> SlotDecodeResult.
 
     The single-chip flagship entry point: one jit containing STFT, search
@@ -92,7 +115,8 @@ def decode_slot(wave: jnp.ndarray, p: WaterfallParams, num_frames: int,
     else:
         mag = waterfall_real(wave, p, num_frames)
     g = search_grid(p.num_freq_bins, num_frames, p.time_osr, p.freq_osr)
-    return decode_waterfall(mag, g, max_candidates, min_score, max_iterations)
+    return decode_waterfall(mag, g, max_candidates, min_score,
+                            max_iterations, use_osd)
 
 
 def _format_results(res: SlotDecodeResult, hop_seconds: float,
@@ -135,7 +159,8 @@ def decode_ft8_message(wave_data, sample_rate: float,
                        time_max: float | None = None,
                        deduplicate: bool = True,
                        return_metrics: bool = False,
-                       passes: int = 1):
+                       passes: int = 1,
+                       use_osd: bool = False):
     """Decode all FT8 messages in an audio capture (host API).
 
     Mirrors the reference decode_ft8_message (ft8_decode.py:288) with two
@@ -207,7 +232,7 @@ def decode_ft8_message(wave_data, sample_rate: float,
                 return _empty()
             break
         res = decode_waterfall(mag, g, max_candidates, float(min_score),
-                               max_iterations)
+                               max_iterations, use_osd)
         if first_res is None:
             first_res = res
         new_rows = _format_results(

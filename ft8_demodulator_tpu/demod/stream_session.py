@@ -76,7 +76,7 @@ class StreamSession:
             num_freqs=max(0, self.p.num_freq_bins - 7 * self.p.freq_osr),
         )
         res = decode_waterfall(mag, g, cfg.max_candidates, cfg.min_score,
-                               cfg.max_iterations)
+                               cfg.max_iterations, cfg.use_osd)
         res = {k: np.asarray(v) for k, v in res._asdict().items()}
 
         hop_seconds = C.SYMBOL_PERIOD_S / self.p.time_osr
@@ -124,7 +124,8 @@ class StreamSession:
         cfg = DecoderConfig(
             bins_per_tone=int(cfgvals[0]), steps_per_symbol=int(cfgvals[1]),
             max_candidates=int(cfgvals[2]), min_score=float(cfgvals[3]),
-            max_iterations=int(cfgvals[4]))
+            max_iterations=int(cfgvals[4]),
+            use_osd=bool(cfgvals[5]) if len(cfgvals) > 5 else False)
         sess = cls(float(data["fs"]), cfg,
                    block_seconds=float(data["block_seconds"]))
         sess._buffer = data["buffer"].astype(np.float32)

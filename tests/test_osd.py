@@ -1,0 +1,71 @@
+"""Ordered-statistics decoder tests (beyond-reference sensitivity layer)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from ft8_demodulator_tpu.ops.ldpc_decode import bp_decode_batch, ldpc_check
+from ft8_demodulator_tpu.ops.osd import osd_decode_batch
+from ft8_demodulator_tpu.protocol import constants as C
+
+
+def _codewords(rng, n):
+    pay = rng.integers(0, 2, (n, 77)).astype(np.float32)
+    return (pay @ C.ENCODE_MATRIX.T) % 2
+
+
+def test_osd_decodes_clean_codewords():
+    rng = np.random.default_rng(5)
+    cw = _codewords(rng, 8)
+    llr = jnp.asarray(((2 * cw - 1) * 4.0).astype(np.float32))
+    plain, ok = osd_decode_batch(llr)
+    assert np.asarray(ok).all()
+    np.testing.assert_array_equal(np.asarray(plain), cw)
+    assert np.all(np.asarray(ldpc_check(plain)) == 0)
+
+
+def test_osd_beats_bp_at_the_cliff():
+    rng = np.random.default_rng(6)
+    cw = _codewords(rng, 60)
+    sigma = 0.85
+    noise = rng.standard_normal(cw.shape)
+    llr = jnp.asarray(((2 * cw - 1) * 2.0 + 2.0 * sigma * noise)
+                      .astype(np.float32))
+
+    p_bp, e_bp = bp_decode_batch(llr, 20)
+    bp_ok = (np.asarray(e_bp) == 0) \
+        & (np.asarray(p_bp) == cw).all(axis=1)
+
+    p_o, ok_o = osd_decode_batch(llr)
+    right = np.asarray(ok_o) & (np.asarray(p_o) == cw).all(axis=1)
+    wrong = np.asarray(ok_o) & ~(np.asarray(p_o) == cw).all(axis=1)
+
+    assert wrong.sum() == 0, "OSD must never accept a wrong codeword here"
+    assert (bp_ok | right).sum() > bp_ok.sum(), \
+        "OSD should add decodes over BP at the cliff"
+
+
+def test_osd_rejects_pure_noise():
+    rng = np.random.default_rng(7)
+    llr = jnp.asarray((3.0 * rng.standard_normal((400, 174)))
+                      .astype(np.float32))
+    _, ok = osd_decode_batch(llr)
+    assert int(np.asarray(ok).sum()) == 0
+
+
+def test_decode_slot_with_osd_end_to_end(goldens, rng):
+    from ft8_demodulator_tpu.demod.decode import decode_ft8_message
+    from ft8_demodulator_tpu.ops.gfsk import ft8_passband
+
+    fs = 2000.0
+    payload = goldens["p1_payload"].copy()
+    payload[9] &= 0xF8
+    wave = np.asarray(ft8_passband(payload, fs, 400.0, 0.0))
+    sig = np.zeros(int(fs * 15), np.float64)
+    sig[400: 400 + len(wave)] = wave
+    noise_scale = np.sqrt(np.mean(wave ** 2) / 10 ** (-13.0 / 10.0))
+    sig += noise_scale * rng.standard_normal(len(sig))
+
+    rows = decode_ft8_message(sig.astype(np.float32), fs, min_score=1.0,
+                              use_osd=True)
+    got = {r.message.payload.hex() for r in rows}
+    assert payload.tobytes().hex() in got
