@@ -53,6 +53,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="decode passes; >1 subtracts decoded signals and "
                         "re-decodes the residual (recovers transmissions "
                         "buried under stronger co-channel ones)")
+    p.add_argument("--osd", action="store_true",
+                   help="layer ordered-statistics decoding over BP "
+                        "(deeper decodes, beyond the reference)")
+    p.add_argument("--deep", action="store_true",
+                   help="high-sensitivity preset: osr 4x4, 40 candidates, "
+                        "min-score 1, OSD")
     return p
 
 
@@ -66,6 +72,14 @@ def main(argv=None) -> int:
     import numpy as np
     from .demod import decode_ft8_message
     from .io import read_wave_file
+
+    if args.deep:
+        from .config import DEEP_SEARCH as _D
+        args.bins_per_tone = _D.bins_per_tone
+        args.steps_per_symbol = _D.steps_per_symbol
+        args.max_candidates = _D.max_candidates
+        args.min_score = _D.min_score
+        args.osd = True
 
     wave_data, sample_rate = read_wave_file(args.wave_file)
     print(f"Read {args.wave_file}: {len(wave_data)} samples @ {sample_rate} Hz "
@@ -94,7 +108,8 @@ def main(argv=None) -> int:
                           steps_per_symbol=args.steps_per_symbol,
                           max_candidates=args.max_candidates,
                           min_score=args.min_score,
-                          max_iterations=args.max_iterations),
+                          max_iterations=args.max_iterations,
+                          use_osd=args.osd),
             block_seconds=args.block_seconds)
         results = []
         chunk = max(session.block_len, int(sample_rate))
@@ -115,6 +130,7 @@ def main(argv=None) -> int:
             deduplicate=not args.no_dedup,
             return_metrics=args.metrics,
             passes=args.passes,
+            use_osd=args.osd,
         )
         if args.metrics:
             import json

@@ -263,12 +263,23 @@ def _waterfall(frames_r, frames_i, p: WaterfallParams, backend: str):
     return jnp.swapaxes(mag_db, -1, -2)
 
 
+# cap on DFT-matrix size (elements) before falling back to fft: the block
+# matrices are (hop, nfft/2 + 2*freq_osr) x2; 16M elements = 128 MB of
+# constants, far past the point where the fft backend wins anyway
+_DFT_MATRIX_MAX_ELEMS = 16 * 1024 * 1024
+
+
 def _pick_backend(p: WaterfallParams, backend: str | None) -> str:
     if backend is not None:
         return backend
-    if _block_geometry_ok(p) and p.hop <= _MATMUL_MAX_NPERSEG:
+    if _block_geometry_ok(p) and p.hop <= _MATMUL_MAX_NPERSEG \
+            and p.hop * (p.num_freq_bins + 2 * p.freq_osr) \
+            <= _DFT_MATRIX_MAX_ELEMS:
         return "block"
-    return "matmul" if p.nperseg <= _MATMUL_MAX_NPERSEG else "fft"
+    if p.nperseg <= _MATMUL_MAX_NPERSEG \
+            and p.nperseg * p.num_freq_bins <= _DFT_MATRIX_MAX_ELEMS:
+        return "matmul"
+    return "fft"
 
 
 def _block_waterfall(frames_re_im, p: WaterfallParams,

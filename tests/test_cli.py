@@ -52,3 +52,9 @@ def test_cli_metrics(wav_path, capsys):
     m = json.loads(line.removeprefix("Metrics: "))
     assert m["decodes"] >= 1 and m["unique_messages"] >= 1
     assert m["candidates_found"] >= m["decodes"]
+
+
+def test_cli_deep_preset(wav_path, capsys):
+    path, payload = wav_path
+    assert main([path, "--deep"]) == 0
+    assert bytes(payload.tolist()).hex() in _decoded_payloads(capsys)
