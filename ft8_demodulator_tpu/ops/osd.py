@@ -107,6 +107,8 @@ def _reduce_basis_packed(a: jnp.ndarray):
 
     used0 = jnp.zeros((_K,), jnp.uint32)
     pcol0 = jnp.zeros((_K,), jnp.int32)
+    # (a scan with unroll=8 measured slightly SLOWER on v5e — the 174 pivot
+    # steps are genuinely sequential vector work, not dispatch overhead)
     a, _, pcol = jax.lax.fori_loop(0, _N, step, (a, used0, pcol0))
     return a, pcol
 
