@@ -52,7 +52,7 @@ def test_osd_rejects_pure_noise():
     assert int(np.asarray(ok).sum()) == 0
 
 
-def test_decode_slot_with_osd_end_to_end(goldens, rng):
+def test_decode_with_osd_recovers_what_bp_alone_cannot(goldens):
     from ft8_demodulator_tpu.demod.decode import decode_ft8_message
     from ft8_demodulator_tpu.ops.gfsk import ft8_passband
 
@@ -62,10 +62,17 @@ def test_decode_slot_with_osd_end_to_end(goldens, rng):
     wave = np.asarray(ft8_passband(payload, fs, 400.0, 0.0))
     sig = np.zeros(int(fs * 15), np.float64)
     sig[400: 400 + len(wave)] = wave
-    noise_scale = np.sqrt(np.mean(wave ** 2) / 10 ** (-13.0 / 10.0))
-    sig += noise_scale * rng.standard_normal(len(sig))
+    # seed 4 at -14 dB: BP-only fails, OSD succeeds (deterministic fixture)
+    local = np.random.default_rng(4)
+    noise_scale = np.sqrt(np.mean(wave ** 2) / 10 ** (-14.0 / 10.0))
+    sig += noise_scale * local.standard_normal(len(sig))
+    sig32 = sig.astype(np.float32)
 
-    rows = decode_ft8_message(sig.astype(np.float32), fs, min_score=1.0,
-                              use_osd=True)
-    got = {r.message.payload.hex() for r in rows}
-    assert payload.tobytes().hex() in got
+    base = {r.message.payload.hex()
+            for r in decode_ft8_message(sig32, fs, min_score=1.0)}
+    deep = {r.message.payload.hex()
+            for r in decode_ft8_message(sig32, fs, min_score=1.0,
+                                        use_osd=True)}
+    want = payload.tobytes().hex()
+    assert want not in base, "fixture should be beyond BP-only reach"
+    assert want in deep
