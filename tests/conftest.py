@@ -24,6 +24,8 @@ def goldens():
     return np.load(path)
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: every test sees the same fresh stream, so outcomes
+    # never depend on which other tests ran first
     return np.random.default_rng(1234)
