@@ -46,6 +46,8 @@ def main():
                      args.snr_step).tolist()
     fs_list = np.arange(args.fs_start, args.fs_stop + 1e-9,
                         args.fs_step).tolist()
+    if not snrs or not fs_list:
+        ap.error("empty SNR or sample-rate range")
 
     rows = []
     t_all = time.perf_counter()

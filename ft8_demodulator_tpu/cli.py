@@ -63,7 +63,22 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.stream:
+        unsupported = [name for name, val in [
+            ("--freq-min", args.freq_min), ("--freq-max", args.freq_max),
+            ("--time-min", args.time_min), ("--time-max", args.time_max),
+        ] if val is not None]
+        if args.passes != 1:
+            unsupported.append("--passes")
+        if args.metrics:
+            unsupported.append("--metrics")
+        if args.no_dedup:
+            unsupported.append("--no-dedup")
+        if unsupported:
+            parser.error("--stream does not support: "
+                         + ", ".join(unsupported))
     if not os.path.exists(args.wave_file):
         print(f"Error: File {args.wave_file} does not exist", file=sys.stderr)
         return 1
@@ -96,7 +111,12 @@ def main(argv=None) -> int:
                 "steps_per_symbol": args.steps_per_symbol,
             })
         print(f"Estimated drift rate: {drift_rate * sample_rate:.2f} Hz/s")
-        wave_data = corrected
+        if args.stream:
+            # the streaming session consumes real audio; the real part of
+            # the corrected analytic signal carries the full positive band
+            wave_data = np.real(corrected)
+        else:
+            wave_data = corrected
 
     if args.stream:
         from .config import DecoderConfig

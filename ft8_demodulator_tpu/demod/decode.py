@@ -37,6 +37,19 @@ _CRC_WEIGHTS = jnp.asarray(2 ** np.arange(C.CRC_BITS - 1, -1, -1),
 _BYTE_WEIGHTS = jnp.asarray(2 ** np.arange(7, -1, -1), dtype=jnp.int32)
 
 
+def _crc_of_plain(plain: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(K, 174) hard bits -> (computed CRC-14, embedded CRC-14) per row."""
+    bits77 = plain[:, : C.PAYLOAD_BITS].astype(jnp.float32)
+    crc_bits = jnp.mod(
+        jnp.matmul(bits77, _CRC_MATRIX_77_T,
+                   precision=jax.lax.Precision.HIGHEST), 2.0
+    ).astype(jnp.int32)
+    crc_calc = jnp.sum(crc_bits * _CRC_WEIGHTS, axis=-1)
+    crc_extracted = jnp.sum(
+        plain[:, C.PAYLOAD_BITS: C.LDPC_K] * _CRC_WEIGHTS, axis=-1)
+    return crc_calc, crc_extracted
+
+
 @functools.partial(jax.jit, static_argnames=("g", "max_candidates",
                                              "max_iterations", "use_osd"))
 def decode_waterfall(mag: jnp.ndarray, g: SearchGrid, max_candidates: int,
@@ -59,27 +72,14 @@ def decode_waterfall(mag: jnp.ndarray, g: SearchGrid, max_candidates: int,
     if use_osd:
         from ..ops.osd import osd_decode_batch
 
-        bp_bits77 = plain[:, : C.PAYLOAD_BITS].astype(jnp.float32)
-        bp_crc = jnp.mod(jnp.matmul(bp_bits77, _CRC_MATRIX_77_T,
-                                    precision=jax.lax.Precision.HIGHEST),
-                         2.0).astype(jnp.int32)
-        bp_crc_ok = (jnp.sum(bp_crc * _CRC_WEIGHTS, axis=-1)
-                     == jnp.sum(plain[:, C.PAYLOAD_BITS: C.LDPC_K]
-                                * _CRC_WEIGHTS, axis=-1))
-        bp_success = (ldpc_errors == 0) & bp_crc_ok
+        bp_crc_calc, bp_crc_ext = _crc_of_plain(plain)
+        bp_success = (ldpc_errors == 0) & (bp_crc_calc == bp_crc_ext)
         osd_plain, osd_ok = osd_decode_batch(llrs)
         take = ~bp_success & osd_ok
         plain = jnp.where(take[:, None], osd_plain, plain)
         ldpc_errors = jnp.where(take, 0, ldpc_errors)
 
-    bits77 = plain[:, : C.PAYLOAD_BITS].astype(jnp.float32)
-    crc_bits = jnp.mod(
-        jnp.matmul(bits77, _CRC_MATRIX_77_T,
-                   precision=jax.lax.Precision.HIGHEST), 2.0
-    ).astype(jnp.int32)
-    crc_calc = jnp.sum(crc_bits * _CRC_WEIGHTS, axis=-1)
-    crc_extracted = jnp.sum(
-        plain[:, C.PAYLOAD_BITS: C.LDPC_K] * _CRC_WEIGHTS, axis=-1)
+    crc_calc, crc_extracted = _crc_of_plain(plain)
 
     # payload bytes: 77 bits + 3 zero pad, packed MSB-first
     pad = jnp.zeros((plain.shape[0], 3), plain.dtype)
@@ -169,6 +169,9 @@ def decode_ft8_message(wave_data, sample_rate: float,
     and divides a waterfall index by the audio rate, ft8_decode.py:387-388),
     and duplicate decodes of one message are merged unless
     deduplicate=False.
+
+    With return_metrics=True the SlotMetrics cover the FIRST pass only
+    (they summarise one fixed-shape slot decode); rows include all passes.
 
     passes > 1 enables subtraction decoding (beyond the reference): after
     each pass, every decoded transmission is re-synthesised, frequency-

@@ -271,6 +271,10 @@ _DFT_MATRIX_MAX_ELEMS = 16 * 1024 * 1024
 
 def _pick_backend(p: WaterfallParams, backend: str | None) -> str:
     if backend is not None:
+        if backend == "block" and not _block_geometry_ok(p):
+            raise ValueError(
+                "backend='block' requires hop*time_osr == nperseg and "
+                f"nfft == freq_osr*nperseg; got {p} — use 'matmul' or 'fft'")
         return backend
     if _block_geometry_ok(p) and p.hop <= _MATMUL_MAX_NPERSEG \
             and p.hop * (p.num_freq_bins + 2 * p.freq_osr) \

@@ -58,3 +58,12 @@ def test_cli_deep_preset(wav_path, capsys):
     path, payload = wav_path
     assert main([path, "--deep"]) == 0
     assert bytes(payload.tolist()).hex() in _decoded_payloads(capsys)
+
+
+def test_cli_stream_rejects_unsupported_flags(wav_path, capsys):
+    import pytest as _pytest
+    path, _ = wav_path
+    with _pytest.raises(SystemExit):
+        main([path, "--stream", "--freq-min", "300"])
+    with _pytest.raises(SystemExit):
+        main([path, "--stream", "--passes", "2"])
