@@ -113,18 +113,117 @@ def _reduce_basis_packed(a: jnp.ndarray):
     return a, pcol
 
 
-def _osd_one(llr: jnp.ndarray, lam: float):
-    """OSD(1) for one candidate's (174,) LLR vector.
+# ---------------------------------------------------------------------------
+# Pallas batched elimination: candidate-per-lane, VMEM-resident state
+# ---------------------------------------------------------------------------
 
-    Returns (plain (174,) int32, ok bool).
+_KP = 96                 # 91 rows padded to a sublane multiple
+_LANES = 128             # candidates per grid step
+
+
+def _reduce_basis_pallas_batch(a_packed: jnp.ndarray,
+                               interpret: bool = False):
+    """Batched GF(2) elimination: a_packed (B, 91, W) -> (reduced, pcol).
+
+    Layout: candidates on lanes, the 6 words x 96 padded rows stacked on
+    sublanes, so the whole elimination state of 128 candidates is one
+    (576, 128) uint32 VMEM tile and all 174 pivot steps run on-chip.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch = a_packed.shape[0]
+    pad_b = -(-batch // _LANES) * _LANES
+    a_p = jnp.pad(a_packed, ((0, pad_b - batch), (0, 0), (0, 0)))
+    a_p = jnp.pad(a_p, ((0, 0), (0, _KP - _K), (0, 0)))   # pad rows
+    # (B, 96, W) -> (B, W, 96) -> (B, W*96) -> (W*96, B)
+    state0 = jnp.swapaxes(a_p, 1, 2).reshape(pad_b, _W * _KP).T
+    state0 = state0.astype(jnp.uint32)
+
+    def kernel(s_ref, out_ref, pcol_ref):
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (_KP, _LANES), 0)
+        state = s_ref[:, :]                              # (W*96, LANES)
+
+        def step(j, carry):
+            state, used, pcol = carry
+            w = j >> 5
+            bit = (j & 31).astype(jnp.uint32)
+            blocks = state.reshape(_W, _KP, _LANES)
+            # static 6-way select (Mosaic has no dynamic_slice on values)
+            word_rows = blocks[0]
+            for wi in range(1, _W):
+                word_rows = jnp.where(w == wi, blocks[wi], word_rows)
+            col = (word_rows >> bit) & jnp.uint32(1)
+            avail = col * (jnp.uint32(1) - used)
+            # first available row per lane as a float min-index reduction
+            # (Mosaic argmax supports only f32; indices <= 95 are exact)
+            row_f = row_iota.astype(jnp.float32)
+            idx = jnp.min(jnp.where(avail > 0, row_f, jnp.float32(1e9)),
+                          axis=0)                        # (LANES,)
+            onehot = (row_f == idx[None, :]).astype(jnp.uint32)
+            found = (idx < _KP).astype(jnp.uint32)       # (LANES,) 0/1
+            # pivot row per word: masked sublane reduction.  Mosaic has no
+            # unsigned reductions — bitcast through int32 (sum of exactly
+            # one selected word, so no overflow semantics are involved)
+            sel = jax.lax.bitcast_convert_type(
+                blocks * onehot[None, :, :], jnp.int32)
+            rowvals = jax.lax.bitcast_convert_type(
+                jnp.sum(sel, axis=1), jnp.uint32)                   # (W, L)
+            elim = col * (jnp.uint32(1) - onehot) * found[None, :]
+            new_blocks = blocks ^ (elim[None, :, :] * rowvals[:, None, :])
+            state = new_blocks.reshape(_W * _KP, _LANES)
+            used = used | (onehot * found[None, :])
+            pcol = jnp.where((onehot > 0) & (found[None, :] > 0), j, pcol)
+            return state, used, pcol
+
+        used0 = (row_iota >= _K).astype(jnp.uint32)      # padding rows used
+        pcol0 = jnp.zeros((_KP, _LANES), jnp.int32)
+        state, _, pcol = jax.lax.fori_loop(
+            0, _N, step, (state, used0, pcol0))
+        out_ref[:, :] = state
+        pcol_ref[:, :] = pcol
+
+    grid = (pad_b // _LANES,)
+    out, pcol = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct(state0.shape, jnp.uint32),
+            jax.ShapeDtypeStruct((_KP, pad_b), jnp.int32),
+        ),
+        in_specs=[pl.BlockSpec((_W * _KP, _LANES), lambda b: (0, b),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((_W * _KP, _LANES), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_KP, _LANES), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(state0)
+
+    # back to (B, 91, W) / (B, 91)
+    red = out.T.reshape(pad_b, _W, _KP)[:batch, :, :_K]
+    red = jnp.swapaxes(red, 1, 2)
+    return red, pcol.T[:batch, :_K]
+
+
+def _osd_pallas_ok() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _osd_tail(llr: jnp.ndarray, order: jnp.ndarray, a: jnp.ndarray,
+              pcol: jnp.ndarray, lam: float):
+    """Order-0/1 search given one candidate's reduced packed basis.
+
+    llr (174,), order (174,) reliability permutation, a (91, W) packed
+    reduced basis, pcol (91,) pivot columns.  Returns (plain, ok).
     """
     w = jnp.abs(llr)
     r = (llr > 0).astype(jnp.float32)
-    order = jnp.argsort(-w)                              # most reliable first
-
-    a_bits = _BASIS_BITS[:, order]                       # (91, 174)
-    a, pcol = _reduce_basis_packed(_pack(a_bits))
-
     r_sorted = r[order]
     w_sorted = w[order]
 
@@ -168,10 +267,23 @@ _CRC_WEIGHTS = jnp.asarray(2 ** np.arange(C.CRC_BITS - 1, -1, -1),
                            dtype=jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("lam",))
-def osd_decode_batch(llrs: jnp.ndarray, lam: float = DEFAULT_LAMBDA):
+@functools.partial(jax.jit, static_argnames=("lam", "force_jnp"))
+def osd_decode_batch(llrs: jnp.ndarray, lam: float = DEFAULT_LAMBDA,
+                     force_jnp: bool = False):
     """(..., 174) LLRs -> (plain (..., 174) int32, accepted (...,) bool)."""
     flat = llrs.reshape(-1, _N)
-    plain, ok = jax.vmap(lambda l: _osd_one(l, lam))(flat)
+    order = jnp.argsort(-jnp.abs(flat), axis=-1)         # (B, 174)
+    # per-candidate column permutation of the shared basis
+    a_bits = jnp.swapaxes(_BASIS_BITS[:, order], 0, 1)   # (B, 91, 174)
+    a_packed = _pack(a_bits)                             # (B, 91, W)
+
+    if _osd_pallas_ok() and not force_jnp:
+        red, pcol = _reduce_basis_pallas_batch(a_packed)
+    else:
+        red, pcol = jax.vmap(_reduce_basis_packed)(a_packed)
+
+    plain, ok = jax.vmap(
+        lambda l, o, a, p: _osd_tail(l, o, a, p, lam)
+    )(flat, order, red, pcol)
     return (plain.reshape(*llrs.shape[:-1], _N),
             ok.reshape(llrs.shape[:-1]))

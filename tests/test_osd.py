@@ -76,3 +76,18 @@ def test_decode_with_osd_recovers_what_bp_alone_cannot(goldens):
     want = payload.tobytes().hex()
     assert want not in base, "fixture should be beyond BP-only reach"
     assert want in deep
+
+
+def test_pallas_elimination_matches_jnp_interpret():
+    import jax
+    import jax.numpy as jnp
+
+    from ft8_demodulator_tpu.ops import osd as O
+
+    rng = np.random.default_rng(8)
+    llr = jnp.asarray((rng.standard_normal((9, 174)) * 3).astype(np.float32))
+    order = jnp.argsort(-jnp.abs(llr), axis=-1)
+    a_packed = O._pack(jnp.swapaxes(O._BASIS_BITS[:, order], 0, 1))
+    r1, p1 = jax.vmap(O._reduce_basis_packed)(a_packed)
+    r2, p2 = O._reduce_basis_pallas_batch(a_packed, interpret=True)
+    assert bool(jnp.all(r1 == r2)) and bool(jnp.all(p1 == p2))
