@@ -221,6 +221,13 @@ def _osd_tail(llr: jnp.ndarray, order: jnp.ndarray, a: jnp.ndarray,
 
     llr (174,), order (174,) reliability permutation, a (91, W) packed
     reduced basis, pcol (91,) pivot columns.  Returns (plain, ok).
+
+    Gather-free formulation: the only unpacked per-flip arrays are the 91
+    basis rows (needed anyway); flip distances are order-0 distance plus a
+    linear correction A @ (w * (1 - 2*d0)), and CRC validity is a GF(2)
+    syndrome through a reliability-PERMUTED syndrome matrix, so nothing of
+    size (92, 174) is ever gathered back to natural bit order — only the
+    single winning codeword is.
     """
     w = jnp.abs(llr)
     r = (llr > 0).astype(jnp.float32)
@@ -229,28 +236,32 @@ def _osd_tail(llr: jnp.ndarray, order: jnp.ndarray, a: jnp.ndarray,
 
     # order-0 codeword: XOR of basis rows whose pivot bit is set in r
     sel = r_sorted[pcol].astype(jnp.uint32)              # (91,)
-    base = _xor_reduce_rows(a * sel[:, None])            # (W,)
+    base_p = _xor_reduce_rows(a * sel[:, None])          # (W,) packed
+    base = _unpack(base_p)                               # (174,) sorted
+    a_bits = _unpack(a)                                  # (91, 174) sorted
 
-    # order-1: flip each of the 91 basis bits; row 0 is the unflipped base
-    cands_packed = jnp.concatenate([base[None, :], base[None, :] ^ a],
-                                   axis=0)               # (92, W)
-    cands = _unpack(cands_packed)                        # (92, 174) sorted
+    # distances: d0 = base XOR hard decision; flipping basis row f toggles
+    # exactly its set bits, so dist_f = dist_0 + A_f . (w * (1 - 2*d0))
+    d0 = jnp.abs(base - r_sorted)                        # (174,) 0/1
+    dist0 = jnp.sum(w_sorted * d0)
+    delta = a_bits @ (w_sorted * (1.0 - 2.0 * d0))       # (91,)
+    dist = jnp.concatenate([dist0[None], dist0 + delta])  # (92,)
 
-    dist = jnp.sum(w_sorted[None, :] * jnp.abs(cands - r_sorted[None, :]),
-                   axis=-1)                              # (92,)
+    # CRC as a GF(2) syndrome through the permuted syndrome matrix:
+    # S @ c_nat == 0  <=>  (S[:, order]) @ c_sorted == 0; per flip the
+    # syndrome is synd(base) XOR synd(a_f), all mod 2
+    s_perm = _SYNDROME[:, order]                         # (14, 174)
+    sb = jnp.mod(s_perm @ base, 2.0)                     # (14,)
+    sa = jnp.mod(s_perm @ a_bits.T, 2.0)                 # (14, 91)
+    synd = jnp.concatenate([sb[:, None], jnp.mod(sb[:, None] + sa, 2.0)],
+                           axis=1)                       # (14, 92)
+    crc_ok = jnp.sum(synd, axis=0) == 0
 
-    # un-permute each candidate back to natural bit order
-    inv = jnp.argsort(order)
-    cands_nat = cands[:, inv]                            # (92, 174)
-
-    bits77 = cands_nat[:, : C.PAYLOAD_BITS]
-    crc_bits = jnp.mod(bits77 @ _CRC_MATRIX_77_T, 2.0).astype(jnp.int32)
-    crc_calc = jnp.sum(crc_bits * _CRC_WEIGHTS, axis=-1)
-    crc_extracted = jnp.sum(
-        cands_nat[:, C.PAYLOAD_BITS: _K].astype(jnp.int32) * _CRC_WEIGHTS,
-        axis=-1)
-    nonzero = jnp.sum(cands_nat, axis=-1) > 0
-    crc_ok = (crc_calc == crc_extracted) & nonzero
+    # reject the all-zero codeword (matches BP's zero-codeword guard)
+    ones0 = jnp.sum(base)
+    ones = jnp.concatenate(
+        [ones0[None], ones0 + a_bits @ (1.0 - 2.0 * base)])
+    crc_ok = crc_ok & (ones > 0.5)
 
     nonpivot_mass = jnp.sum(w) - jnp.sum(w_sorted[pcol])
     gate = dist <= lam * nonpivot_mass
@@ -259,9 +270,26 @@ def _osd_tail(llr: jnp.ndarray, order: jnp.ndarray, a: jnp.ndarray,
     masked = jnp.where(ok_each, dist, jnp.inf)
     best = jnp.argmin(masked)
     ok = jnp.isfinite(masked[best])
-    return cands_nat[best].astype(jnp.int32), ok
+
+    # materialise only the winner in natural bit order
+    flip = jnp.where(best > 0,
+                     a_bits[jnp.maximum(best - 1, 0)],
+                     jnp.zeros((_N,), jnp.float32))
+    win_sorted = jnp.mod(base + flip, 2.0)
+    inv = jnp.argsort(order)
+    return win_sorted[inv].astype(jnp.int32), ok
 
 
+def _syndrome_matrix() -> np.ndarray:
+    """(14, 174) S with S @ codeword == 0 (mod 2) iff the embedded CRC-14
+    matches the CRC of the 77-bit payload (bits 91..173 unconstrained)."""
+    s = np.zeros((C.CRC_BITS, _N), np.float32)
+    s[:, : C.PAYLOAD_BITS] = C.CRC_MATRIX_77
+    s[:, C.PAYLOAD_BITS: _K] = np.eye(C.CRC_BITS, dtype=np.float32)
+    return s
+
+
+_SYNDROME = jnp.asarray(_syndrome_matrix())
 _CRC_MATRIX_77_T = jnp.asarray(C.CRC_MATRIX_77.T, dtype=jnp.float32)
 _CRC_WEIGHTS = jnp.asarray(2 ** np.arange(C.CRC_BITS - 1, -1, -1),
                            dtype=jnp.int32)
