@@ -38,6 +38,7 @@ def main():
     ap.add_argument("--snr-step", type=float, default=0.5)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--osd", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -53,7 +54,7 @@ def main():
     t_all = time.perf_counter()
     for fs in fs_list:
         snr_list, rates, wall = run_curve(fs, snrs, args.trials,
-                                          seed=args.seed)
+                                          seed=args.seed, use_osd=args.osd)
         passing = [s for s, r in zip(snr_list, rates) if r >= 0.5]
         rows.append({
             "fs": fs,
@@ -71,6 +72,7 @@ def main():
         "reference": "src/tests/demodulator/test_ft8_standard.py",
         "criterion": ">=50% of trials decode exact payload",
         "trials_per_point": args.trials,
+        "osd": args.osd,
         "snr_db": snr_list,
         "device": str(jax.devices()[0]),
         "rows": rows,

@@ -23,6 +23,7 @@ import numpy as np
 
 from ..ops.ldpc_decode import bp_decode_batch
 from ..ops.llr import extract_llrs
+from ..ops.osd import osd_decode_batch
 from ..ops.sync import SearchGrid, find_candidates, search_grid, sync_scores
 from ..ops.waterfall import WaterfallParams, waterfall_params, waterfall_real, \
     waterfall_complex
@@ -70,8 +71,6 @@ def decode_waterfall(mag: jnp.ndarray, g: SearchGrid, max_candidates: int,
     plain, ldpc_errors = bp_decode_batch(llrs, max_iterations)
 
     if use_osd:
-        from ..ops.osd import osd_decode_batch
-
         bp_crc_calc, bp_crc_ext = _crc_of_plain(plain)
         bp_success = (ldpc_errors == 0) & (bp_crc_calc == bp_crc_ext)
         osd_plain, osd_ok = osd_decode_batch(llrs)
