@@ -62,6 +62,7 @@ def main():
     ap.add_argument("--slots", type=int, default=10)
     ap.add_argument("--signals", type=int, default=12)
     ap.add_argument("--max-passes", type=int, default=3)
+    ap.add_argument("--osd", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -79,7 +80,8 @@ def main():
         found = 0
         for sig, payloads in slots:
             rows = decode_ft8_message(sig, FS, max_candidates=40,
-                                      min_score=3.0, passes=passes)
+                                      min_score=3.0, passes=passes,
+                                      use_osd=args.osd)
             got = {r.message.payload.hex() for r in rows}
             found += sum(p.tobytes().hex() in got for p in payloads)
         yields[f"passes={passes}"] = round(found / total, 4)
@@ -90,6 +92,7 @@ def main():
         "slots": args.slots,
         "signals_per_slot": args.signals,
         "amplitude_spread_db": 26,
+        "osd": args.osd,
         "yield": yields,
         "device": str(jax.devices()[0]),
         "wall_seconds": round(time.perf_counter() - t0, 1),
