@@ -129,3 +129,23 @@ def plot_snr_vs_bandwidth(bandwidth_hz, min_snr_db,
     plt.savefig(path)
     plt.close()
     return path
+
+
+def plot_fft(samples, fs: float, path: str = "fft.png",
+             center_freq: float = 0.0) -> str:
+    """Averaged power spectrum of a capture (reference
+    src/tests/pluto-sdr/plot_fft.py / simple_fft_plot.py equivalents)."""
+    plt = _plt()
+    x = np.asarray(samples)
+    n = min(len(x), 65536)
+    spec = np.fft.fftshift(np.fft.fft(x[:n]))
+    freqs = np.fft.fftshift(np.fft.fftfreq(n, 1.0 / fs)) + center_freq
+    plt.figure(figsize=(8, 5))
+    plt.plot(freqs, 10 * np.log10(1e-12 + np.abs(spec) ** 2))
+    plt.xlabel("Frequency (Hz)")
+    plt.ylabel("Power (dB)")
+    plt.title("Capture spectrum")
+    plt.grid(True)
+    plt.savefig(path)
+    plt.close()
+    return path

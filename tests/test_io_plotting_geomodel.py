@@ -66,3 +66,11 @@ def test_circular_orbit_model():
     # higher max-elevation passes last longer
     low = CircularOrbitModel(550e3, max_elevation_deg=30.0)
     assert low.pass_duration_s() < dur
+
+
+def test_plot_fft(tmp_path, rng):
+    from ft8_demodulator_tpu.plotting import plot_fft
+    path = plot_fft(rng.standard_normal(4096), 2000.0,
+                    path=str(tmp_path / "f.png"))
+    import os
+    assert os.path.getsize(path) > 0
