@@ -97,8 +97,14 @@ _M_LOO = jnp.asarray(_build_leave_one_out())                  # (522, 581)
 
 
 def _route(x: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
-    """Exact gather-by-matmul: x (..., S) routed through r (S, D)."""
-    return jnp.matmul(x, r, precision=jax.lax.Precision.HIGHEST,
+    """Gather-by-matmul: x (..., S) routed through r (S, D).
+
+    The routing matrices are 0/+-1 (exact at any precision); HIGH (bf16x3)
+    carries the message VALUES with ~3e-4 relative rounding — measured
+    plain-identical to exact-f32 HIGHEST over 1280 sensitivity-cliff
+    codewords on v5e, at 2/3 the MXU passes.
+    """
+    return jnp.matmul(x, r, precision=jax.lax.Precision.HIGH,
                       preferred_element_type=jnp.float32)
 
 
