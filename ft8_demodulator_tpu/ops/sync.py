@@ -144,22 +144,25 @@ def find_candidates(scores: jnp.ndarray, g: SearchGrid, max_candidates: int,
     descending score, matching the reference's heap selection
     (ft8_decode.py:127-147) up to tie order.
 
-    TPU note: exact two-stage selection — a minor-axis top-K per frequency
-    row (any global top-K entry is in its row's top-K), then top-K over the
-    K*num_freqs survivors.  Measured ~14x faster than one flat top_k over
-    the full grid on TPU v5e; results are identical.
+    TPU note: exact row-max screening — at most K distinct frequency rows
+    can contain the global top-K (each such row's maximum is itself one of
+    the >= K-th-largest scores), so one cheap max-reduction over time picks
+    the candidate rows, and the flat top-K runs over only those few rows.
+    A small slack absorbs exact-value ties.  Measured far faster than both
+    a flat top_k over the full grid and a per-row top-K on v5e.
     """
     masked = jnp.where(scores >= min_score, scores, -jnp.inf)
-    k = min(max_candidates, g.num_times) if g.num_times else max_candidates
-    if k < max_candidates or masked.shape[0] * masked.shape[1] == 0:
-        # degenerate grids: fall back to the flat selection
+    num_freqs, num_times = masked.shape
+    rows_needed = max_candidates + 12                  # tie slack
+    if num_freqs <= rows_needed or num_freqs * num_times == 0 \
+            or num_times == 0:
         vals, idx = jax.lax.top_k(masked.reshape(-1), max_candidates)
     else:
-        v1, i1 = jax.lax.top_k(masked, k)                   # (F, k) per row
-        flat1 = (jnp.arange(masked.shape[0])[:, None] * g.num_times
-                 + i1).reshape(-1)
-        vals, i2 = jax.lax.top_k(v1.reshape(-1), max_candidates)
-        idx = jnp.take(flat1, i2)
+        row_max = jnp.max(masked, axis=-1)             # (F,)
+        _, rows = jax.lax.top_k(row_max, rows_needed)  # candidate rows
+        sub = masked[rows]                             # (rows_needed, T)
+        vals, i2 = jax.lax.top_k(sub.reshape(-1), max_candidates)
+        idx = rows[i2 // num_times] * num_times + i2 % num_times
     abs_freq = idx // g.num_times
     abs_time = g.t_start + idx % g.num_times
     valid = jnp.isfinite(vals)
