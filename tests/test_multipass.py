@@ -55,3 +55,37 @@ def test_second_pass_recovers_buried_signal():
 def test_multipass_is_noop_without_decodes(rng):
     noise = rng.standard_normal(int(FS * 15)).astype(np.float32)
     assert decode_ft8_message(noise, FS, passes=3) == []
+
+
+def test_subtraction_handles_off_grid_carrier():
+    """The frequency refinement must work when the transmitter is between
+    waterfall bins (grid resolution is tone_spacing/freq_osr = 3.125 Hz)."""
+    import jax.numpy as jnp
+
+    from ft8_demodulator_tpu.ops.gfsk import ft8_passband
+    from ft8_demodulator_tpu.ops.subtract import subtract_decoded
+    from ft8_demodulator_tpu.ops.waterfall import waterfall_params
+    from ft8_demodulator_tpu.demod.decode import decode_slot
+
+    rng = np.random.default_rng(31)
+    payload = rng.integers(0, 256, 10).astype(np.uint8)
+    payload[9] &= 0xF8
+    sps = int(C.SYMBOL_PERIOD_S * FS)
+    n = int(FS * 15)
+    wave = np.asarray(ft8_passband(payload, FS, 401.3, 0.0))  # off-grid
+    sig = np.zeros(n, np.float64)
+    sig[sps: sps + len(wave)] += wave
+    sig += 0.002 * rng.standard_normal(n)
+    sig32 = sig.astype(np.float32)
+
+    p = waterfall_params(FS, 2, 2)
+    T = p.num_frames(n)
+    res = decode_slot(jnp.asarray(sig32), p, T, max_candidates=10,
+                      min_score=5.0)
+    assert bool(np.asarray(res.success).any())
+    resid = np.asarray(subtract_decoded(
+        jnp.asarray(sig32), p, res.payload, res.abs_time, res.abs_freq,
+        res.success))
+    win = slice(sps, sps + len(wave))
+    removal = np.mean(resid[win] ** 2) / np.mean(sig32[win] ** 2)
+    assert removal < 0.05, f"subtraction removed only {1-removal:.1%}"
