@@ -25,9 +25,10 @@ REFERENCE_SECONDS_PER_SLOT = 11.71  # measured; see module docstring
 
 FS = 12000.0
 SLOT_S = 15.0
-# 256 amortises per-launch dispatch best on the tunneled backend
-# (64 -> 5639, 128 -> 5788, 256 -> 5923 slots/s measured)
+# 256 amortises per-launch dispatch best on the tunneled backend; chunks of
+# 16 inside the jit hit XLA's best fusion regime (see decode_batch)
 BATCH = int(__import__("os").environ.get("FT8_BENCH_BATCH", "256"))
+CHUNK = int(__import__("os").environ.get("FT8_BENCH_CHUNK", "16"))
 REPS = 10
 MAX_CANDIDATES = 20
 
@@ -79,9 +80,17 @@ def main() -> None:
 
     @jax.jit
     def decode_batch(waves):
-        return jax.vmap(lambda w: decode_slot(
+        # chunked execution inside one jit: XLA's fusions for this decode
+        # are markedly better at small vmap widths (measured per-slot device
+        # time: chunk 16 -> 113 us, 64 -> 136 us, flat 256 -> 165 us), and
+        # lax.map keeps it a single compiled program / single dispatch.
+        one = lambda w: decode_slot(
             w, p, num_frames, max_candidates=MAX_CANDIDATES,
-            min_score=10.0, max_iterations=20))(waves)
+            min_score=10.0, max_iterations=20)
+        chunks = waves.reshape(-1, CHUNK, waves.shape[-1])
+        res = jax.lax.map(jax.vmap(one), chunks)
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape(-1, *x.shape[2:]), res)
 
     def sink(res):
         """Force full device completion: reduce to a scalar and fetch it.
