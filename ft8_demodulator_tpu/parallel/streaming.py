@@ -90,8 +90,22 @@ def decode_stream_sharded(audio: jnp.ndarray, p: WaterfallParams, mesh: Mesh,
         # device i receives the head of device i+1 (zeros at the stream end)
         perm = [(i, i - 1) for i in range(1, n_stream)]
         halo = jax.lax.ppermute(head, "stream", perm)
-        res = jax.vmap(lambda b, h: _decode_block(
-            b, h, p, max_candidates, min_score, max_iterations))(local, halo)
+        decode = jax.vmap(lambda b, h: _decode_block(
+            b, h, p, max_candidates, min_score, max_iterations))
+        rows = local.shape[0]
+        # XLA's decode fusions degrade at wide vmaps (see DESIGN_NOTES):
+        # map narrow chunks when the channel count allows it
+        chunk = next((c for c in (16, 8) if rows % c == 0 and rows > c),
+                     None)
+        if chunk:
+            res = jax.lax.map(
+                lambda args: decode(*args),
+                (local.reshape(-1, chunk, local.shape[-1]),
+                 halo.reshape(-1, chunk, halo.shape[-1])))
+            res = jax.tree_util.tree_map(
+                lambda x: x.reshape(rows, *x.shape[2:]), res)
+        else:
+            res = decode(local, halo)
         # add the stream axis back for the out_spec: (ch, 1, K, ...)
         return jax.tree_util.tree_map(lambda x: x[:, None], res)
 
