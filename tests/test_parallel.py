@@ -61,3 +61,19 @@ def test_stream_decode_multi_channel(rng):
     assert len(results) == 2
     payloads = {r.message.payload.hex() for r in results}
     assert payloads == {PAYLOAD_A.tobytes().hex()}
+
+
+def test_stream_decode_chunked_channel_rows(rng):
+    """16 channel rows on one shard triggers the narrow-chunk decode path
+    (lax.map over vmap-8); results must match the plain-vmap semantics."""
+    n = int(FS * 15)
+    audio = (rng.standard_normal((16, n)) * 0.02).astype(np.float32)
+    wa = ft8_passband(PAYLOAD_A, FS, 500.0, 0.0)
+    wb = ft8_passband(PAYLOAD_B, FS, 800.0, 0.0)
+    audio[3, int(1.0 * FS): int(1.0 * FS) + len(wa)] += wa
+    audio[11, int(0.5 * FS): int(0.5 * FS) + len(wb)] += wb
+
+    mesh = make_mesh(stream=1, channel=1)
+    results = decode_stream(audio, FS, mesh=mesh, min_score=4.0)
+    payloads = {r.message.payload.hex() for r in results}
+    assert payloads == {PAYLOAD_A.tobytes().hex(), PAYLOAD_B.tobytes().hex()}
