@@ -29,6 +29,11 @@ SLOT_S = 15.0
 # 16 inside the jit hit XLA's best fusion regime (see decode_batch)
 BATCH = int(__import__("os").environ.get("FT8_BENCH_BATCH", "256"))
 CHUNK = int(__import__("os").environ.get("FT8_BENCH_CHUNK", "16"))
+if BATCH % CHUNK:
+    raise SystemExit(
+        f"FT8_BENCH_BATCH ({BATCH}) must be a multiple of "
+        f"FT8_BENCH_CHUNK ({CHUNK}): the batch is decoded as "
+        f"BATCH/CHUNK vmap-CHUNK chunks inside one jit")
 REPS = 10
 MAX_CANDIDATES = 20
 

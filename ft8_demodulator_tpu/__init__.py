@@ -7,4 +7,11 @@ frequency-drift correction — built as fixed-shape jitted kernels that batch
 and shard over TPU meshes.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+# opt-in NaN sanitizer (SURVEY §5): FT8_DEBUG_NANS=1 makes every jitted
+# stage raise at the first NaN it produces
+from .utils.debug import init_from_env as _init_nan_debug
+
+_init_nan_debug()
+del _init_nan_debug

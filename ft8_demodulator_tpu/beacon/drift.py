@@ -71,7 +71,6 @@ def _sliding_residual_variance(y: np.ndarray, window: int) -> np.ndarray:
     # sliding dot with x requires the kernel reversed for convolve
     s_xy = np.convolve(y, x[::-1], mode="valid")
     syy_c = s_yy - s_y * s_y / w
-    sxy_c = s_xy - x.mean() * s_y * w / w * 1.0  # = s_xy - mean(x)*s_y
     sxy_c = s_xy - x.mean() * s_y
     var = (syy_c - sxy_c * sxy_c / sxx) / w
     return np.maximum(var, 0.0)
@@ -109,20 +108,32 @@ def detect_signal_continuity(max_freq_indices: np.ndarray, window_size: int = 8,
 # device ops
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("fs",))
-def apply_polynomial_drift(wave_ri: jnp.ndarray, rate_hz_per_s: float,
+@jax.jit
+def _apply_phase_cycles(wave_ri: jnp.ndarray, cyc: jnp.ndarray) -> jnp.ndarray:
+    """x * exp(-j 2 pi cyc) on stacked (n, 2) [re, im] samples."""
+    z = (wave_ri[..., 0] + 1j * wave_ri[..., 1]) * jnp.exp(-2j * jnp.pi * cyc)
+    return jnp.stack([jnp.real(z), jnp.imag(z)], axis=-1)
+
+
+def apply_polynomial_drift(wave_ri, rate_hz_per_s: float,
                            acc_hz_per_s2: float, fs: float) -> jnp.ndarray:
     """y = x * exp(-j 2 pi (k t^2/2 + a t^3/3)) — the drift phase integral
     (frequency_correction.py:352-355, :604-611).  Set acc=0 for the linear
-    stage."""
-    n = wave_ri.shape[-2]
-    # t^2 and t^3 terms overflow float32 for long captures; accumulate the
-    # phase in float64-equivalent pieces: phase cycles mod 1 via splitting
-    t = (jnp.arange(n, dtype=jnp.float32) / fs)
-    phase = rate_hz_per_s * t * t / 2.0 + acc_hz_per_s2 * t * t * t / 3.0
-    cyc = phase - jnp.floor(phase)
-    z = (wave_ri[..., 0] + 1j * wave_ri[..., 1]) * jnp.exp(-2j * jnp.pi * cyc)
-    return jnp.stack([jnp.real(z), jnp.imag(z)], axis=-1)
+    stage.
+
+    The cumulative phase reaches ~1e6 cycles for long/high-rate captures
+    (900 Hz/s x 60 s = 1.62e6 cycles), where float32 quantisation is a
+    sizeable fraction of a cycle; the cycle count is therefore computed in
+    float64 on the host and reduced mod 1 before the float32 device rotate
+    (drift rate and acceleration are host scalars here — the corrector fits
+    them host-side — so nothing device-resident is lost).
+    """
+    n = np.shape(wave_ri)[-2]
+    t = np.arange(n, dtype=np.float64) / float(fs)
+    phase = (float(rate_hz_per_s) * t * t / 2.0
+             + float(acc_hz_per_s2) * t * t * t / 3.0)
+    cyc = (phase - np.floor(phase)).astype(np.float32)
+    return _apply_phase_cycles(jnp.asarray(wave_ri), jnp.asarray(cyc))
 
 
 def _argmax_track(wave_ri: np.ndarray, fs: float, bins_per_tone: int,

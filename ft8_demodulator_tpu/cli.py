@@ -58,13 +58,26 @@ def build_parser() -> argparse.ArgumentParser:
                         "(deeper decodes, beyond the reference)")
     p.add_argument("--deep", action="store_true",
                    help="high-sensitivity preset: osr 4x4, 40 candidates, "
-                        "min-score 1, OSD")
+                        "min-score 1, OSD (only fills in options you did "
+                        "not set explicitly — e.g. --deep --max-candidates "
+                        "100 keeps 100)")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans: fail loudly at the first "
+                        "NaN produced inside any jitted decode stage")
     return p
 
 
 def main(argv=None) -> int:
     parser = build_parser()
-    args = parser.parse_args(argv)
+    argv_list = list(sys.argv[1:] if argv is None else argv)
+    args = parser.parse_args(argv_list)
+    # options the user actually typed (vs argparse defaults), so presets
+    # like --deep never silently override an explicit flag
+    explicit = {
+        a.dest for a in parser._actions
+        if any(tok == opt or tok.startswith(opt + "=")
+               for tok in argv_list for opt in a.option_strings)
+    }
     if args.stream:
         unsupported = [name for name, val in [
             ("--freq-min", args.freq_min), ("--freq-max", args.freq_max),
@@ -88,13 +101,21 @@ def main(argv=None) -> int:
     from .demod import decode_ft8_message
     from .io import read_wave_file
 
+    if args.debug_nans:
+        from .utils.debug import enable_nan_debugging
+        enable_nan_debugging()
+
     if args.deep:
+        # the preset only fills in options the user did not type, so
+        # explicit flags (e.g. --deep --max-candidates 100) win
         from .config import DEEP_SEARCH as _D
-        args.bins_per_tone = _D.bins_per_tone
-        args.steps_per_symbol = _D.steps_per_symbol
-        args.max_candidates = _D.max_candidates
-        args.min_score = _D.min_score
-        args.osd = True
+        for name, preset in [("bins_per_tone", _D.bins_per_tone),
+                             ("steps_per_symbol", _D.steps_per_symbol),
+                             ("max_candidates", _D.max_candidates),
+                             ("min_score", _D.min_score),
+                             ("osd", True)]:
+            if name not in explicit:
+                setattr(args, name, preset)
 
     wave_data, sample_rate = read_wave_file(args.wave_file)
     print(f"Read {args.wave_file}: {len(wave_data)} samples @ {sample_rate} Hz "

@@ -55,14 +55,22 @@ def _crc_of_plain(plain: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
                                              "max_iterations", "use_osd"))
 def decode_waterfall(mag: jnp.ndarray, g: SearchGrid, max_candidates: int,
                      min_score: float, max_iterations: int = 20,
-                     use_osd: bool = False) -> SlotDecodeResult:
+                     use_osd: bool = False,
+                     min_abs_time=None) -> SlotDecodeResult:
     """Positive-frequency dB waterfall (F, T) -> SlotDecodeResult (K rows).
 
     use_osd layers ordered-statistics decoding (ops/osd.py, beyond the
     reference) over candidates whose BP decode did not yield a CRC-valid
     codeword.
+
+    min_abs_time (traced int scalar, optional) masks out candidate start
+    times below it — the sharded stream decoder uses this to keep the
+    pre-roll region active only on the shard that owns the capture start.
     """
     scores = sync_scores(mag, g)
+    if min_abs_time is not None:
+        t_idx = g.t_start + jnp.arange(g.num_times)
+        scores = jnp.where(t_idx[None, :] >= min_abs_time, scores, -jnp.inf)
     abs_time, abs_freq, score, cand_valid = find_candidates(
         scores, g, max_candidates, min_score)
 
@@ -124,16 +132,19 @@ def _format_results(res: SlotDecodeResult, hop_seconds: float,
     """Convert the fixed-shape device result into host FT8Decode rows."""
     res = jax.tree_util.tree_map(np.asarray, res)
     out: list[FT8Decode] = []
-    seen: set[int] = set()
+    seen: set[bytes] = set()
     for k in range(res.success.shape[0]):
         if not bool(res.success[k]):
             continue
         h = int(res.crc[k])
+        payload = bytes(res.payload[k].tolist())
         if deduplicate:
-            if h in seen:
+            # key on the full 10-byte payload, not the 14-bit CRC: distinct
+            # messages colliding on CRC-14 must both be reported
+            if payload in seen:
                 continue
-            seen.add(h)
-        msg = FT8Message(payload=bytes(res.payload[k].tolist()), hash=h)
+            seen.add(payload)
+        msg = FT8Message(payload=payload, hash=h)
         status = FT8DecodeStatus(
             ldpc_errors=int(res.ldpc_errors[k]),
             crc_extracted=int(res.crc_extracted[k]),
@@ -201,7 +212,7 @@ def decode_ft8_message(wave_data, sample_rate: float,
     freq_step = C.TONE_SPACING_HZ / p.freq_osr
 
     rows: list[FT8Decode] = []
-    seen_hashes: set[int] = set()
+    seen_payloads: set[bytes] = set()
     first_res = None
     for pass_idx in range(max(1, passes)):
         mag = waterfall_complex(wave_d, p, num_frames) if is_complex \
@@ -244,9 +255,9 @@ def decode_ft8_message(wave_data, sample_rate: float,
         )
         # later passes always dedup against everything already reported
         for r in new_rows:
-            if pass_idx > 0 and r.message.hash in seen_hashes:
+            if pass_idx > 0 and r.message.payload in seen_payloads:
                 continue
-            seen_hashes.add(r.message.hash)
+            seen_payloads.add(r.message.payload)
             rows.append(r)
 
         if pass_idx + 1 < max(1, passes):

@@ -38,7 +38,7 @@ class StreamSession:
         self.lookahead = (C.NUM_SYMBOLS + 1) * self.p.nperseg
         self._buffer = np.zeros(0, np.float32)
         self._offset_samples = 0      # absolute sample index of buffer[0]
-        self._seen: set[tuple[int, int]] = set()
+        self._seen: set[tuple[bytes, int]] = set()
 
     # -- streaming -----------------------------------------------------------
 
@@ -88,7 +88,9 @@ class StreamSession:
                 continue
             t_abs = int(res["abs_time"][k]) + frame_offset
             h = int(res["crc"][k])
-            key = (h, int(round(t_abs * hop_seconds / C.SLOT_PERIOD_S)))
+            # payload-keyed dedup: CRC-14 collisions must not drop messages
+            key = (bytes(res["payload"][k].tolist()),
+                   int(round(t_abs * hop_seconds / C.SLOT_PERIOD_S)))
             if key in self._seen:
                 continue
             self._seen.add(key)
@@ -111,7 +113,9 @@ class StreamSession:
 
     def save(self, path: str) -> None:
         """Snapshot the full session state to an .npz checkpoint."""
-        seen = np.array(sorted(self._seen), dtype=np.int64).reshape(-1, 2)
+        seen = np.array(
+            [list(payload) + [slot] for payload, slot in sorted(self._seen)],
+            dtype=np.int64).reshape(-1, C.PAYLOAD_BYTES + 1)
         np.savez(path, fs=self.fs, buffer=self._buffer,
                  offset=self._offset_samples, seen=seen,
                  config=np.array(list(self.config), dtype=np.float64),
@@ -130,5 +134,6 @@ class StreamSession:
                    block_seconds=float(data["block_seconds"]))
         sess._buffer = data["buffer"].astype(np.float32)
         sess._offset_samples = int(data["offset"])
-        sess._seen = {(int(a), int(b)) for a, b in data["seen"]}
+        sess._seen = {(bytes(int(v) for v in row[:-1]), int(row[-1]))
+                      for row in data["seen"]}
         return sess

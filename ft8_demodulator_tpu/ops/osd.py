@@ -244,7 +244,10 @@ def _osd_tail(llr: jnp.ndarray, order: jnp.ndarray, a: jnp.ndarray,
     # exactly its set bits, so dist_f = dist_0 + A_f . (w * (1 - 2*d0))
     d0 = jnp.abs(base - r_sorted)                        # (174,) 0/1
     dist0 = jnp.sum(w_sorted * d0)
-    delta = a_bits @ (w_sorted * (1.0 - 2.0 * d0))       # (91,)
+    # full precision: this feeds the soft-distance gate whose genuine /
+    # false-accept margin is ~0.32 vs 0.35 — bf16 rounding erodes it
+    delta = jnp.matmul(a_bits, w_sorted * (1.0 - 2.0 * d0),
+                       precision=jax.lax.Precision.HIGHEST)  # (91,)
     dist = jnp.concatenate([dist0[None], dist0 + delta])  # (92,)
 
     # CRC as a GF(2) syndrome through the permuted syndrome matrix:

@@ -164,7 +164,7 @@ def decode_stream(audio: np.ndarray, sample_rate: float,
     freq_step = C.TONE_SPACING_HZ / p.freq_osr
     block_frames = block // p.hop
     out: list[FT8Decode] = []
-    seen: set[tuple[int, int, int]] = set()
+    seen: set[tuple[int, bytes, int]] = set()
     channels, blocks, k = res.success.shape
     for c in range(channels):
         for b in range(blocks):
@@ -173,8 +173,11 @@ def decode_stream(audio: np.ndarray, sample_rate: float,
                     continue
                 t_abs = int(res.abs_time[c, b, i]) + b * block_frames
                 h = int(res.crc[c, b, i])
-                # dedup key: message hash within +-1 frame period per channel
-                key = (c, h, int(round(t_abs * hop_seconds / C.SLOT_PERIOD_S)))
+                # dedup key: payload within +-1 frame period per channel
+                # (payload, not the 14-bit CRC — CRC collisions must not
+                # drop a genuinely distinct message)
+                key = (c, bytes(res.payload[c, b, i].tolist()),
+                       int(round(t_abs * hop_seconds / C.SLOT_PERIOD_S)))
                 if key in seen:
                     continue
                 seen.add(key)

@@ -46,3 +46,33 @@ def test_summarize_slot(rng):
     assert set(m.asdict()) == {
         "candidates_found", "decodes", "unique_messages", "best_score",
         "mean_score", "mean_ldpc_errors"}
+
+
+def test_nan_debugging_toggles_and_raises():
+    import jax
+    import jax.numpy as jnp
+
+    from ft8_demodulator_tpu.utils import nan_debugging
+
+    assert not jax.config.jax_debug_nans
+    with nan_debugging():
+        assert jax.config.jax_debug_nans
+        with np.testing.assert_raises(FloatingPointError):
+            jax.jit(lambda x: jnp.log(x))(jnp.float32(-1.0)).block_until_ready()
+    assert not jax.config.jax_debug_nans
+
+
+def test_nan_debugging_env_init(monkeypatch):
+    import jax
+
+    from ft8_demodulator_tpu.utils.debug import (disable_nan_debugging,
+                                                 init_from_env)
+
+    monkeypatch.delenv("FT8_DEBUG_NANS", raising=False)
+    assert not init_from_env()
+    monkeypatch.setenv("FT8_DEBUG_NANS", "1")
+    try:
+        assert init_from_env()
+        assert jax.config.jax_debug_nans
+    finally:
+        disable_nan_debugging()

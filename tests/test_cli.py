@@ -67,3 +67,24 @@ def test_cli_stream_rejects_unsupported_flags(wav_path, capsys):
         main([path, "--stream", "--freq-min", "300"])
     with _pytest.raises(SystemExit):
         main([path, "--stream", "--passes", "2"])
+
+
+def test_cli_deep_preset_keeps_explicit_flags(wav_path, capsys, monkeypatch):
+    """--deep fills only unset options: an explicit --max-candidates wins."""
+    import ft8_demodulator_tpu.demod as demod
+
+    seen = {}
+    orig = demod.decode_ft8_message
+
+    def spy(*a, **kw):
+        seen.update(kw)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr("ft8_demodulator_tpu.demod.decode_ft8_message", spy)
+    path, _ = wav_path
+    assert main([path, "--deep", "--max-candidates", "24",
+                 "--bins-per-tone", "2", "--steps-per-symbol", "2"]) == 0
+    assert seen["max_candidates"] == 24      # explicit flag kept
+    assert seen["bins_per_tone"] == 2        # explicit flag kept
+    assert seen["min_score"] == 1.0          # preset filled in
+    assert seen["use_osd"] is True           # preset filled in

@@ -122,3 +122,42 @@ def test_decode_duplicates_without_dedup(rng):
     ded = decode_ft8_message(wave, fs, min_score=1.0, deduplicate=True)
     assert len(ded) == 1
     assert len(dup) >= len(ded)
+
+
+def test_crc14_collision_reports_both_messages(rng):
+    """Dedup keys on the 10-byte payload: two DISTINCT messages that collide
+    on CRC-14 (the 14-bit message hash) must both be reported (ADVICE r1)."""
+    from ft8_demodulator_tpu.protocol import constants as C
+
+    def crc14(payload):
+        bits = np.unpackbits(payload)[:77].astype(np.int64)
+        crc_bits = (C.CRC_MATRIX_77.astype(np.int64) @ bits) % 2
+        return int(crc_bits @ (1 << np.arange(13, -1, -1)))
+
+    base = PAYLOAD.copy()
+    base[9] &= 0xF8
+    target = crc14(base)
+    # vectorized search over the first two bytes for a colliding payload
+    cand = np.tile(base, (65536, 1))
+    cand[:, 0] = np.arange(65536) >> 8
+    cand[:, 1] = np.arange(65536) & 0xFF
+    bits = np.unpackbits(cand, axis=1)[:, :77].astype(np.int64)
+    crcs = (bits @ C.CRC_MATRIX_77.T.astype(np.int64)) % 2
+    crcs = crcs @ (1 << np.arange(13, -1, -1))
+    hits = np.flatnonzero((crcs == target)
+                          & ~(cand == base).all(axis=1))
+    assert hits.size > 0
+    other = cand[hits[0]]
+    assert crc14(other) == target and not np.array_equal(other, base)
+
+    fs = 2000.0
+    w1 = np.asarray(ft8_passband(base, fs, 350.0, 0.0))
+    w2 = np.asarray(ft8_passband(other, fs, 750.0, 0.0))
+    sig = np.zeros(int(fs * 15), np.float32)
+    sig[: len(w1)] += w1
+    sig[: len(w2)] += w2
+    sig += rng.standard_normal(len(sig)).astype(np.float32) * 0.05
+    payloads = {r.message.payload for r in
+                decode_ft8_message(sig, fs, deduplicate=True)}
+    assert bytes(base.tolist()) in payloads
+    assert bytes(other.tolist()) in payloads
