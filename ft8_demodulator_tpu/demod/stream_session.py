@@ -52,15 +52,22 @@ class StreamSession:
         return out
 
     def flush(self) -> list[FT8Decode]:
-        """Decode whatever remains (end of stream)."""
+        """Decode whatever remains (end of stream).
+
+        The final partial block searches EVERY remaining start time — also
+        the ones past the last full block boundary — so a transmission
+        clipped at the end of the capture is still found.
+        """
         out: list[FT8Decode] = []
-        while len(self._buffer) >= self.p.nperseg:
+        while len(self._buffer) >= self.block_len + self.lookahead:
+            out.extend(self._decode_block())
+        if len(self._buffer) >= self.p.nperseg:
             out.extend(self._decode_block(final=True))
-            if len(self._buffer) < self.block_len + self.lookahead:
-                break
         return out
 
     def _decode_block(self, final: bool = False) -> list[FT8Decode]:
+        from ..ops.sync import PRE_ROLL_SYMBOLS
+
         cfg = self.config
         take = min(len(self._buffer), self.block_len + self.lookahead)
         chunk = self._buffer[:take]
@@ -69,10 +76,16 @@ class StreamSession:
         num_frames = self.p.num_frames(len(chunk))
         mag = waterfall_real(jnp.asarray(chunk), self.p, num_frames)
         block_frames = self.block_len // self.p.hop
+        # the very first block scans the slot decoder's 10-symbol pre-roll
+        # (a transmission clipped at capture start still decodes); a final
+        # flush block scans every start time backed by real samples
+        t_start = -PRE_ROLL_SYMBOLS * self.p.time_osr \
+            if self._offset_samples == 0 else 0
+        t_stop = self.p.num_frames(take) if final else block_frames
         g = SearchGrid(
             time_osr=self.p.time_osr, freq_osr=self.p.freq_osr,
             num_blocks=num_frames // self.p.time_osr,
-            t_start=0, num_times=block_frames,
+            t_start=t_start, num_times=t_stop - t_start,
             num_freqs=max(0, self.p.num_freq_bins - 7 * self.p.freq_osr),
         )
         res = decode_waterfall(mag, g, cfg.max_candidates, cfg.min_score,
@@ -105,8 +118,9 @@ class StreamSession:
                 freq_hz=float(res["abs_freq"][k]) * freq_step,
                 score=float(res["score"][k]),
             ))
-        self._buffer = self._buffer[self.block_len:]
-        self._offset_samples += self.block_len
+        consumed = take if final else self.block_len
+        self._buffer = self._buffer[consumed:]
+        self._offset_samples += consumed
         return out
 
     # -- checkpoint / resume ---------------------------------------------------

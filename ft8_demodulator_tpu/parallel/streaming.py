@@ -41,19 +41,28 @@ def stream_halo_samples(p: WaterfallParams) -> int:
 
 def _local_grid(p: WaterfallParams, block_frames: int,
                 ext_frames: int) -> SearchGrid:
-    """Search grid owning start times [0, block) against the extended view."""
+    """Search grid over start times [-pre_roll, block) of the extended view.
+
+    The pre-roll region (the slot decoder's 10-symbol scan before t=0,
+    ops/sync.py PRE_ROLL_SYMBOLS, reference ft8_decode.py:108) is only kept
+    active on the shard owning the capture start — interior shards mask it
+    via decode_waterfall's min_abs_time, since those start times belong to
+    the left neighbour's [0, block) range.
+    """
+    from ..ops.sync import PRE_ROLL_SYMBOLS
+
     ext_blocks = ext_frames // p.time_osr
-    num_times = block_frames  # start times 0 .. block_frames-1
+    t_start = -PRE_ROLL_SYMBOLS * p.time_osr
     return SearchGrid(
         time_osr=p.time_osr, freq_osr=p.freq_osr, num_blocks=ext_blocks,
-        t_start=0, num_times=num_times,
+        t_start=t_start, num_times=block_frames - t_start,
         num_freqs=max(0, p.num_freq_bins - 7 * p.freq_osr),
     )
 
 
 def _decode_block(block: jnp.ndarray, halo: jnp.ndarray, p: WaterfallParams,
                   max_candidates: int, min_score: float,
-                  max_iterations: int) -> SlotDecodeResult:
+                  max_iterations: int, min_abs_time=None) -> SlotDecodeResult:
     """One shard's work: extend with the right halo, decode locally-owned
     start times."""
     extended = jnp.concatenate([block, halo], axis=-1)
@@ -61,7 +70,8 @@ def _decode_block(block: jnp.ndarray, halo: jnp.ndarray, p: WaterfallParams,
     block_frames = block.shape[-1] // p.hop
     mag = waterfall_real(extended, p, ext_frames)
     g = _local_grid(p, block_frames, ext_frames)
-    return decode_waterfall(mag, g, max_candidates, min_score, max_iterations)
+    return decode_waterfall(mag, g, max_candidates, min_score, max_iterations,
+                            min_abs_time=min_abs_time)
 
 
 @functools.partial(
@@ -90,8 +100,11 @@ def decode_stream_sharded(audio: jnp.ndarray, p: WaterfallParams, mesh: Mesh,
         # device i receives the head of device i+1 (zeros at the stream end)
         perm = [(i, i - 1) for i in range(1, n_stream)]
         halo = jax.lax.ppermute(head, "stream", perm)
+        # pre-roll start times are live only on the first stream shard
+        first = jax.lax.axis_index("stream") == 0
+        min_t = jnp.where(first, jnp.int32(-(1 << 30)), jnp.int32(0))
         decode = jax.vmap(lambda b, h: _decode_block(
-            b, h, p, max_candidates, min_score, max_iterations))
+            b, h, p, max_candidates, min_score, max_iterations, min_t))
         rows = local.shape[0]
         # XLA's decode fusions degrade at wide vmaps (see DESIGN_NOTES):
         # map narrow chunks when the channel count allows it

@@ -77,3 +77,26 @@ def test_stream_decode_chunked_channel_rows(rng):
     results = decode_stream(audio, FS, mesh=mesh, min_score=4.0)
     payloads = {r.message.payload.hex() for r in results}
     assert payloads == {PAYLOAD_A.tobytes().hex(), PAYLOAD_B.tobytes().hex()}
+
+
+def test_stream_decodes_transmission_clipped_at_capture_start(rng):
+    """A transmission whose first second happened before the capture began
+    must decode via the sharded stream path exactly like the slot decoder
+    (pre-roll search window, reference ft8_decode.py:108), exactly once."""
+    from ft8_demodulator_tpu.demod import decode_ft8_message
+
+    wa = np.asarray(ft8_passband(PAYLOAD_A, FS, 400.0, 0.0))
+    clipped = wa[int(1.0 * FS):]               # first 1 s lost
+    n = int(FS * 120)
+    stream = (rng.standard_normal(n) * 0.02).astype(np.float32)
+    stream[: len(clipped)] += clipped
+
+    # the slot decoder finds it at t ~ -1 s
+    direct = decode_ft8_message(stream[: int(15 * FS)], FS, min_score=4.0)
+    d_rows = [(r.message.payload.hex(), round(r.time_sec)) for r in direct]
+    assert (PAYLOAD_A.tobytes().hex(), -1) in d_rows
+
+    mesh = make_mesh(stream=8, channel=1)
+    results = decode_stream(stream, FS, mesh=mesh, min_score=4.0)
+    rows = [(r.message.payload.hex(), round(r.time_sec)) for r in results]
+    assert rows == [(PAYLOAD_A.tobytes().hex(), -1)]
