@@ -76,6 +76,20 @@ def decode_waterfall(mag: jnp.ndarray, g: SearchGrid, max_candidates: int,
 
     llrs = extract_llrs(mag, abs_time, abs_freq, g.time_osr, g.freq_osr,
                         g.num_blocks)
+    return finish_decode(llrs, abs_time, abs_freq, score, cand_valid,
+                         max_iterations, use_osd)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iterations", "use_osd"))
+def finish_decode(llrs: jnp.ndarray, abs_time: jnp.ndarray,
+                  abs_freq: jnp.ndarray, score: jnp.ndarray,
+                  cand_valid: jnp.ndarray, max_iterations: int = 20,
+                  use_osd: bool = False) -> SlotDecodeResult:
+    """(K, 174) LLRs + candidate metadata -> SlotDecodeResult.
+
+    The back half of decode_waterfall (BP -> CRC -> payload pack), split out
+    so sharded front-ends (parallel/tensor.py) can run it on gathered LLRs.
+    """
     plain, ldpc_errors = bp_decode_batch(llrs, max_iterations)
 
     if use_osd:

@@ -52,6 +52,7 @@ __all__ = [
     "waterfall_params",
     "frame_signal",
     "waterfall_real",
+    "waterfall_real_band",
     "waterfall_complex",
     "calculate_spectrogram",
 ]
@@ -305,6 +306,96 @@ def waterfall_real(wave: jnp.ndarray, p: WaterfallParams, num_frames: int,
                                 num_frames)
     frames = frame_signal(wave, p.nperseg, p.hop, num_frames)
     return _waterfall(frames, None, p, backend)
+
+
+def _pad_cols(m: np.ndarray, total: int) -> jnp.ndarray:
+    """Zero-pad a host constant's last axis to `total` columns."""
+    return jnp.asarray(np.pad(m, [(0, 0)] * (m.ndim - 1)
+                              + [(0, max(0, total - m.shape[-1]))]))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("p", "num_frames", "band_rows", "backend"))
+def waterfall_real_band(wave: jnp.ndarray, p: WaterfallParams,
+                        num_frames: int, row_start: jnp.ndarray,
+                        band_rows: int,
+                        backend: str | None = None) -> jnp.ndarray:
+    """dB waterfall rows [row_start, row_start + band_rows) only.
+
+    The tensor-parallel front-end (SURVEY §2.3 TP row): each mesh shard
+    materialises just its frequency band (plus the 7-tone sync/LLR stencil
+    halo) by slicing the DFT-matrix COLUMNS at a traced offset — each output
+    bin is an independent dot product, so the band is bit-identical to the
+    same rows of :func:`waterfall_real`.  row_start may be a traced int32
+    (e.g. ``axis_index * band``).  Rows at or past nfft//2 read zero-padded
+    matrix columns and are MEANINGLESS (near the edge they still catch real
+    stencil taps) — callers must mask them out, as decode_slot_tp does.
+    """
+    backend = _pick_backend(p, backend)
+    phi = p.freq_osr
+    row_start = jnp.asarray(row_start, jnp.int32)
+    if backend == "block":
+        nb = num_frames + p.time_osr - 1
+        blocks = wave[..., : nb * p.hop].reshape(*wave.shape[:-1], nb, p.hop)
+        cos_m, sin_m = _block_dft_matrices(p.hop, p.nfft, p.num_freq_bins,
+                                           p.freq_osr)
+        wc, ws = _block_combine_phases(p)
+        # extended-axis column c maps to DFT bin k = c - phi; the band's
+        # extended slice starts at global extended column = row_start
+        width = band_rows + 2 * phi
+        total = p.num_freq_bins + 2 * phi + band_rows   # slice always fits
+        slc = functools.partial(jax.lax.dynamic_slice_in_dim,
+                                start_index=row_start, slice_size=width,
+                                axis=-1)
+
+        def mm(a, b):
+            return jnp.matmul(a, b, precision=_DFT_PRECISION,
+                              preferred_element_type=jnp.float32)
+
+        pr = mm(blocks, slc(_pad_cols(cos_m, total)))
+        pi = mm(blocks, slc(_pad_cols(sin_m, total)))
+        wc_b = slc(_pad_cols(wc, total))
+        ws_b = slc(_pad_cols(ws, total))
+        ur = jnp.zeros(pr.shape[:-2] + (num_frames, width), jnp.float32)
+        ui = ur
+        for s in range(p.time_osr):
+            prs = pr[..., s: s + num_frames, :]
+            pis = pi[..., s: s + num_frames, :]
+            ur = ur + prs * wc_b[s] - pis * ws_b[s]
+            ui = ui + prs * ws_b[s] + pis * wc_b[s]
+        k0, k1 = phi, phi + band_rows
+
+        def hann(u):
+            return (0.5 * u[..., k0:k1] - 0.25 * u[..., k0 - phi: k1 - phi]
+                    - 0.25 * u[..., k0 + phi: k1 + phi])
+
+        xr, xi = hann(ur), hann(ui)
+        power = xr * xr + xi * xi
+    elif backend == "matmul":
+        frames = frame_signal(wave, p.nperseg, p.hop, num_frames)
+        cos_m, sin_m = _dft_matrices(p.nperseg, p.nfft)
+        total = p.num_freq_bins + band_rows
+        slc = functools.partial(jax.lax.dynamic_slice_in_dim,
+                                start_index=row_start, slice_size=band_rows,
+                                axis=-1)
+
+        def mm(a, b):
+            return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST,
+                              preferred_element_type=jnp.float32)
+
+        rr = mm(frames, slc(_pad_cols(cos_m, total)))
+        ri = mm(frames, slc(_pad_cols(sin_m, total)))
+        power = rr * rr + ri * ri
+    else:
+        full = waterfall_real(wave, p, num_frames, backend=backend)
+        padded = jnp.pad(full, [(0, 0)] * (full.ndim - 2)
+                         + [(0, band_rows), (0, 0)],
+                         constant_values=10.0 * np.log10(_DB_FLOOR))
+        return jax.lax.dynamic_slice_in_dim(padded, row_start, band_rows,
+                                            axis=-2)
+    scale = 1.0 / float(np.sum(_hann_periodic(p.nperseg)) ** 2)
+    mag_db = 10.0 * jnp.log10(_DB_FLOOR + power * scale)
+    return jnp.swapaxes(mag_db, -1, -2)
 
 
 @functools.partial(jax.jit, static_argnames=("p", "num_frames", "backend"))

@@ -1,0 +1,9 @@
+"""Parallelism: device meshes, sequence-sharded streaming, tensor-sharded
+single-slot decode."""
+
+from .mesh import make_freq_mesh, make_mesh
+from .streaming import decode_stream, decode_stream_sharded
+from .tensor import decode_slot_tp
+
+__all__ = ["make_mesh", "make_freq_mesh", "decode_stream",
+           "decode_stream_sharded", "decode_slot_tp"]

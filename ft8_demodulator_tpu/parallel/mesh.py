@@ -17,7 +17,7 @@ import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "P", "NamedSharding"]
+__all__ = ["make_mesh", "make_freq_mesh", "P", "NamedSharding"]
 
 
 def make_mesh(stream: int = 1, channel: int = 1,
@@ -31,3 +31,13 @@ def make_mesh(stream: int = 1, channel: int = 1,
             f"have {len(devices)}")
     grid = np.array(devices[:need]).reshape(channel, stream)
     return Mesh(grid, axis_names=("channel", "stream"))
+
+
+def make_freq_mesh(freq: int, devices=None) -> Mesh:
+    """1-D ``freq`` mesh for tensor-parallel single-slot decoding
+    (parallel/tensor.py): the slot's frequency grid is sharded over it."""
+    devices = list(jax.devices()) if devices is None else list(devices)
+    if freq > len(devices):
+        raise ValueError(f"freq mesh needs {freq} devices, "
+                         f"have {len(devices)}")
+    return Mesh(np.array(devices[:freq]), axis_names=("freq",))

