@@ -100,3 +100,77 @@ def test_compat_modulator_chain_matches_baseband(goldens):
     wave = compat.ft8_modulation_waveform_generator(track, fs, f0)
     ref = compat.ft8_baseband_generator(goldens["p1_payload"], fs, f0)
     np.testing.assert_allclose(wave, ref, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# live-reference fuzz parity (skipped when /root/reference is not mounted)
+# ---------------------------------------------------------------------------
+
+import pytest  # noqa: E402
+
+_REF = "/root/reference/src"
+
+
+def _reference_or_skip():
+    import os
+    import sys
+    if not os.path.isdir(_REF):
+        pytest.skip("reference tree not mounted")
+    if _REF not in sys.path:
+        sys.path.insert(0, _REF)
+    try:
+        from ft8_tools.ft8_generator import crc as ref_crc          # noqa
+        from ft8_tools.ft8_generator import encoder as ref_encoder  # noqa
+        from ft8_tools.ft8_generator import ldpc as ref_ldpc        # noqa
+        from ft8_tools.ft8_generator import modulator as ref_mod    # noqa
+    except Exception as e:                       # pragma: no cover
+        pytest.skip(f"reference import failed: {e}")
+    return ref_crc, ref_ldpc, ref_encoder, ref_mod
+
+
+def _random_payloads(rng, n):
+    p = rng.integers(0, 256, size=(n, 10), dtype=np.uint8)
+    p[:, 9] &= 0xF8      # 77-bit field
+    return p
+
+
+def test_fuzz_crc_ldpc_encode_vs_live_reference(rng):
+    """Value-identical compat vs the live reference on random payloads:
+    calc_crc, crc_generator (a91), ldpc_generator (codeword), ft8_encode
+    (79 tones).  Makes PARITY.md's fuzz claim a standing, reproducible
+    test (VERDICT r1 weak #6)."""
+    ref_crc, ref_ldpc, ref_encoder, _ = _reference_or_skip()
+
+    for payload in _random_payloads(rng, 50):
+        a91_ref = ref_crc.crc_generator(payload.copy())
+        a91 = compat.crc_generator(payload)
+        np.testing.assert_array_equal(a91, a91_ref)
+
+        # bit-serial CRC over the first 82 bits (a91 layout)
+        msg = np.asarray(a91[:12], dtype=np.uint8)
+        assert compat.calc_crc(msg, 82) == ref_crc.calc_crc(msg.copy(), 82)
+
+        cw_ref = ref_ldpc.ldpc_generator(np.asarray(a91_ref))
+        cw = compat.ldpc_generator(a91)
+        np.testing.assert_array_equal(cw, cw_ref)
+
+        tones_ref = ref_encoder.ft8_encode(payload.copy())
+        tones = compat.ft8_encode(payload)
+        np.testing.assert_array_equal(tones, tones_ref)
+
+
+def test_fuzz_waveforms_vs_live_reference(rng):
+    """GFSK baseband + passband waveforms match the reference per-sample
+    phase-accumulation loop to float32 tolerance on random payloads."""
+    *_, ref_mod = _reference_or_skip()
+
+    fs, f0, fc = 2000.0, 350.0, 500.0
+    for payload in _random_payloads(rng, 3):
+        bb_ref = ref_mod.ft8_baseband_generator(payload.copy(), fs, f0)
+        bb = np.asarray(compat.ft8_baseband_generator(payload, fs, f0))
+        assert bb.shape == bb_ref.shape
+        np.testing.assert_allclose(bb, bb_ref, atol=2e-3)
+
+        pb_ref = ref_mod.ft8_generator(payload.copy(), fs, f0, fc)
+        pb = np.asarray(compat.ft8_generator(payload, fs, f0, fc))
+        np.testing.assert_allclose(pb, pb_ref, atol=2e-3)
