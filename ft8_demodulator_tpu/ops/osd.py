@@ -215,9 +215,15 @@ def _osd_pallas_ok() -> bool:
         return False
 
 
+def _pair_indices(p: int) -> tuple[np.ndarray, np.ndarray]:
+    i, j = np.triu_indices(p, k=1)
+    return i.astype(np.int32), j.astype(np.int32)
+
+
 def _osd_tail(llr: jnp.ndarray, order: jnp.ndarray, a: jnp.ndarray,
-              pcol: jnp.ndarray, lam: float):
-    """Order-0/1 search given one candidate's reduced packed basis.
+              pcol: jnp.ndarray, lam: float, order2: int = 0):
+    """Order-0/1 (+ partial order-2) search given one candidate's reduced
+    packed basis.
 
     llr (174,), order (174,) reliability permutation, a (91, W) packed
     reduced basis, pcol (91,) pivot columns.  Returns (plain, ok).
@@ -228,6 +234,12 @@ def _osd_tail(llr: jnp.ndarray, order: jnp.ndarray, a: jnp.ndarray,
     syndrome through a reliability-PERMUTED syndrome matrix, so nothing of
     size (92, 174) is ever gathered back to natural bit order — only the
     single winning codeword is.
+
+    order2 > 0 additionally tries XOR-pairs of the `order2` LEAST-reliable
+    pivot rows (WSJT-X's deeper OSD searches; pairs of low-reliability
+    pivots are where double bit errors concentrate).  A pair's flip pattern
+    is a_i XOR a_j, whose overlap correction is one tiny (P,174)x(174,P)
+    matmul: dist_ij = dist0 + d_i + d_j - 2 * (a_i*a_j) . u.
     """
     w = jnp.abs(llr)
     r = (llr > 0).astype(jnp.float32)
@@ -246,7 +258,8 @@ def _osd_tail(llr: jnp.ndarray, order: jnp.ndarray, a: jnp.ndarray,
     dist0 = jnp.sum(w_sorted * d0)
     # full precision: this feeds the soft-distance gate whose genuine /
     # false-accept margin is ~0.32 vs 0.35 — bf16 rounding erodes it
-    delta = jnp.matmul(a_bits, w_sorted * (1.0 - 2.0 * d0),
+    u = w_sorted * (1.0 - 2.0 * d0)
+    delta = jnp.matmul(a_bits, u,
                        precision=jax.lax.Precision.HIGHEST)  # (91,)
     dist = jnp.concatenate([dist0[None], dist0 + delta])  # (92,)
 
@@ -261,10 +274,27 @@ def _osd_tail(llr: jnp.ndarray, order: jnp.ndarray, a: jnp.ndarray,
     crc_ok = jnp.sum(synd, axis=0) == 0
 
     # reject the all-zero codeword (matches BP's zero-codeword guard)
+    v2 = 1.0 - 2.0 * base
+    dones = a_bits @ v2                                  # (91,)
     ones0 = jnp.sum(base)
-    ones = jnp.concatenate(
-        [ones0[None], ones0 + a_bits @ (1.0 - 2.0 * base)])
-    crc_ok = crc_ok & (ones > 0.5)
+    crc_ok = crc_ok & (jnp.concatenate([ones0[None], ones0 + dones]) > 0.5)
+
+    if order2 > 0:
+        hp = jax.lax.Precision.HIGHEST
+        pi, pj = _pair_indices(order2)
+        _, rows = jax.lax.top_k(pcol, order2)    # least-reliable pivot rows
+        a_sub = a_bits[rows]                              # (P, 174)
+        d_sub = delta[rows]
+        ov = jnp.matmul(a_sub * u, a_sub.T, precision=hp)  # overlap . u
+        dist2 = dist0 + d_sub[pi] + d_sub[pj] - 2.0 * ov[pi, pj]
+        sa_sub = sa[:, rows]
+        synd2 = jnp.mod(sb[:, None] + sa_sub[:, pi] + sa_sub[:, pj], 2.0)
+        crc2 = jnp.sum(synd2, axis=0) == 0
+        ov2 = jnp.matmul(a_sub * v2, a_sub.T, precision=hp)
+        dn_sub = dones[rows]
+        ones2 = ones0 + dn_sub[pi] + dn_sub[pj] - 2.0 * ov2[pi, pj]
+        dist = jnp.concatenate([dist, dist2])
+        crc_ok = jnp.concatenate([crc_ok, crc2 & (ones2 > 0.5)])
 
     nonpivot_mass = jnp.sum(w) - jnp.sum(w_sorted[pcol])
     gate = dist <= lam * nonpivot_mass
@@ -275,9 +305,15 @@ def _osd_tail(llr: jnp.ndarray, order: jnp.ndarray, a: jnp.ndarray,
     ok = jnp.isfinite(masked[best])
 
     # materialise only the winner in natural bit order
-    flip = jnp.where(best > 0,
-                     a_bits[jnp.maximum(best - 1, 0)],
+    flip = jnp.where((best > 0) & (best <= _K),
+                     a_bits[jnp.clip(best - 1, 0, _K - 1)],
                      jnp.zeros((_N,), jnp.float32))
+    if order2 > 0:
+        pair = jnp.clip(best - (_K + 1), 0, len(pi) - 1)
+        i_sel = jnp.asarray(pi)[pair]
+        j_sel = jnp.asarray(pj)[pair]
+        flip2 = jnp.mod(a_sub[i_sel] + a_sub[j_sel], 2.0)
+        flip = jnp.where(best > _K, flip2, flip)
     win_sorted = jnp.mod(base + flip, 2.0)
     inv = jnp.argsort(order)
     return win_sorted[inv].astype(jnp.int32), ok
@@ -298,10 +334,18 @@ _CRC_WEIGHTS = jnp.asarray(2 ** np.arange(C.CRC_BITS - 1, -1, -1),
                            dtype=jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("lam", "force_jnp"))
+DEFAULT_ORDER2 = 16
+
+
+@functools.partial(jax.jit, static_argnames=("lam", "force_jnp", "order2"))
 def osd_decode_batch(llrs: jnp.ndarray, lam: float = DEFAULT_LAMBDA,
-                     force_jnp: bool = False):
-    """(..., 174) LLRs -> (plain (..., 174) int32, accepted (...,) bool)."""
+                     force_jnp: bool = False, order2: int = DEFAULT_ORDER2):
+    """(..., 174) LLRs -> (plain (..., 174) int32, accepted (...,) bool).
+
+    order2: number of least-reliable pivot rows whose XOR-pairs are also
+    searched (partial order-2, C(order2, 2) extra flip patterns per
+    candidate); 0 restores the pure order-1 search.
+    """
     flat = llrs.reshape(-1, _N)
     order = jnp.argsort(-jnp.abs(flat), axis=-1)         # (B, 174)
     # per-candidate column permutation of the shared basis
@@ -314,7 +358,7 @@ def osd_decode_batch(llrs: jnp.ndarray, lam: float = DEFAULT_LAMBDA,
         red, pcol = jax.vmap(_reduce_basis_packed)(a_packed)
 
     plain, ok = jax.vmap(
-        lambda l, o, a, p: _osd_tail(l, o, a, p, lam)
+        lambda l, o, a, p: _osd_tail(l, o, a, p, lam, order2)
     )(flat, order, red, pcol)
     return (plain.reshape(*llrs.shape[:-1], _N),
             ok.reshape(llrs.shape[:-1]))

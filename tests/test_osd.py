@@ -91,3 +91,39 @@ def test_pallas_elimination_matches_jnp_interpret():
     r1, p1 = jax.vmap(O._reduce_basis_packed)(a_packed)
     r2, p2 = O._reduce_basis_pallas_batch(a_packed, interpret=True)
     assert bool(jnp.all(r1 == r2)) and bool(jnp.all(p1 == p2))
+
+
+def test_osd_order2_recovers_double_pivot_errors():
+    """Construct LLRs where TWO low-reliability pivot bits are wrong: the
+    order-1 search cannot fix both with one flip, partial order-2 can."""
+    rng = np.random.default_rng(11)
+    cw = _codewords(rng, 40)
+    # reliability design: two WRONG bits at |llr|=2 rank just above a mass
+    # of correct |llr|=1 bits, so they enter the pivot set near its bottom
+    # — order-0/1 re-derivation keeps (or singly fixes) them and fails the
+    # CRC; only an XOR-pair flip of both pivots recovers the codeword
+    llr = (2 * cw - 1) * 4.0
+    for r in range(cw.shape[0]):
+        picks = rng.choice(174, size=87, replace=False)
+        wrong, weak = picks[:2], picks[2:]
+        llr[r, weak] *= 0.25          # correct, low reliability: non-pivots
+        llr[r, wrong] *= -0.5         # wrong, bottom-of-pivot reliability
+    llr = jnp.asarray(llr.astype(np.float32))
+    p1, ok1 = osd_decode_batch(llr, order2=0)
+    p2, ok2 = osd_decode_batch(llr, order2=16)
+    right1 = np.asarray(ok1) & (np.asarray(p1) == cw).all(axis=1)
+    right2 = np.asarray(ok2) & (np.asarray(p2) == cw).all(axis=1)
+    wrong2 = np.asarray(ok2) & ~(np.asarray(p2) == cw).all(axis=1)
+    assert wrong2.sum() == 0
+    assert right2.sum() > right1.sum()          # order-2 adds real decodes
+    assert right2.sum() >= 30
+
+
+def test_osd_order2_rejects_pure_noise():
+    """The deeper search must not raise the false-accept rate: 400 pure
+    noise vectors through the order-2 path accept nothing."""
+    rng = np.random.default_rng(12)
+    llr = jnp.asarray((rng.standard_normal((400, 174)) * 4.0)
+                      .astype(np.float32))
+    _, ok = osd_decode_batch(llr, order2=16)
+    assert np.asarray(ok).sum() == 0
