@@ -1,9 +1,11 @@
 """Parallelism: device meshes, sequence-sharded streaming, tensor-sharded
-single-slot decode."""
+single-slot decode, pipelined decode."""
 
-from .mesh import make_freq_mesh, make_mesh
+from .mesh import make_freq_mesh, make_mesh, make_stage_mesh
+from .pipeline import decode_slots_pipelined
 from .streaming import decode_stream, decode_stream_sharded
 from .tensor import decode_slot_tp
 
-__all__ = ["make_mesh", "make_freq_mesh", "decode_stream",
-           "decode_stream_sharded", "decode_slot_tp"]
+__all__ = ["make_mesh", "make_freq_mesh", "make_stage_mesh",
+           "decode_stream", "decode_stream_sharded", "decode_slot_tp",
+           "decode_slots_pipelined"]

@@ -17,7 +17,8 @@ import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "make_freq_mesh", "P", "NamedSharding"]
+__all__ = ["make_mesh", "make_freq_mesh", "make_stage_mesh", "P",
+           "NamedSharding"]
 
 
 def make_mesh(stream: int = 1, channel: int = 1,
@@ -31,6 +32,15 @@ def make_mesh(stream: int = 1, channel: int = 1,
             f"have {len(devices)}")
     grid = np.array(devices[:need]).reshape(channel, stream)
     return Mesh(grid, axis_names=("channel", "stream"))
+
+
+def make_stage_mesh(stages: int = 2, devices=None) -> Mesh:
+    """1-D ``stage`` mesh for the pipelined decode (parallel/pipeline.py)."""
+    devices = list(jax.devices()) if devices is None else list(devices)
+    if stages > len(devices):
+        raise ValueError(f"stage mesh needs {stages} devices, "
+                         f"have {len(devices)}")
+    return Mesh(np.array(devices[:stages]), axis_names=("stage",))
 
 
 def make_freq_mesh(freq: int, devices=None) -> Mesh:
