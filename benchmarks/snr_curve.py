@@ -28,7 +28,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def run_curve(fs: float, snrs, trials: int, f0: float = None,
               min_score: float = 1.0, max_candidates: int = 20,
               seed: int = 0, bins_per_tone: int = 2,
-              steps_per_symbol: int = 2, use_osd: bool = False):
+              steps_per_symbol: int = 2, use_osd: bool = False,
+              use_mf: bool = False):
     """Returns (snr_list, success_rate_list, wall_seconds)."""
     import jax
     import jax.numpy as jnp
@@ -64,7 +65,8 @@ def run_curve(fs: float, snrs, trials: int, f0: float = None,
     def decode_batch(waves):
         return jax.vmap(lambda w: decode_slot(
             w, p, num_frames, max_candidates=max_candidates,
-            min_score=min_score, max_iterations=20, use_osd=use_osd))(waves)
+            min_score=min_score, max_iterations=20, use_osd=use_osd,
+            use_mf=use_mf))(waves)
 
     payloads_d = jnp.asarray(payloads)
     expected = payloads.copy()
@@ -99,6 +101,8 @@ def main():
     ap.add_argument("--max-candidates", type=int, default=20)
     ap.add_argument("--osd", action="store_true",
                     help="layer ordered-statistics decoding over BP")
+    ap.add_argument("--mf", action="store_true",
+                    help="matched-filter LLR retry (beyond the reference)")
     args = ap.parse_args()
 
     snrs = np.arange(args.snr_start, args.snr_stop + 1e-9, args.snr_step)
@@ -107,13 +111,14 @@ def main():
                                       bins_per_tone=args.bins_per_tone,
                                       steps_per_symbol=args.steps_per_symbol,
                                       max_candidates=args.max_candidates,
-                                      use_osd=args.osd)
+                                      use_osd=args.osd, use_mf=args.mf)
     passing = [s for s, r in zip(snr_list, rates) if r >= 0.5]
     print(json.dumps({
         "fs": args.fs,
         "osr": [args.bins_per_tone, args.steps_per_symbol],
         "max_candidates": args.max_candidates,
         "osd": args.osd,
+        "mf": args.mf,
         "trials_per_point": args.trials,
         "snr_db": snr_list,
         "success_rate": rates,

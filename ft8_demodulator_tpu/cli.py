@@ -56,6 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--osd", action="store_true",
                    help="layer ordered-statistics decoding over BP "
                         "(deeper decodes, beyond the reference)")
+    p.add_argument("--mf", action="store_true",
+                   help="matched-filter LLR retry for candidates BP/OSD "
+                        "could not decode (~+1.3 dB, beyond the reference)")
     p.add_argument("--deep", action="store_true",
                    help="high-sensitivity preset: osr 4x4, 40 candidates, "
                         "min-score 1, OSD (only fills in options you did "
@@ -113,7 +116,7 @@ def main(argv=None) -> int:
                              ("steps_per_symbol", _D.steps_per_symbol),
                              ("max_candidates", _D.max_candidates),
                              ("min_score", _D.min_score),
-                             ("osd", True)]:
+                             ("osd", True), ("mf", True)]:
             if name not in explicit:
                 setattr(args, name, preset)
 
@@ -150,7 +153,7 @@ def main(argv=None) -> int:
                           max_candidates=args.max_candidates,
                           min_score=args.min_score,
                           max_iterations=args.max_iterations,
-                          use_osd=args.osd),
+                          use_osd=args.osd, use_mf=args.mf),
             block_seconds=args.block_seconds)
         results = []
         chunk = max(session.block_len, int(sample_rate))
@@ -172,6 +175,7 @@ def main(argv=None) -> int:
             return_metrics=args.metrics,
             passes=args.passes,
             use_osd=args.osd,
+            use_mf=args.mf,
         )
         if args.metrics:
             import json

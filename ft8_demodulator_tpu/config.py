@@ -25,6 +25,7 @@ class DecoderConfig(NamedTuple):
     min_score: float = 10.0      # sync-score acceptance threshold
     max_iterations: int = 20     # LDPC BP iterations
     use_osd: bool = False        # ordered-statistics decode after BP
+    use_mf: bool = False         # matched-filter LLR retry after BP(+OSD)
 
     def waterfall(self, fs: float) -> WaterfallParams:
         return waterfall_params(fs, self.bins_per_tone,
@@ -33,7 +34,8 @@ class DecoderConfig(NamedTuple):
 
 # the reference's standard operating points, for convenience
 STANDARD = DecoderConfig()
-# high-sensitivity preset: measured 0.5 dB deeper than STANDARD at the fs-2kHz
-# cliff (benchmarks/results/sensitivity_presets_v5e.json)
+# high-sensitivity preset: measured ~1.5 dB deeper than STANDARD at the
+# fs-2kHz cliff (benchmarks/results/sensitivity_presets_v5e.json)
 DEEP_SEARCH = DecoderConfig(bins_per_tone=4, steps_per_symbol=4,
-                            max_candidates=40, min_score=1.0, use_osd=True)
+                            max_candidates=40, min_score=1.0, use_osd=True,
+                            use_mf=True)

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.ldpc_decode import bp_decode_batch
-from ..ops.llr import extract_llrs
+from ..ops.llr import extract_llrs, extract_llrs_matched
 from ..ops.osd import osd_decode_batch
 from ..ops.sync import SearchGrid, find_candidates, search_grid, sync_scores
 from ..ops.waterfall import WaterfallParams, waterfall_params, waterfall_real, \
@@ -30,7 +30,8 @@ from ..ops.waterfall import WaterfallParams, waterfall_params, waterfall_real, \
 from ..protocol import constants as C
 from .types import FT8Decode, FT8DecodeStatus, FT8Message, SlotDecodeResult
 
-__all__ = ["decode_waterfall", "decode_slot", "decode_ft8_message"]
+__all__ = ["decode_waterfall", "decode_slot", "decode_ft8_message",
+           "finish_decode", "mf_retry"]
 
 _CRC_MATRIX_77_T = jnp.asarray(C.CRC_MATRIX_77.T, dtype=jnp.float32)
 _CRC_WEIGHTS = jnp.asarray(2 ** np.arange(C.CRC_BITS - 1, -1, -1),
@@ -119,25 +120,65 @@ def finish_decode(llrs: jnp.ndarray, abs_time: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=(
+    "p", "max_iterations", "use_osd", "is_complex"))
+def mf_retry(wave: jnp.ndarray, p: WaterfallParams, res: SlotDecodeResult,
+             t0_hops, f0_rows, max_iterations: int = 20,
+             use_osd: bool = False,
+             is_complex: bool = False) -> SlotDecodeResult:
+    """Matched-filter second chance for candidates BP(+OSD) could not crack.
+
+    Re-extracts each candidate's LLRs straight from the audio with boxcar
+    symbol-aligned DFTs (ops/llr.py extract_llrs_matched, ~+1.3 dB over the
+    Hann waterfall reads) and re-runs the decode; rows that now succeed
+    replace their failed originals.  Decodes are a strict superset of the
+    first pass.  t0_hops/f0_rows translate crop-relative candidate indices
+    back to absolute audio coordinates.
+    """
+    llrs = extract_llrs_matched(
+        wave, res.abs_time + jnp.int32(t0_hops),
+        res.abs_freq + jnp.int32(f0_rows),
+        p.nperseg, p.hop, p.freq_osr, is_complex)
+    retry = finish_decode(llrs, res.abs_time, res.abs_freq, res.score,
+                          res.candidate_valid, max_iterations, use_osd)
+    take = ~res.success & retry.success
+    pick = lambda a, b: jnp.where(take, a, b)
+    return SlotDecodeResult(
+        success=res.success | retry.success,
+        payload=jnp.where(take[:, None], retry.payload, res.payload),
+        crc=pick(retry.crc, res.crc),
+        crc_extracted=pick(retry.crc_extracted, res.crc_extracted),
+        ldpc_errors=pick(retry.ldpc_errors, res.ldpc_errors),
+        abs_time=res.abs_time, abs_freq=res.abs_freq, score=res.score,
+        candidate_valid=res.candidate_valid,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=(
     "p", "num_frames", "max_candidates", "max_iterations", "is_complex",
-    "use_osd"))
+    "use_osd", "use_mf"))
 def decode_slot(wave: jnp.ndarray, p: WaterfallParams, num_frames: int,
                 max_candidates: int = 20, min_score: float = 10.0,
                 max_iterations: int = 20,
                 is_complex: bool = False,
-                use_osd: bool = False) -> SlotDecodeResult:
+                use_osd: bool = False,
+                use_mf: bool = False) -> SlotDecodeResult:
     """Audio (n,) real — or (n, 2) [re, im] — -> SlotDecodeResult.
 
     The single-chip flagship entry point: one jit containing STFT, search
     and decode.  Batch with vmap over a leading axis; shard with pjit.
+    use_mf adds the matched-filter LLR retry (beyond the reference).
     """
     if is_complex:
         mag = waterfall_complex(wave, p, num_frames)
     else:
         mag = waterfall_real(wave, p, num_frames)
     g = search_grid(p.num_freq_bins, num_frames, p.time_osr, p.freq_osr)
-    return decode_waterfall(mag, g, max_candidates, min_score,
-                            max_iterations, use_osd)
+    res = decode_waterfall(mag, g, max_candidates, min_score,
+                           max_iterations, use_osd)
+    if use_mf:
+        res = mf_retry(wave, p, res, 0, 0, max_iterations, use_osd,
+                       is_complex)
+    return res
 
 
 def _format_results(res: SlotDecodeResult, hop_seconds: float,
@@ -184,7 +225,8 @@ def decode_ft8_message(wave_data, sample_rate: float,
                        deduplicate: bool = True,
                        return_metrics: bool = False,
                        passes: int = 1,
-                       use_osd: bool = False):
+                       use_osd: bool = False,
+                       use_mf: bool = False):
     """Decode all FT8 messages in an audio capture (host API).
 
     Mirrors the reference decode_ft8_message (ft8_decode.py:288) with two
@@ -196,6 +238,12 @@ def decode_ft8_message(wave_data, sample_rate: float,
 
     With return_metrics=True the SlotMetrics cover the FIRST pass only
     (they summarise one fixed-shape slot decode); rows include all passes.
+
+    use_mf=True adds the matched-filter LLR retry (beyond the reference,
+    ~+1.3 dB at the sensitivity cliff; see ops/llr.py
+    extract_llrs_matched): candidates the Hann-waterfall LLRs cannot
+    decode are re-extracted with boxcar symbol-aligned DFTs.  Decodes are
+    a strict superset of the reference-parity first pass.
 
     passes > 1 enables subtraction decoding (beyond the reference): after
     each pass, every decoded transmission is re-synthesised, frequency-
@@ -260,6 +308,9 @@ def decode_ft8_message(wave_data, sample_rate: float,
             break
         res = decode_waterfall(mag, g, max_candidates, float(min_score),
                                max_iterations, use_osd)
+        if use_mf:
+            res = mf_retry(wave_d, p, res, t_lo, f_lo, max_iterations,
+                           use_osd, is_complex)
         if first_res is None:
             first_res = res
         new_rows = _format_results(

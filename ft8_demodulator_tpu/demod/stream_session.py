@@ -90,6 +90,10 @@ class StreamSession:
         )
         res = decode_waterfall(mag, g, cfg.max_candidates, cfg.min_score,
                                cfg.max_iterations, cfg.use_osd)
+        if getattr(cfg, "use_mf", False):
+            from .decode import mf_retry
+            res = mf_retry(jnp.asarray(chunk), self.p, res, 0, 0,
+                           cfg.max_iterations, cfg.use_osd)
         res = {k: np.asarray(v) for k, v in res._asdict().items()}
 
         hop_seconds = C.SYMBOL_PERIOD_S / self.p.time_osr
@@ -143,7 +147,8 @@ class StreamSession:
             bins_per_tone=int(cfgvals[0]), steps_per_symbol=int(cfgvals[1]),
             max_candidates=int(cfgvals[2]), min_score=float(cfgvals[3]),
             max_iterations=int(cfgvals[4]),
-            use_osd=bool(cfgvals[5]) if len(cfgvals) > 5 else False)
+            use_osd=bool(cfgvals[5]) if len(cfgvals) > 5 else False,
+            use_mf=bool(cfgvals[6]) if len(cfgvals) > 6 else False)
         sess = cls(float(data["fs"]), cfg,
                    block_seconds=float(data["block_seconds"]))
         sess._buffer = data["buffer"].astype(np.float32)

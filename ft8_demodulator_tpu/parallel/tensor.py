@@ -46,12 +46,13 @@ __all__ = ["decode_slot_tp"]
 @functools.partial(
     jax.jit,
     static_argnames=("p", "num_frames", "mesh", "max_candidates",
-                     "max_iterations", "use_osd"),
+                     "max_iterations", "use_osd", "use_mf"),
 )
 def decode_slot_tp(wave: jnp.ndarray, p: WaterfallParams, num_frames: int,
                    mesh: Mesh, max_candidates: int = 20,
                    min_score: float = 10.0, max_iterations: int = 20,
-                   use_osd: bool = False) -> SlotDecodeResult:
+                   use_osd: bool = False,
+                   use_mf: bool = False) -> SlotDecodeResult:
     """Audio (n,) real -> SlotDecodeResult, frequency-sharded over
     ``mesh`` (one axis named ``freq``).
 
@@ -111,5 +112,9 @@ def decode_slot_tp(wave: jnp.ndarray, p: WaterfallParams, num_frames: int,
     fn = shard_map(shard_fn, mesh=mesh, in_specs=P(),
                    out_specs=(P(), P(), P(), P(), P()))
     llrs, abs_time, abs_freq, vals, cand_valid = fn(wave)
-    return finish_decode(llrs, abs_time, abs_freq, vals, cand_valid,
-                         max_iterations, use_osd)
+    res = finish_decode(llrs, abs_time, abs_freq, vals, cand_valid,
+                        max_iterations, use_osd)
+    if use_mf:
+        from ..demod.decode import mf_retry
+        res = mf_retry(wave, p, res, 0, 0, max_iterations, use_osd)
+    return res
