@@ -39,6 +39,8 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--osd", action="store_true")
+    ap.add_argument("--mf", action="store_true",
+                    help="matched-filter LLR retry (beyond the reference)")
     args = ap.parse_args()
 
     import jax
@@ -54,7 +56,8 @@ def main():
     t_all = time.perf_counter()
     for fs in fs_list:
         snr_list, rates, wall = run_curve(fs, snrs, args.trials,
-                                          seed=args.seed, use_osd=args.osd)
+                                          seed=args.seed, use_osd=args.osd,
+                                          use_mf=args.mf)
         passing = [s for s, r in zip(snr_list, rates) if r >= 0.5]
         rows.append({
             "fs": fs,
@@ -73,6 +76,7 @@ def main():
         "criterion": ">=50% of trials decode exact payload",
         "trials_per_point": args.trials,
         "osd": args.osd,
+        "mf": args.mf,
         "snr_db": snr_list,
         "device": str(jax.devices()[0]),
         "rows": rows,
