@@ -65,7 +65,7 @@ def main():
         audio = jnp.asarray(
             rng.standard_normal((channel, n)).astype(np.float32))
 
-        fn = lambda a: decode_stream_sharded(a, p, mesh, 20, 10.0, 20)
+        fn = lambda a: decode_stream_sharded(a, p, mesh, 20, 10.0, 20)[0]
 
         def sink(r):
             # host fetch of a reduction — block_until_ready alone can

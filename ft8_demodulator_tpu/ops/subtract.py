@@ -36,19 +36,43 @@ __all__ = ["subtract_decoded", "NUM_FREQ_REFINE"]
 NUM_FREQ_REFINE = 33
 
 
-def _refine_and_fit(x_win, bb, sps, fs, df_span):
-    """Refine carrier offset and LS-fit one reconstruction.
+def _refine_and_fit(x_ext, bb, sps, fs, df_span, half):
+    """Refine time offset + carrier offset and LS-fit one reconstruction.
 
-    x_win: (79*sps,) real received window; bb: (79*sps,) complex64 unit
+    x_ext: (79*sps + 2*half,) real received window centred on the
+    candidate's grid-quantised start; bb: (79*sps,) complex64 unit
     reconstruction at the candidate's grid frequency.  Returns the real
-    waveform to subtract from x_win.
+    waveform to subtract from x_ext (zero outside the aligned span).
+
+    The candidate grid quantises start time to the STFT hop (half a
+    symbol at osr 2), so the raw reconstruction can be misaligned by up
+    to a quarter symbol — enough to leave tens of percent of the signal
+    power behind.  A two-stage search over integer sample lags (coarse
+    grid, then +-1-coarse-step at single-sample resolution) aligns it
+    first; per-symbol correlation MAGNITUDES make the time metric
+    insensitive to the not-yet-refined carrier offset (<2 Hz drifts only
+    rotate each 0.16 s symbol's correlation by a fraction of a turn).
     """
     n = C.NUM_SYMBOLS * sps
     t = jnp.arange(n, dtype=jnp.float32) / fs
 
-    # per-symbol complex correlations c_s = <x, bb_s>
-    prod = (x_win * jnp.conj(bb)).reshape(C.NUM_SYMBOLS, sps)
-    c_s = jnp.sum(prod, axis=-1)                           # (79,) complex
+    def sym_corr(lag):
+        xw = jax.lax.dynamic_slice(x_ext, (lag,), (n,))
+        return jnp.sum((xw * jnp.conj(bb)).reshape(C.NUM_SYMBOLS, sps),
+                       axis=-1)                            # (79,) complex
+
+    def noncoh(lag):
+        return jnp.sum(jnp.abs(sym_corr(lag)))
+
+    coarse_step = max(1, (2 * half) // 16)
+    coarse = jnp.arange(0, 2 * half + 1, coarse_step)
+    lag = coarse[jnp.argmax(jax.vmap(noncoh)(coarse))]
+    fine = jnp.clip(lag - coarse_step + jnp.arange(2 * coarse_step + 1),
+                    0, 2 * half)
+    lag = fine[jnp.argmax(jax.vmap(noncoh)(fine))]
+
+    x_win = jax.lax.dynamic_slice(x_ext, (lag,), (n,))
+    c_s = sym_corr(lag)                                    # (79,) complex
     t_s = (jnp.arange(C.NUM_SYMBOLS, dtype=jnp.float32) + 0.5) \
         * (sps / fs)
 
@@ -73,7 +97,8 @@ def _refine_and_fit(x_win, bb, sps, fs, df_span):
     rs = jnp.imag(bb_f)
     alpha = jnp.sum(x_win * rc) / jnp.maximum(jnp.sum(rc * rc), 1e-12)
     beta = jnp.sum(x_win * rs) / jnp.maximum(jnp.sum(rs * rs), 1e-12)
-    return alpha * rc + beta * rs
+    sub = alpha * rc + beta * rs
+    return jax.lax.dynamic_update_slice(jnp.zeros_like(x_ext), sub, (lag,))
 
 
 @functools.partial(jax.jit, static_argnames=("p",))
@@ -99,20 +124,23 @@ def subtract_decoded(wave: jnp.ndarray, p: WaterfallParams,
         lambda tns, f: _baseband_complex(tns, sps, float(p.fs), f)
     )(tones, f0)                                         # (K, n_sig) c64
 
-    pad = n_sig
+    half = p.hop // 2             # grid time quantisation is +-hop/2
+    n_ext = n_sig + 2 * half
+    pad = n_ext
     xp = jnp.pad(wave.astype(jnp.float32), (pad, pad))
     # the GFSK waveform's symbol content is delayed one full symbol from
     # the waveform start (Gaussian-pulse spill, modulator convention shared
     # with the reference), and abs_time indexes the symbol content — so the
-    # reconstruction is placed one symbol (nperseg samples) earlier.
-    offsets = pad + abs_time * p.hop - p.nperseg         # (K,) sample index
+    # reconstruction is placed one symbol (nperseg samples) earlier; the
+    # extra half-hop margin feeds the sample-level time alignment.
+    offsets = pad + abs_time * p.hop - p.nperseg - half  # (K,) sample index
 
     def body(k, xp):
-        start = jnp.clip(offsets[k], 0, xp.shape[0] - n_sig)
-        x_win = jax.lax.dynamic_slice(xp, (start,), (n_sig,))
-        sub = _refine_and_fit(x_win, bb[k], sps, float(p.fs), df_span)
+        start = jnp.clip(offsets[k], 0, xp.shape[0] - n_ext)
+        x_ext = jax.lax.dynamic_slice(xp, (start,), (n_ext,))
+        sub = _refine_and_fit(x_ext, bb[k], sps, float(p.fs), df_span, half)
         sub = jnp.where(success[k], sub, 0.0)
-        return jax.lax.dynamic_update_slice(xp, x_win - sub, (start,))
+        return jax.lax.dynamic_update_slice(xp, x_ext - sub, (start,))
 
     xp = jax.lax.fori_loop(0, num, body, xp)
     return xp[pad: pad + wave.shape[-1]]

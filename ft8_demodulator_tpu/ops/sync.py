@@ -84,7 +84,35 @@ def sync_scores(mag: jnp.ndarray, g: SearchGrid) -> jnp.ndarray:
     score(t, f) = mean over valid comparisons of
     [power(costas cell) - power(neighbour cell)]; -inf where no comparison
     is in bounds (reference ft8_sync_score, ft8_decode.py:47-100).
+
+    Pre-roll grids (t_start < 0) whose t >= 0 columns need NO right
+    padding (the streaming case: the extended view covers a full frame
+    past the block) are computed as two pieces: the pre-roll columns on a
+    small leading slice of the waterfall (whose left-pad copy is tiny)
+    and the main columns against the completely unpadded waterfall —
+    left-padding the FULL grid instead measured a 10-19 % throughput loss
+    on the streaming bank (the pad copy materialises the whole grid and
+    breaks the producer fusion).  When the main part would need a right
+    pad anyway (the single-slot decoder's tail scan), the single padded
+    grid measured faster than split + concat — keep it.  Scores are
+    bit-identical either way.
     """
+    main_cols = g.num_times + g.t_start
+    main_right_pad = main_cols + (C.NUM_SYMBOLS - 1) * g.time_osr \
+        - mag.shape[-1]
+    if g.t_start < 0 and main_cols > 0 and main_right_pad <= 0:
+        w_pre = min(mag.shape[-1], (C.NUM_SYMBOLS - 1) * g.time_osr)
+        pre_g = SearchGrid(g.time_osr, g.freq_osr, g.num_blocks,
+                           g.t_start, -g.t_start, g.num_freqs)
+        main_g = SearchGrid(g.time_osr, g.freq_osr, g.num_blocks,
+                            0, main_cols, g.num_freqs)
+        pre = _sync_scores_impl(mag[..., :w_pre], pre_g)
+        main = _sync_scores_impl(mag, main_g)
+        return jnp.concatenate([pre, main], axis=-1)
+    return _sync_scores_impl(mag, g)
+
+
+def _sync_scores_impl(mag: jnp.ndarray, g: SearchGrid) -> jnp.ndarray:
     tau, phi = g.time_osr, g.freq_osr
     num_frames = mag.shape[-1]
     # pad exactly enough that every statically-offset slice is in bounds;

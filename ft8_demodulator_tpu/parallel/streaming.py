@@ -49,28 +49,27 @@ def stream_halo_samples(p: WaterfallParams) -> int:
 
 def _local_grid(p: WaterfallParams, block_frames: int,
                 ext_frames: int) -> SearchGrid:
-    """Search grid over start times [-pre_roll, block) of the extended view.
+    """Search grid owning start times [0, block) against the extended view.
 
-    The pre-roll region (the slot decoder's 10-symbol scan before t=0,
-    ops/sync.py PRE_ROLL_SYMBOLS, reference ft8_decode.py:108) is only kept
-    active on the shard owning the capture start — interior shards mask it
-    via decode_waterfall's min_abs_time, since those start times belong to
-    the left neighbour's [0, block) range.
+    The capture-start pre-roll (the slot decoder's 10-symbol scan before
+    t=0, reference ft8_decode.py:108) is deliberately NOT part of this
+    grid: it would grow EVERY shard's uniform SPMD grid for columns only
+    the first shard may own (measured 10-19 % of bank throughput).
+    decode_stream covers it with one tiny separate program instead
+    (:func:`_decode_preroll`), keeping ownership disjoint: shards own
+    t >= 0, the pre-roll decode owns t < 0.
     """
-    from ..ops.sync import PRE_ROLL_SYMBOLS
-
     ext_blocks = ext_frames // p.time_osr
-    t_start = -PRE_ROLL_SYMBOLS * p.time_osr
     return SearchGrid(
         time_osr=p.time_osr, freq_osr=p.freq_osr, num_blocks=ext_blocks,
-        t_start=t_start, num_times=block_frames - t_start,
+        t_start=0, num_times=block_frames,
         num_freqs=max(0, p.num_freq_bins - 7 * p.freq_osr),
     )
 
 
 def _decode_block(block: jnp.ndarray, halo: jnp.ndarray, p: WaterfallParams,
                   max_candidates: int, min_score: float,
-                  max_iterations: int, min_abs_time=None,
+                  max_iterations: int,
                   use_mf: bool = False) -> SlotDecodeResult:
     """One shard's work: extend with the right halo, decode locally-owned
     start times."""
@@ -79,12 +78,46 @@ def _decode_block(block: jnp.ndarray, halo: jnp.ndarray, p: WaterfallParams,
     block_frames = block.shape[-1] // p.hop
     mag = waterfall_real(extended, p, ext_frames)
     g = _local_grid(p, block_frames, ext_frames)
-    res = decode_waterfall(mag, g, max_candidates, min_score, max_iterations,
-                           min_abs_time=min_abs_time)
+    res = decode_waterfall(mag, g, max_candidates, min_score, max_iterations)
     if use_mf:
         from ..demod.decode import mf_retry
         res = mf_retry(extended, p, res, 0, 0, max_iterations)
     return res
+
+
+@functools.partial(jax.jit, static_argnames=("p", "max_candidates",
+                                             "max_iterations", "use_mf"))
+def _decode_preroll(audio: jnp.ndarray, p: WaterfallParams,
+                    max_candidates: int, min_score: float,
+                    max_iterations: int,
+                    use_mf: bool = False) -> SlotDecodeResult:
+    """Decode ONLY the pre-roll start times (t < 0) of the capture start.
+
+    audio: (channels, w) leading slice covering one frame past the scan;
+    a transmission clipped at t=0 decodes here exactly like the slot
+    decoder's pre-roll scan.  Runs once per stream, replicated (tiny).
+    """
+    from ..ops.sync import PRE_ROLL_SYMBOLS
+
+    pre = PRE_ROLL_SYMBOLS * p.time_osr
+    num_frames = p.num_frames(audio.shape[-1])
+    g = SearchGrid(
+        time_osr=p.time_osr, freq_osr=p.freq_osr,
+        num_blocks=num_frames // p.time_osr,
+        t_start=-pre, num_times=pre,
+        num_freqs=max(0, p.num_freq_bins - 7 * p.freq_osr),
+    )
+
+    def one(wave):
+        mag = waterfall_real(wave, p, num_frames)
+        res = decode_waterfall(mag, g, max_candidates, min_score,
+                               max_iterations)
+        if use_mf:
+            from ..demod.decode import mf_retry
+            res = mf_retry(wave, p, res, 0, 0, max_iterations)
+        return res
+
+    return jax.vmap(one)(audio)
 
 
 @functools.partial(
@@ -117,12 +150,8 @@ def decode_stream_sharded(audio: jnp.ndarray, p: WaterfallParams, mesh: Mesh,
         # device i receives the head of device i+1 (zeros at the stream end)
         perm = [(i, i - 1) for i in range(1, n_stream)]
         halo = jax.lax.ppermute(head, "stream", perm)
-        # pre-roll start times are live only on the first stream shard
-        first = jax.lax.axis_index("stream") == 0
-        min_t = jnp.where(first, jnp.int32(-(1 << 30)), jnp.int32(0))
         decode = jax.vmap(lambda b, h: _decode_block(
-            b, h, p, max_candidates, min_score, max_iterations, min_t,
-            use_mf))
+            b, h, p, max_candidates, min_score, max_iterations, use_mf))
         rows = local.shape[0]
         # XLA's decode fusions degrade at wide vmaps (see DESIGN_NOTES):
         # map narrow chunks when the channel count allows it
@@ -226,7 +255,16 @@ def decode_stream(audio: np.ndarray, sample_rate: float,
     res, n_success = decode_stream_sharded(audio_in, p, mesh,
                                            max_candidates, float(min_score),
                                            max_iterations, use_mf)
-    if int(n_success) == 0:
+    # capture-start pre-roll: one tiny replicated program over the leading
+    # slice (kept out of the sharded grids — see _local_grid)
+    pre_w = min(audio.shape[1], (C.NUM_SYMBOLS + 1) * p.nperseg)
+    pre_res = None
+    if pre_w >= p.nperseg:
+        pre_res = jax.tree_util.tree_map(np.asarray, _decode_preroll(
+            jnp.asarray(audio[:, :pre_w]), p, max_candidates,
+            float(min_score), max_iterations, use_mf))
+    if int(n_success) == 0 and (
+            pre_res is None or not pre_res.success.any()):
         return []
     res = jax.tree_util.tree_map(np.asarray, res)
 
@@ -236,6 +274,30 @@ def decode_stream(audio: np.ndarray, sample_rate: float,
     out: list[FT8Decode] = []
     seen: set[tuple[int, bytes, int]] = set()
     channels, blocks, k = res.success.shape
+    if pre_res is not None:
+        for c in range(pre_res.success.shape[0]):
+            for i in range(pre_res.success.shape[1]):
+                if not pre_res.success[c, i]:
+                    continue
+                t_abs = int(pre_res.abs_time[c, i])        # negative
+                key = (c, bytes(pre_res.payload[c, i].tolist()),
+                       int(round(t_abs * hop_seconds / C.SLOT_PERIOD_S)))
+                if key in seen:
+                    continue
+                seen.add(key)
+                h = int(pre_res.crc[c, i])
+                out.append(FT8Decode(
+                    message=FT8Message(
+                        payload=bytes(pre_res.payload[c, i].tolist()),
+                        hash=h),
+                    status=FT8DecodeStatus(
+                        ldpc_errors=int(pre_res.ldpc_errors[c, i]),
+                        crc_extracted=int(pre_res.crc_extracted[c, i]),
+                        crc_calculated=h),
+                    time_sec=t_abs * hop_seconds,
+                    freq_hz=float(pre_res.abs_freq[c, i]) * freq_step,
+                    score=float(pre_res.score[c, i]),
+                ))
     for c in range(channels):
         for b in range(blocks):
             for i in range(k):
