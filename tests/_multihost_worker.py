@@ -55,6 +55,24 @@ def main() -> None:
     for r in results:
         print(f"ROW {r.message.payload.hex()} {round(r.time_sec)} "
               f"{round(r.freq_hz)}", flush=True)
+
+    # tensor parallelism across BOTH processes: one slot's frequency grid
+    # sharded over all 8 global devices (4 per process)
+    import jax.numpy as jnp
+
+    from ft8_demodulator_tpu.ops.waterfall import waterfall_params
+    from ft8_demodulator_tpu.parallel.mesh import make_freq_mesh
+    from ft8_demodulator_tpu.parallel.tensor import decode_slot_tp
+
+    p = waterfall_params(FS, 2, 2)
+    slot = stream[: int(15 * FS)]
+    res = decode_slot_tp(jnp.asarray(slot), p, p.num_frames(len(slot)),
+                         make_freq_mesh(8), min_score=4.0)
+    got = {bytes(np.asarray(row).tolist())
+           for row, ok in zip(res.payload, np.asarray(res.success)) if ok}
+    for pay in sorted(got):
+        print(f"TPROW {pay.hex()}", flush=True)
+
     print(f"DONE process={jax.process_index()} rows={len(results)}",
           flush=True)
 

@@ -58,3 +58,8 @@ def test_two_process_distributed_decode():
     # identical output on both processes, and exactly the expected decodes
     assert row_sets[0] == row_sets[1] == EXPECTED
     assert all("rows=3" in out for _, out, _ in outs)
+    # tensor-parallel decode over the process-spanning 8-device freq mesh
+    tp_sets = [set(ln for ln in out.splitlines() if ln.startswith("TPROW "))
+               for _, out, _ in outs]
+    assert tp_sets[0] == tp_sets[1]
+    assert "TPROW 1c3f8a6ae207a1e39450" in tp_sets[0]
