@@ -25,9 +25,10 @@ REFERENCE_SECONDS_PER_SLOT = 11.71  # measured; see module docstring
 
 FS = 12000.0
 SLOT_S = 15.0
-# 256 amortises per-launch dispatch best on the tunneled backend; chunks of
-# 16 inside the jit hit XLA's best fusion regime (see decode_batch)
-BATCH = int(__import__("os").environ.get("FT8_BENCH_BATCH", "256"))
+# batch 1024 amortises per-launch dispatch on the tunneled backend (256:
+# 9,282 / 512: 9,794 / 1024: 10,099 / 2048: 10,245 slots/s — diminishing
+# past 1024); chunks of 16 inside the jit hit XLA's best fusion regime
+BATCH = int(__import__("os").environ.get("FT8_BENCH_BATCH", "1024"))
 CHUNK = int(__import__("os").environ.get("FT8_BENCH_CHUNK", "16"))
 if BATCH % CHUNK:
     raise SystemExit(

@@ -174,3 +174,43 @@ def test_fuzz_waveforms_vs_live_reference(rng):
         pb_ref = ref_mod.ft8_generator(payload.copy(), fs, f0, fc)
         pb = np.asarray(compat.ft8_generator(payload, fs, f0, fc))
         np.testing.assert_allclose(pb, pb_ref, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_head_to_head_decode_parity_vs_live_reference(rng):
+    """Identical noisy waveforms through the LIVE reference decoder and
+    ours (reference mode): identical per-payload success.  Kept small (2
+    payloads, 1 SNR) — the reference needs ~12 s per slot."""
+    _reference_or_skip()
+    import matplotlib
+    matplotlib.use("Agg")      # the reference saves a PNG while decoding
+    import os
+    import tempfile
+
+    from ft8_tools.ft8_demodulator.ft8_decode import \
+        decode_ft8_message as ref_decode
+
+    from ft8_demodulator_tpu.demod import decode_ft8_message as our_decode
+    from ft8_demodulator_tpu.ops.gfsk import ft8_passband
+
+    fs, f0, snr = 2000.0, 250.0, -12.0
+    cwd = os.getcwd()
+    os.chdir(tempfile.mkdtemp())
+    try:
+        for pl in _random_payloads(rng, 2):
+            w = np.asarray(ft8_passband(pl, fs, f0, 0.0))
+            sig = np.zeros(int(fs * 15), np.float32)
+            sig[500: 500 + len(w)] = w
+            sp = float(np.mean(w ** 2))
+            sig += rng.standard_normal(len(sig)).astype(np.float32) \
+                * np.sqrt(sp / 10 ** (snr / 10))
+            want = bytes(pl.tolist())
+            got_ours = any(r.message.payload == want
+                           for r in our_decode(sig, fs, min_score=1.0))
+            got_ref = any(bytes(m.payload[:9]) == want[:9]
+                          for m, *_ in ref_decode(sig.astype(np.float64),
+                                                  fs, min_score=1))
+            assert got_ours == got_ref
+            assert got_ours          # -12 dB decodes on both
+    finally:
+        os.chdir(cwd)
