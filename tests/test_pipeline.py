@@ -49,3 +49,26 @@ def test_pipelined_decode_matches_per_slot(rng):
     got = {bytes(row) for m in range(4)
            for row, ok in zip(piped.payload[m], piped.success[m]) if ok}
     assert {bytes(PAYLOAD_A.tolist()), bytes(PAYLOAD_B.tolist())} <= got
+
+
+def test_pipelined_decode_with_osd(rng):
+    """OSD composes with the 2-stage pipeline (runs in the back stage)."""
+    n = int(FS * 15)
+    waves = (rng.standard_normal((2, n)) * 0.02).astype(np.float32)
+    w = np.asarray(ft8_passband(PAYLOAD_A, FS, 500.0, 0.0))
+    waves[0, 2000: 2000 + len(w)] += w
+    waves[1, 1000: 1000 + len(w)] += w
+
+    p = waterfall_params(FS, 2, 2)
+    nf = p.num_frames(n)
+    piped = decode_slots_pipelined(jnp.asarray(waves), p, nf,
+                                   make_stage_mesh(2), max_candidates=8,
+                                   min_score=4.0, use_osd=True)
+    ref = jax.vmap(lambda w_: decode_slot(w_, p, nf, max_candidates=8,
+                                          min_score=4.0, use_osd=True)
+                   )(jnp.asarray(waves))
+    piped = jax.tree_util.tree_map(np.asarray, piped)
+    ref = jax.tree_util.tree_map(np.asarray, ref)
+    np.testing.assert_array_equal(piped.success, ref.success)
+    np.testing.assert_array_equal(piped.payload, ref.payload)
+    assert piped.success.any()

@@ -88,3 +88,22 @@ def test_tp_decode_deep_geometry(rng):
     res = jax.tree_util.tree_map(np.asarray, res)
     got = {bytes(row) for row, ok in zip(res.payload, res.success) if ok}
     assert bytes(PAYLOAD_A.tolist()) in got
+
+
+def test_tp_decode_with_osd_and_mf_matches_single_device(rng):
+    """The beyond-reference decoders compose with TP sharding."""
+    fs = 2000.0
+    audio = _slot(rng, fs, [(PAYLOAD_A, 1.0, 400.0)])
+    p = waterfall_params(fs, 2, 2)
+    nf = p.num_frames(len(audio))
+
+    single = decode_slot(jnp.asarray(audio), p, nf, max_candidates=8,
+                         min_score=4.0, use_osd=True, use_mf=True)
+    sharded = decode_slot_tp(jnp.asarray(audio), p, nf, make_freq_mesh(4),
+                             max_candidates=8, min_score=4.0,
+                             use_osd=True, use_mf=True)
+    s = jax.tree_util.tree_map(np.asarray, single)
+    t = jax.tree_util.tree_map(np.asarray, sharded)
+    np.testing.assert_array_equal(t.success, s.success)
+    np.testing.assert_array_equal(t.payload, s.payload)
+    assert t.success.any()
