@@ -161,3 +161,19 @@ def test_crc14_collision_reports_both_messages(rng):
                 decode_ft8_message(sig, fs, deduplicate=True)}
     assert bytes(base.tolist()) in payloads
     assert bytes(other.tolist()) in payloads
+
+
+def test_decode_at_48khz_fft_backend(rng):
+    """48 kHz pushes the waterfall past the DFT-matrix regime onto the fft
+    backend (nperseg 7680 > matmul cap); the full decode must still work."""
+    from ft8_demodulator_tpu.ops.waterfall import _pick_backend, \
+        waterfall_params
+
+    fs, f0 = 48000.0, 1500.0
+    p = waterfall_params(fs, 2, 2)
+    assert _pick_backend(p, None) == "fft"
+    wave = _noisy_signal(PAYLOAD, fs, f0, 0.0, rng)
+    results = decode_ft8_message(wave, fs, min_score=5.0)
+    assert any(r.message.payload == _expected(PAYLOAD) for r in results)
+    hit = next(r for r in results if r.message.payload == _expected(PAYLOAD))
+    assert abs(hit.freq_hz - f0) < 7.0
