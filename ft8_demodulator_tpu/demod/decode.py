@@ -22,7 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.ldpc_decode import bp_decode_batch
-from ..ops.llr import extract_llrs, extract_llrs_matched
+from ..ops.llr import (extract_llrs, extract_llrs_matched,
+                       extract_llrs_matched_blocks)
 from ..ops.osd import osd_decode_batch
 from ..ops.sync import SearchGrid, find_candidates, search_grid, sync_scores
 from ..ops.waterfall import WaterfallParams, waterfall_params, waterfall_real, \
@@ -133,11 +134,30 @@ def mf_retry(wave: jnp.ndarray, p: WaterfallParams, res: SlotDecodeResult,
     replace their failed originals.  Decodes are a strict superset of the
     first pass.  t0_hops/f0_rows translate crop-relative candidate indices
     back to absolute audio coordinates.
+
+    When the block-DFT geometry holds, the boxcar DFTs are assembled from
+    hop-block spectra (extract_llrs_matched_blocks — exact decomposition,
+    no windows/pads/skinny matmuls; the direct form dominated the
+    deep-mode profile); otherwise the direct form runs.
     """
-    llrs = extract_llrs_matched(
-        wave, res.abs_time + jnp.int32(t0_hops),
-        res.abs_freq + jnp.int32(f0_rows),
-        p.nperseg, p.hop, p.freq_osr, is_complex)
+    from ..ops.waterfall import _block_geometry_ok, _block_spectrum
+
+    abs_time = res.abs_time + jnp.int32(t0_hops)
+    abs_freq = res.abs_freq + jnp.int32(f0_rows)
+    if _block_geometry_ok(p):
+        num_frames = p.num_frames(wave.shape[0])
+        if is_complex:
+            rr, ri = _block_spectrum(wave[..., 0], p, num_frames)
+            ir, ii = _block_spectrum(wave[..., 1], p, num_frames)
+            spec_re, spec_im = rr - ii, ri + ir
+        else:
+            spec_re, spec_im = _block_spectrum(wave, p, num_frames)
+        llrs = extract_llrs_matched_blocks(
+            spec_re, spec_im, abs_time, abs_freq, p.time_osr, p.freq_osr)
+    else:
+        llrs = extract_llrs_matched(
+            wave, abs_time, abs_freq, p.nperseg, p.hop, p.freq_osr,
+            is_complex)
     retry = finish_decode(llrs, res.abs_time, res.abs_freq, res.score,
                           res.candidate_valid, max_iterations, use_osd)
     take = ~res.success & retry.success

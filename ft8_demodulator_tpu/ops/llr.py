@@ -18,7 +18,8 @@ import numpy as np
 
 from ..protocol import constants as C
 
-__all__ = ["extract_llrs", "extract_llrs_matched", "normalize_llrs"]
+__all__ = ["extract_llrs", "extract_llrs_matched",
+           "extract_llrs_matched_blocks", "normalize_llrs"]
 
 # Tone order after Gray reordering: s2[j] = powers[GRAY_MAP[j]].
 _GRAY = jnp.asarray(C.GRAY_MAP)
@@ -118,6 +119,70 @@ def _mf_mix_tables(sps: int, phi: int) -> tuple[np.ndarray, np.ndarray]:
     """(sps*phi,) cos/sin lookup for e^{-2pi i q n/(sps*phi)} mixes."""
     ang = -2.0 * np.pi * np.arange(sps * phi) / (sps * phi)
     return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("time_osr", "freq_osr"))
+def extract_llrs_matched_blocks(spec_re: jnp.ndarray, spec_im: jnp.ndarray,
+                                abs_time: jnp.ndarray,
+                                abs_freq: jnp.ndarray, time_osr: int,
+                                freq_osr: int) -> jnp.ndarray:
+    """Matched-filter LLRs from the slot's BLOCK spectra: (K, 174).
+
+    The boxcar one-symbol DFT decomposes EXACTLY over the waterfall's
+    non-overlapping hop-block DFTs (ops/waterfall.py `_block_spectrum`):
+    a symbol is time_osr contiguous hop blocks, and
+
+        X_sym(bin) = sum_s  e^{-2pi i s (q + k*phi)/(phi*tau)}
+                           * P_{b0+s}[bin]
+
+    (hop = sps/tau, nfft = phi*sps make the per-block delay a pure phase
+    with period phi*tau).  So the matched filter costs one tiny column
+    gather + a (tau, 8) phase combine per candidate, reusing the DFT
+    matmul the decoder already ran — no windows, no pads, no skinny
+    matmuls (the direct form's (K*58, sps)x(sps, 8) tone matmuls wasted
+    15/16 of every MXU pass and dominated the deep-mode profile).
+
+    spec_re/spec_im: (nb, Kx) block spectra with Kx = nfft//2 + 2*phi
+    extended columns (col = bin + phi).  Bit-equivalent to the direct
+    boxcar DFT up to f32 summation order.
+    """
+    tau, phi = time_osr, freq_osr
+    k = abs_freq.shape[0]
+    m = phi * tau
+    sym = np.asarray(C.DATA_SYMBOL_POSITIONS)
+
+    # per-candidate tone columns (extended axis): q + k*phi + phi
+    cols = (abs_freq[:, None] + jnp.arange(8) * phi + phi).reshape(-1)
+    prc = jnp.take(spec_re, cols, axis=-1)                # (nb, K*8)
+    pic = jnp.take(spec_im, cols, axis=-1)
+    pad = C.NUM_SYMBOLS * tau
+    prc = jnp.pad(prc, ((pad, pad), (0, 0))).reshape(-1, k, 8)
+    pic = jnp.pad(pic, ((pad, pad), (0, 0))).reshape(-1, k, 8)
+    prc = jnp.moveaxis(prc, 1, 0)                         # (K, rows, 8)
+    pic = jnp.moveaxis(pic, 1, 0)
+
+    def windows(ar, ai, t0):
+        start = jnp.clip(t0 + pad, 0, ar.shape[0] - pad)
+        wr = jax.lax.dynamic_slice_in_dim(ar, start, pad, axis=0)
+        wi = jax.lax.dynamic_slice_in_dim(ai, start, pad, axis=0)
+        shape = (C.NUM_SYMBOLS, tau, 8)
+        return wr.reshape(shape)[sym], wi.reshape(shape)[sym]
+
+    wr, wi = jax.vmap(windows)(prc, pic, abs_time)        # (K, 58, tau, 8)
+
+    # combine phases e^{-2pi i s (q + k*phi)/m}
+    s = jnp.arange(tau)
+    bins = abs_freq[:, None, None] + jnp.arange(8)[None, None, :] * phi
+    ang = (-2.0 * jnp.pi / m) * jnp.mod(bins * s[None, :, None], m)
+    cc = jnp.cos(ang)[:, None]                            # (K, 1, tau, 8)
+    ss = jnp.sin(ang)[:, None]
+    xr = jnp.sum(wr * cc - wi * ss, axis=-2)              # (K, 58, 8)
+    xi = jnp.sum(wr * ss + wi * cc, axis=-2)
+    powers = xr * xr + xi * xi
+
+    s2 = jnp.take(10.0 * jnp.log10(1e-12 + powers), _GRAY, axis=-1)
+    llr = _llr_from_powers(s2)
+    return normalize_llrs(llr.reshape(k, C.LDPC_N))
 
 
 @functools.partial(jax.jit, static_argnames=("sps", "hop", "freq_osr",

@@ -107,3 +107,29 @@ def test_mf_with_frequency_crop(rng):
                              freq_min=450.0, freq_max=750.0)
     ok = [r for r in res if r.message.payload == _expected(PAYLOAD)]
     assert ok and abs(ok[0].freq_hz - 600.0) < 7.0
+
+
+def test_mf_block_decomposition_matches_direct(rng):
+    """The hop-block decomposition of the boxcar symbol DFT equals the
+    direct form (same sums, different grouping) — incl. pre-roll and
+    past-the-end candidates reading zeros."""
+    from ft8_demodulator_tpu.ops.llr import extract_llrs_matched_blocks
+    from ft8_demodulator_tpu.ops.waterfall import _block_spectrum
+
+    p = waterfall_params(FS, 2, 2)
+    # whole number of hop blocks: the direct form reads the last
+    # (n mod hop) samples that fall outside any block — the only place
+    # the two formulations legitimately differ (a sub-hop sliver of one
+    # trailing symbol, invisible to the rest of the decoder too)
+    n = ((int(FS * 15) - p.nperseg) // p.hop) * p.hop + p.nperseg
+    wave = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    nf = p.num_frames(n)
+    abs_time = jnp.int32([-8, 0, 5, 50, nf - 30, nf - 4])
+    abs_freq = jnp.int32([3, 100, 200, 305, 250, 120])   # < num_freqs
+
+    direct = np.asarray(extract_llrs_matched(
+        wave, abs_time, abs_freq, p.nperseg, p.hop, p.freq_osr))
+    sr, si = _block_spectrum(wave, p, nf)
+    blocks = np.asarray(extract_llrs_matched_blocks(
+        sr, si, abs_time, abs_freq, p.time_osr, p.freq_osr))
+    np.testing.assert_allclose(blocks, direct, rtol=0, atol=0.05)
