@@ -256,26 +256,28 @@ def _osd_tail(llr: jnp.ndarray, order: jnp.ndarray, a: jnp.ndarray,
     # exactly its set bits, so dist_f = dist_0 + A_f . (w * (1 - 2*d0))
     d0 = jnp.abs(base - r_sorted)                        # (174,) 0/1
     dist0 = jnp.sum(w_sorted * d0)
-    # full precision: this feeds the soft-distance gate whose genuine /
-    # false-accept margin is ~0.32 vs 0.35 — bf16 rounding erodes it
+    # exact f32 (feeds the soft-distance gate whose genuine/false-accept
+    # margin is ~0.32 vs 0.35); a multiply-reduce on the VPU — as a
+    # matmul this is N=1 (1/128 of every MXU pass, x6 at HIGHEST) and was
+    # a top entry of the deep-mode profile
     u = w_sorted * (1.0 - 2.0 * d0)
-    delta = jnp.matmul(a_bits, u,
-                       precision=jax.lax.Precision.HIGHEST)  # (91,)
+    delta = jnp.sum(a_bits * u, axis=-1)                 # (91,)
     dist = jnp.concatenate([dist0[None], dist0 + delta])  # (92,)
 
     # CRC as a GF(2) syndrome through the permuted syndrome matrix:
     # S @ c_nat == 0  <=>  (S[:, order]) @ c_sorted == 0; per flip the
-    # syndrome is synd(base) XOR synd(a_f), all mod 2
+    # syndrome is synd(base) XOR synd(a_f), all mod 2.  0/1 operands with
+    # f32 accumulation are exact at ANY matmul precision — single pass.
     s_perm = _SYNDROME[:, order]                         # (14, 174)
-    sb = jnp.mod(s_perm @ base, 2.0)                     # (14,)
-    sa = jnp.mod(s_perm @ a_bits.T, 2.0)                 # (14, 91)
+    sb = jnp.mod(jnp.sum(s_perm * base, axis=-1), 2.0)   # (14,)
+    sa = jnp.mod(jnp.matmul(s_perm, a_bits.T), 2.0)      # (14, 91)
     synd = jnp.concatenate([sb[:, None], jnp.mod(sb[:, None] + sa, 2.0)],
                            axis=1)                       # (14, 92)
     crc_ok = jnp.sum(synd, axis=0) == 0
 
     # reject the all-zero codeword (matches BP's zero-codeword guard)
     v2 = 1.0 - 2.0 * base
-    dones = a_bits @ v2                                  # (91,)
+    dones = jnp.sum(a_bits * v2, axis=-1)                # (91,)
     ones0 = jnp.sum(base)
     crc_ok = crc_ok & (jnp.concatenate([ones0[None], ones0 + dones]) > 0.5)
 
