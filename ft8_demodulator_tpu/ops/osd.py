@@ -51,8 +51,8 @@ _BASIS_BITS = jnp.asarray(_basis())        # (91, 174) uint8
 
 
 def _pack(bits: jnp.ndarray) -> jnp.ndarray:
-    """(..., 174) {0,1} -> (..., 6) uint32, bit j in word j//32 at bit j%32."""
-    pad = _W * 32 - _N
+    """(..., <=192) {0,1} -> (..., 6) uint32, bit j in word j//32, bit j%32."""
+    pad = _W * 32 - bits.shape[-1]
     b = jnp.pad(bits.astype(jnp.uint32), [(0, 0)] * (bits.ndim - 1)
                 + [(0, pad)])
     b = b.reshape(*bits.shape[:-1], _W, 32)
@@ -61,11 +61,11 @@ def _pack(bits: jnp.ndarray) -> jnp.ndarray:
 
 
 def _unpack(words: jnp.ndarray) -> jnp.ndarray:
-    """(..., 6) uint32 -> (..., 174) {0,1} float32."""
+    """(..., 6) uint32 -> (..., 192) {0,1} float32 (all packed columns:
+    174 code bits then 14 ride-along syndrome bits then 4 zeros)."""
     shifts = jnp.arange(32, dtype=jnp.uint32)
     bits = (words[..., :, None] >> shifts) & jnp.uint32(1)
-    return bits.reshape(*words.shape[:-1], _W * 32)[..., :_N] \
-        .astype(jnp.float32)
+    return bits.reshape(*words.shape[:-1], _W * 32).astype(jnp.float32)
 
 
 def _xor_reduce_rows(a: jnp.ndarray) -> jnp.ndarray:
@@ -105,8 +105,11 @@ def _reduce_basis_packed(a: jnp.ndarray):
         pcol = jnp.where((rows_idx == i) & found, j, pcol)
         return a, used, pcol
 
-    used0 = jnp.zeros((_K,), jnp.uint32)
-    pcol0 = jnp.zeros((_K,), jnp.int32)
+    # derive the zero carries from `a` so they inherit its varying manual
+    # axes (shard_map vma) — literal zeros are replicated and fail the
+    # fori_loop carry-type check inside SPMD pipelines
+    used0 = a[:, 0] ^ a[:, 0]                 # (91,) uint32 zeros
+    pcol0 = used0.astype(jnp.int32)
     # (a scan with unroll=8 measured slightly SLOWER on v5e — the 174 pivot
     # steps are genuinely sequential vector work, not dispatch overhead)
     a, _, pcol = jax.lax.fori_loop(0, _N, step, (a, used0, pcol0))
@@ -220,20 +223,25 @@ def _pair_indices(p: int) -> tuple[np.ndarray, np.ndarray]:
     return i.astype(np.int32), j.astype(np.int32)
 
 
-def _osd_tail(llr: jnp.ndarray, order: jnp.ndarray, a: jnp.ndarray,
+def _osd_tail(llr_sorted: jnp.ndarray, order: jnp.ndarray, a: jnp.ndarray,
               pcol: jnp.ndarray, lam: float, order2: int = 0):
     """Order-0/1 (+ partial order-2) search given one candidate's reduced
     packed basis.
 
-    llr (174,), order (174,) reliability permutation, a (91, W) packed
-    reduced basis, pcol (91,) pivot columns.  Returns (plain, ok).
+    llr_sorted (174,) LLRs in reliability order, order (174,) the natural
+    bit index at each sorted position, a (91, W) packed SYNDROME-AUGMENTED
+    reduced basis (bit columns 174..187 carry each row's natural-order
+    CRC syndrome — they rode along through the elimination's row XORs for
+    free), pcol (91,) pivot columns.  Returns (plain, ok).
 
     Gather-free formulation: the only unpacked per-flip arrays are the 91
     basis rows (needed anyway); flip distances are order-0 distance plus a
-    linear correction A @ (w * (1 - 2*d0)), and CRC validity is a GF(2)
-    syndrome through a reliability-PERMUTED syndrome matrix, so nothing of
-    size (92, 174) is ever gathered back to natural bit order — only the
-    single winning codeword is.
+    linear correction A @ (w * (1 - 2*d0)); CRC validity reads straight
+    out of the augmented syndrome columns (synd(base XOR a_f) = synd(base)
+    XOR synd(a_f)); and the single winning codeword returns to natural bit
+    order via a keyed lax.sort.  Per-candidate minor-axis gathers
+    (r[order], S[:, order], win[argsort(order)]) measured ~45 % of
+    deep-mode device time as XLA gathers — none remain.
 
     order2 > 0 additionally tries XOR-pairs of the `order2` LEAST-reliable
     pivot rows (WSJT-X's deeper OSD searches; pairs of low-reliability
@@ -241,16 +249,20 @@ def _osd_tail(llr: jnp.ndarray, order: jnp.ndarray, a: jnp.ndarray,
     is a_i XOR a_j, whose overlap correction is one tiny (P,174)x(174,P)
     matmul: dist_ij = dist0 + d_i + d_j - 2 * (a_i*a_j) . u.
     """
-    w = jnp.abs(llr)
-    r = (llr > 0).astype(jnp.float32)
-    r_sorted = r[order]
-    w_sorted = w[order]
+    w_sorted = jnp.abs(llr_sorted)
+    r_sorted = (llr_sorted > 0).astype(jnp.float32)
+
+    # pivot-position values via one-hot multiply-reduce (not a gather)
+    q = (pcol[:, None] == jnp.arange(_N)[None, :]).astype(jnp.float32)
+    pivot_llr = jnp.sum(q * llr_sorted[None, :], axis=-1)  # (91,)
 
     # order-0 codeword: XOR of basis rows whose pivot bit is set in r
-    sel = r_sorted[pcol].astype(jnp.uint32)              # (91,)
+    sel = (pivot_llr > 0).astype(jnp.uint32)             # (91,)
     base_p = _xor_reduce_rows(a * sel[:, None])          # (W,) packed
-    base = _unpack(base_p)                               # (174,) sorted
-    a_bits = _unpack(a)                                  # (91, 174) sorted
+    base_full = _unpack(base_p)                          # (192,)
+    a_full = _unpack(a)                                  # (91, 192)
+    base = base_full[:_N]                                # (174,) sorted
+    a_bits = a_full[:, :_N]                              # (91, 174) sorted
 
     # distances: d0 = base XOR hard decision; flipping basis row f toggles
     # exactly its set bits, so dist_f = dist_0 + A_f . (w * (1 - 2*d0))
@@ -264,13 +276,12 @@ def _osd_tail(llr: jnp.ndarray, order: jnp.ndarray, a: jnp.ndarray,
     delta = jnp.sum(a_bits * u, axis=-1)                 # (91,)
     dist = jnp.concatenate([dist0[None], dist0 + delta])  # (92,)
 
-    # CRC as a GF(2) syndrome through the permuted syndrome matrix:
-    # S @ c_nat == 0  <=>  (S[:, order]) @ c_sorted == 0; per flip the
-    # syndrome is synd(base) XOR synd(a_f), all mod 2.  0/1 operands with
-    # f32 accumulation are exact at ANY matmul precision — single pass.
-    s_perm = _SYNDROME[:, order]                         # (14, 174)
-    sb = jnp.mod(jnp.sum(s_perm * base, axis=-1), 2.0)   # (14,)
-    sa = jnp.mod(jnp.matmul(s_perm, a_bits.T), 2.0)      # (14, 91)
+    # CRC syndromes ride the augmented columns: bits 174..188 of each
+    # reduced row / of base ARE the natural-order GF(2) syndrome (row XORs
+    # in the elimination update them exactly); a flip's syndrome is
+    # synd(base) XOR synd(a_f), done in f32 mod 2.
+    sb = base_full[_N: _N + C.CRC_BITS]                  # (14,)
+    sa = a_full[:, _N: _N + C.CRC_BITS].T                # (14, 91)
     synd = jnp.concatenate([sb[:, None], jnp.mod(sb[:, None] + sa, 2.0)],
                            axis=1)                       # (14, 92)
     crc_ok = jnp.sum(synd, axis=0) == 0
@@ -298,7 +309,7 @@ def _osd_tail(llr: jnp.ndarray, order: jnp.ndarray, a: jnp.ndarray,
         dist = jnp.concatenate([dist, dist2])
         crc_ok = jnp.concatenate([crc_ok, crc2 & (ones2 > 0.5)])
 
-    nonpivot_mass = jnp.sum(w) - jnp.sum(w_sorted[pcol])
+    nonpivot_mass = jnp.sum(w_sorted) - jnp.sum(jnp.abs(pivot_llr))
     gate = dist <= lam * nonpivot_mass
     ok_each = crc_ok & gate
     # pick the smallest-distance accepted candidate
@@ -317,8 +328,10 @@ def _osd_tail(llr: jnp.ndarray, order: jnp.ndarray, a: jnp.ndarray,
         flip2 = jnp.mod(a_sub[i_sel] + a_sub[j_sel], 2.0)
         flip = jnp.where(best > _K, flip2, flip)
     win_sorted = jnp.mod(base + flip, 2.0)
-    inv = jnp.argsort(order)
-    return win_sorted[inv].astype(jnp.int32), ok
+    # back to natural bit order: sort the winner keyed by `order` (the
+    # inverse permutation as one keyed lax.sort, not an argsort + gather)
+    _, win_nat = jax.lax.sort((order, win_sorted), num_keys=1)
+    return win_nat.astype(jnp.int32), ok
 
 
 def _syndrome_matrix() -> np.ndarray:
@@ -331,6 +344,11 @@ def _syndrome_matrix() -> np.ndarray:
 
 
 _SYNDROME = jnp.asarray(_syndrome_matrix())
+# fixed per-row syndromes of the (natural-order) basis rows, packed along
+# as extra bit columns through the GF(2) elimination (91, 14)
+_ROW_SYNDROMES = jnp.asarray(
+    (_syndrome_matrix().astype(np.int64) @ _basis().astype(np.int64).T)
+    .T % 2).astype(jnp.uint8)
 _CRC_MATRIX_77_T = jnp.asarray(C.CRC_MATRIX_77.T, dtype=jnp.float32)
 _CRC_WEIGHTS = jnp.asarray(2 ** np.arange(C.CRC_BITS - 1, -1, -1),
                            dtype=jnp.int32)
@@ -349,10 +367,22 @@ def osd_decode_batch(llrs: jnp.ndarray, lam: float = DEFAULT_LAMBDA,
     candidate); 0 restores the pure order-1 search.
     """
     flat = llrs.reshape(-1, _N)
-    order = jnp.argsort(-jnp.abs(flat), axis=-1)         # (B, 174)
-    # per-candidate column permutation of the shared basis
+    # one multi-operand sort yields the reliability order AND the sorted
+    # LLR values (argsort lowers to this same sort; the llr payload rides
+    # free and saves the r[order]/w[order] minor-axis gathers downstream)
+    # iota derived from flat so it carries flat's varying manual axes
+    # (LLRs are finite by construction; see normalize_llrs)
+    iota = (flat * 0.0).astype(jnp.int32) + jnp.arange(_N, dtype=jnp.int32)
+    _, llr_sorted, order = jax.lax.sort(
+        (-jnp.abs(flat), flat, iota), dimension=-1, num_keys=1)
+    # per-candidate column permutation of the shared basis, augmented with
+    # each row's fixed natural-order CRC syndrome (columns 174..188 — the
+    # packed width stays 6 words, and the elimination's row XORs keep the
+    # syndromes exact for every reduced row)
     a_bits = jnp.swapaxes(_BASIS_BITS[:, order], 0, 1)   # (B, 91, 174)
-    a_packed = _pack(a_bits)                             # (B, 91, W)
+    aug = jnp.broadcast_to(_ROW_SYNDROMES[None],
+                           (a_bits.shape[0], _K, C.CRC_BITS))
+    a_packed = _pack(jnp.concatenate([a_bits, aug], axis=-1))  # (B, 91, W)
 
     if _osd_pallas_ok() and not force_jnp:
         red, pcol = _reduce_basis_pallas_batch(a_packed)
@@ -361,6 +391,6 @@ def osd_decode_batch(llrs: jnp.ndarray, lam: float = DEFAULT_LAMBDA,
 
     plain, ok = jax.vmap(
         lambda l, o, a, p: _osd_tail(l, o, a, p, lam, order2)
-    )(flat, order, red, pcol)
+    )(llr_sorted, order, red, pcol)
     return (plain.reshape(*llrs.shape[:-1], _N),
             ok.reshape(llrs.shape[:-1]))
