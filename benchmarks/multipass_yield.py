@@ -65,6 +65,8 @@ def main():
     ap.add_argument("--osd", action="store_true")
     ap.add_argument("--mf", action="store_true",
                     help="matched-filter LLR retry (beyond the reference)")
+    ap.add_argument("--mf-first", action="store_true",
+                    help="single-pass matched-filter LLR decode")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -83,7 +85,8 @@ def main():
         for sig, payloads in slots:
             rows = decode_ft8_message(sig, FS, max_candidates=40,
                                       min_score=3.0, passes=passes,
-                                      use_osd=args.osd, use_mf=args.mf)
+                                      use_osd=args.osd, use_mf=args.mf,
+                                      mf_first=args.mf_first)
             got = {r.message.payload.hex() for r in rows}
             found += sum(p.tobytes().hex() in got for p in payloads)
         yields[f"passes={passes}"] = round(found / total, 4)
@@ -96,6 +99,7 @@ def main():
         "amplitude_spread_db": 26,
         "osd": args.osd,
         "mf": args.mf,
+        "mf_first": args.mf_first,
         "yield": yields,
         "device": str(jax.devices()[0]),
         "wall_seconds": round(time.perf_counter() - t0, 1),

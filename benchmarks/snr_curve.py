@@ -29,7 +29,7 @@ def run_curve(fs: float, snrs, trials: int, f0: float = None,
               min_score: float = 1.0, max_candidates: int = 20,
               seed: int = 0, bins_per_tone: int = 2,
               steps_per_symbol: int = 2, use_osd: bool = False,
-              use_mf: bool = False):
+              use_mf: bool = False, mf_first: bool = False):
     """Returns (snr_list, success_rate_list, wall_seconds)."""
     import jax
     import jax.numpy as jnp
@@ -66,7 +66,7 @@ def run_curve(fs: float, snrs, trials: int, f0: float = None,
         return jax.vmap(lambda w: decode_slot(
             w, p, num_frames, max_candidates=max_candidates,
             min_score=min_score, max_iterations=20, use_osd=use_osd,
-            use_mf=use_mf))(waves)
+            use_mf=use_mf, mf_first=mf_first))(waves)
 
     payloads_d = jnp.asarray(payloads)
     expected = payloads.copy()
@@ -103,6 +103,9 @@ def main():
                     help="layer ordered-statistics decoding over BP")
     ap.add_argument("--mf", action="store_true",
                     help="matched-filter LLR retry (beyond the reference)")
+    ap.add_argument("--mf-first", action="store_true",
+                    help="decode every candidate from matched-filter LLRs "
+                         "in one pass (skips the Hann-LLR decode)")
     args = ap.parse_args()
 
     snrs = np.arange(args.snr_start, args.snr_stop + 1e-9, args.snr_step)
@@ -111,7 +114,8 @@ def main():
                                       bins_per_tone=args.bins_per_tone,
                                       steps_per_symbol=args.steps_per_symbol,
                                       max_candidates=args.max_candidates,
-                                      use_osd=args.osd, use_mf=args.mf)
+                                      use_osd=args.osd, use_mf=args.mf,
+                                      mf_first=args.mf_first)
     passing = [s for s, r in zip(snr_list, rates) if r >= 0.5]
     print(json.dumps({
         "fs": args.fs,
@@ -119,6 +123,7 @@ def main():
         "max_candidates": args.max_candidates,
         "osd": args.osd,
         "mf": args.mf,
+        "mf_first": args.mf_first,
         "trials_per_point": args.trials,
         "snr_db": snr_list,
         "success_rate": rates,

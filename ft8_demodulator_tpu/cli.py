@@ -59,6 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mf", action="store_true",
                    help="matched-filter LLR retry for candidates BP/OSD "
                         "could not decode (~+1.3 dB, beyond the reference)")
+    p.add_argument("--mf-first", action="store_true",
+                   help="decode every candidate straight from matched-"
+                        "filter LLRs in one pass (with --mf; same "
+                        "sensitivity, ~2x faster; slightly lower crowded-"
+                        "band yield — see docs/DESIGN_NOTES.md)")
     p.add_argument("--deep", action="store_true",
                    help="high-sensitivity preset: osr 4x4, 40 candidates, "
                         "min-score 1, OSD (only fills in options you did "
@@ -176,6 +181,7 @@ def main(argv=None) -> int:
             passes=args.passes,
             use_osd=args.osd,
             use_mf=args.mf,
+            mf_first=args.mf_first,
         )
         if args.metrics:
             import json

@@ -26,6 +26,9 @@ class DecoderConfig(NamedTuple):
     max_iterations: int = 20     # LDPC BP iterations
     use_osd: bool = False        # ordered-statistics decode after BP
     use_mf: bool = False         # matched-filter LLR retry after BP(+OSD)
+    mf_first: bool = False       # decode ALL candidates from MF LLRs in one
+                                 # pass (same cliff sensitivity, ~2x faster;
+                                 # slightly lower crowded-band yield)
 
     def waterfall(self, fs: float) -> WaterfallParams:
         return waterfall_params(fs, self.bins_per_tone,

@@ -31,8 +31,8 @@ from ..ops.waterfall import WaterfallParams, waterfall_params, waterfall_real, \
 from ..protocol import constants as C
 from .types import FT8Decode, FT8DecodeStatus, FT8Message, SlotDecodeResult
 
-__all__ = ["decode_waterfall", "decode_slot", "decode_ft8_message",
-           "finish_decode", "mf_retry"]
+__all__ = ["decode_waterfall", "decode_waterfall_mf", "decode_slot",
+           "decode_ft8_message", "finish_decode", "mf_retry"]
 
 _CRC_MATRIX_77_T = jnp.asarray(C.CRC_MATRIX_77.T, dtype=jnp.float32)
 _CRC_WEIGHTS = jnp.asarray(2 ** np.arange(C.CRC_BITS - 1, -1, -1),
@@ -120,6 +120,54 @@ def finish_decode(llrs: jnp.ndarray, abs_time: jnp.ndarray,
     )
 
 
+def _mf_llrs(wave: jnp.ndarray, p: WaterfallParams, abs_time: jnp.ndarray,
+             abs_freq: jnp.ndarray, is_complex: bool) -> jnp.ndarray:
+    """Matched-filter LLRs for candidates at absolute audio coordinates.
+
+    When the block-DFT geometry holds, the boxcar symbol DFTs are
+    assembled from hop-block spectra (extract_llrs_matched_blocks — exact
+    decomposition, no windows/pads/skinny matmuls; the direct form
+    dominated the deep-mode profile); otherwise the direct form runs.
+    """
+    from ..ops.waterfall import _block_geometry_ok, _block_spectrum
+
+    if _block_geometry_ok(p):
+        num_frames = p.num_frames(wave.shape[0])
+        if is_complex:
+            rr, ri = _block_spectrum(wave[..., 0], p, num_frames)
+            ir, ii = _block_spectrum(wave[..., 1], p, num_frames)
+            spec_re, spec_im = rr - ii, ri + ir
+        else:
+            spec_re, spec_im = _block_spectrum(wave, p, num_frames)
+        return extract_llrs_matched_blocks(
+            spec_re, spec_im, abs_time, abs_freq, p.time_osr, p.freq_osr)
+    return extract_llrs_matched(
+        wave, abs_time, abs_freq, p.nperseg, p.hop, p.freq_osr,
+        is_complex)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "g", "p", "max_candidates", "max_iterations", "use_osd", "is_complex"))
+def decode_waterfall_mf(mag: jnp.ndarray, wave: jnp.ndarray,
+                        p: WaterfallParams, g: SearchGrid,
+                        t0_hops, f0_rows, max_candidates: int,
+                        min_score: float, max_iterations: int = 20,
+                        use_osd: bool = False,
+                        is_complex: bool = False) -> SlotDecodeResult:
+    """MF-first decode: candidates from the (possibly cropped) waterfall,
+    every candidate decoded straight from matched-filter LLRs in a single
+    BP(+OSD) pass — no Hann-LLR decode (measured yield-identical at the
+    sensitivity cliff and ~2x cheaper; crowded-band caveat in
+    docs/DESIGN_NOTES.md)."""
+    scores = sync_scores(mag, g)
+    abs_time, abs_freq, score, cand_valid = find_candidates(
+        scores, g, max_candidates, min_score)
+    llrs = _mf_llrs(wave, p, abs_time + jnp.int32(t0_hops),
+                    abs_freq + jnp.int32(f0_rows), is_complex)
+    return finish_decode(llrs, abs_time, abs_freq, score, cand_valid,
+                         max_iterations, use_osd)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "p", "max_iterations", "use_osd", "is_complex"))
 def mf_retry(wave: jnp.ndarray, p: WaterfallParams, res: SlotDecodeResult,
@@ -134,30 +182,9 @@ def mf_retry(wave: jnp.ndarray, p: WaterfallParams, res: SlotDecodeResult,
     replace their failed originals.  Decodes are a strict superset of the
     first pass.  t0_hops/f0_rows translate crop-relative candidate indices
     back to absolute audio coordinates.
-
-    When the block-DFT geometry holds, the boxcar DFTs are assembled from
-    hop-block spectra (extract_llrs_matched_blocks — exact decomposition,
-    no windows/pads/skinny matmuls; the direct form dominated the
-    deep-mode profile); otherwise the direct form runs.
     """
-    from ..ops.waterfall import _block_geometry_ok, _block_spectrum
-
-    abs_time = res.abs_time + jnp.int32(t0_hops)
-    abs_freq = res.abs_freq + jnp.int32(f0_rows)
-    if _block_geometry_ok(p):
-        num_frames = p.num_frames(wave.shape[0])
-        if is_complex:
-            rr, ri = _block_spectrum(wave[..., 0], p, num_frames)
-            ir, ii = _block_spectrum(wave[..., 1], p, num_frames)
-            spec_re, spec_im = rr - ii, ri + ir
-        else:
-            spec_re, spec_im = _block_spectrum(wave, p, num_frames)
-        llrs = extract_llrs_matched_blocks(
-            spec_re, spec_im, abs_time, abs_freq, p.time_osr, p.freq_osr)
-    else:
-        llrs = extract_llrs_matched(
-            wave, abs_time, abs_freq, p.nperseg, p.hop, p.freq_osr,
-            is_complex)
+    llrs = _mf_llrs(wave, p, res.abs_time + jnp.int32(t0_hops),
+                    res.abs_freq + jnp.int32(f0_rows), is_complex)
     retry = finish_decode(llrs, res.abs_time, res.abs_freq, res.score,
                           res.candidate_valid, max_iterations, use_osd)
     take = ~res.success & retry.success
@@ -175,24 +202,46 @@ def mf_retry(wave: jnp.ndarray, p: WaterfallParams, res: SlotDecodeResult,
 
 @functools.partial(jax.jit, static_argnames=(
     "p", "num_frames", "max_candidates", "max_iterations", "is_complex",
-    "use_osd", "use_mf"))
+    "use_osd", "use_mf", "mf_first"))
 def decode_slot(wave: jnp.ndarray, p: WaterfallParams, num_frames: int,
                 max_candidates: int = 20, min_score: float = 10.0,
                 max_iterations: int = 20,
                 is_complex: bool = False,
                 use_osd: bool = False,
-                use_mf: bool = False) -> SlotDecodeResult:
+                use_mf: bool = False,
+                mf_first: bool = False) -> SlotDecodeResult:
     """Audio (n,) real — or (n, 2) [re, im] — -> SlotDecodeResult.
 
     The single-chip flagship entry point: one jit containing STFT, search
     and decode.  Batch with vmap over a leading axis; shard with pjit.
     use_mf adds the matched-filter LLR retry (beyond the reference).
+
+    mf_first (with use_mf, real input, block geometry) decodes every
+    candidate straight from matched-filter LLRs in a SINGLE BP(+OSD) pass
+    instead of Hann-LLR decode + MF retry: the hop-block spectra are
+    computed once and feed both the dB waterfall (sync/search) and the
+    boxcar symbol DFTs (ops/llr.py extract_llrs_matched_blocks), skipping
+    the Hann-LLR decode entirely.
     """
+    from ..ops.waterfall import (_block_geometry_ok, _block_spectrum,
+                                 _block_waterfall)
+
+    g = search_grid(p.num_freq_bins, num_frames, p.time_osr, p.freq_osr)
+    if use_mf and mf_first and not is_complex and _block_geometry_ok(p):
+        spec = _block_spectrum(wave, p, num_frames)
+        mag = _block_waterfall(spec, p, num_frames)
+        scores = sync_scores(mag, g)
+        abs_time, abs_freq, score, cand_valid = find_candidates(
+            scores, g, max_candidates, min_score)
+        llrs = extract_llrs_matched_blocks(
+            spec[0], spec[1], abs_time, abs_freq, g.time_osr, g.freq_osr)
+        return finish_decode(llrs, abs_time, abs_freq, score, cand_valid,
+                             max_iterations, use_osd)
+
     if is_complex:
         mag = waterfall_complex(wave, p, num_frames)
     else:
         mag = waterfall_real(wave, p, num_frames)
-    g = search_grid(p.num_freq_bins, num_frames, p.time_osr, p.freq_osr)
     res = decode_waterfall(mag, g, max_candidates, min_score,
                            max_iterations, use_osd)
     if use_mf:
@@ -246,7 +295,8 @@ def decode_ft8_message(wave_data, sample_rate: float,
                        return_metrics: bool = False,
                        passes: int = 1,
                        use_osd: bool = False,
-                       use_mf: bool = False):
+                       use_mf: bool = False,
+                       mf_first: bool = False):
     """Decode all FT8 messages in an audio capture (host API).
 
     Mirrors the reference decode_ft8_message (ft8_decode.py:288) with two
@@ -264,6 +314,12 @@ def decode_ft8_message(wave_data, sample_rate: float,
     extract_llrs_matched): candidates the Hann-waterfall LLRs cannot
     decode are re-extracted with boxcar symbol-aligned DFTs.  Decodes are
     a strict superset of the reference-parity first pass.
+
+    mf_first=True (with use_mf) decodes every candidate straight from
+    matched-filter LLRs in a single BP(+OSD) pass instead of Hann-LLR
+    decode + retry — measured yield-identical at the sensitivity cliff
+    and several times cheaper (see docs/DESIGN_NOTES.md for the
+    crowded-band comparison).
 
     passes > 1 enables subtraction decoding (beyond the reference): after
     each pass, every decoded transmission is re-synthesised, frequency-
@@ -326,11 +382,16 @@ def decode_ft8_message(wave_data, sample_rate: float,
             if pass_idx == 0:
                 return _empty()
             break
-        res = decode_waterfall(mag, g, max_candidates, float(min_score),
-                               max_iterations, use_osd)
-        if use_mf:
-            res = mf_retry(wave_d, p, res, t_lo, f_lo, max_iterations,
-                           use_osd, is_complex)
+        if use_mf and mf_first:
+            res = decode_waterfall_mf(mag, wave_d, p, g, t_lo, f_lo,
+                                      max_candidates, float(min_score),
+                                      max_iterations, use_osd, is_complex)
+        else:
+            res = decode_waterfall(mag, g, max_candidates, float(min_score),
+                                   max_iterations, use_osd)
+            if use_mf:
+                res = mf_retry(wave_d, p, res, t_lo, f_lo, max_iterations,
+                               use_osd, is_complex)
         if first_res is None:
             first_res = res
         new_rows = _format_results(
