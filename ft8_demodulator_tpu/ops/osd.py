@@ -223,8 +223,15 @@ def _pair_indices(p: int) -> tuple[np.ndarray, np.ndarray]:
     return i.astype(np.int32), j.astype(np.int32)
 
 
+def _triple_indices(q: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    from itertools import combinations
+    idx = np.array(list(combinations(range(q), 3)), np.int32).reshape(-1, 3)
+    return idx[:, 0], idx[:, 1], idx[:, 2]
+
+
 def _osd_tail(llr_sorted: jnp.ndarray, order: jnp.ndarray, a: jnp.ndarray,
-              pcol: jnp.ndarray, lam: float, order2: int = 0):
+              pcol: jnp.ndarray, lam: float, order2: int = 0,
+              order3: int = 0):
     """Order-0/1 (+ partial order-2) search given one candidate's reduced
     packed basis.
 
@@ -309,6 +316,34 @@ def _osd_tail(llr_sorted: jnp.ndarray, order: jnp.ndarray, a: jnp.ndarray,
         dist = jnp.concatenate([dist, dist2])
         crc_ok = jnp.concatenate([crc_ok, crc2 & (ones2 > 0.5)])
 
+    if order3 > 0:
+        # partial order-3: XOR-triples of the `order3` least-reliable pivot
+        # rows.  XOR of three 0/1 rows is i+j+k - 2(ij+ik+jk) + 4ijk
+        # elementwise, so a triple's distance/ones corrections are the
+        # singles' plus pairwise overlaps (already in ov/ov2) plus one tiny
+        # third-order tensor T_ijk = sum_n a_i a_j a_k u_n.
+        assert order2 >= order3, "order3 rows come from the order2 set"
+        ti, tj, tk = _triple_indices(order3)
+        a3 = a_sub[:order3]                  # least-reliable-first (top_k)
+        t_u = jnp.einsum("in,jn,kn->ijk", a3 * u, a3, a3, precision=hp)
+        ov3 = ov[:order3, :order3]
+        d3 = d_sub[:order3]
+        dist3 = (dist0 + d3[ti] + d3[tj] + d3[tk]
+                 - 2.0 * (ov3[ti, tj] + ov3[ti, tk] + ov3[tj, tk])
+                 + 4.0 * t_u[ti, tj, tk])
+        sa3 = sa_sub[:, :order3]
+        synd3 = jnp.mod(sb[:, None] + sa3[:, ti] + sa3[:, tj] + sa3[:, tk],
+                        2.0)
+        crc3 = jnp.sum(synd3, axis=0) == 0
+        t_v = jnp.einsum("in,jn,kn->ijk", a3 * v2, a3, a3, precision=hp)
+        ov23 = ov2[:order3, :order3]
+        dn3 = dn_sub[:order3]
+        ones3 = (ones0 + dn3[ti] + dn3[tj] + dn3[tk]
+                 - 2.0 * (ov23[ti, tj] + ov23[ti, tk] + ov23[tj, tk])
+                 + 4.0 * t_v[ti, tj, tk])
+        dist = jnp.concatenate([dist, dist3])
+        crc_ok = jnp.concatenate([crc_ok, crc3 & (ones3 > 0.5)])
+
     nonpivot_mass = jnp.sum(w_sorted) - jnp.sum(jnp.abs(pivot_llr))
     gate = dist <= lam * nonpivot_mass
     ok_each = crc_ok & gate
@@ -326,7 +361,12 @@ def _osd_tail(llr_sorted: jnp.ndarray, order: jnp.ndarray, a: jnp.ndarray,
         i_sel = jnp.asarray(pi)[pair]
         j_sel = jnp.asarray(pj)[pair]
         flip2 = jnp.mod(a_sub[i_sel] + a_sub[j_sel], 2.0)
-        flip = jnp.where(best > _K, flip2, flip)
+        flip = jnp.where((best > _K) & (best <= _K + len(pi)), flip2, flip)
+    if order3 > 0:
+        tri = jnp.clip(best - (_K + 1 + len(pi)), 0, len(ti) - 1)
+        flip3 = jnp.mod(a3[jnp.asarray(ti)[tri]] + a3[jnp.asarray(tj)[tri]]
+                        + a3[jnp.asarray(tk)[tri]], 2.0)
+        flip = jnp.where(best > _K + len(pi), flip3, flip)
     win_sorted = jnp.mod(base + flip, 2.0)
     # back to natural bit order: sort the winner keyed by `order` (the
     # inverse permutation as one keyed lax.sort, not an argsort + gather)
@@ -355,16 +395,22 @@ _CRC_WEIGHTS = jnp.asarray(2 ** np.arange(C.CRC_BITS - 1, -1, -1),
 
 
 DEFAULT_ORDER2 = 16
+DEFAULT_ORDER3 = 0
 
 
-@functools.partial(jax.jit, static_argnames=("lam", "force_jnp", "order2"))
+@functools.partial(jax.jit, static_argnames=("lam", "force_jnp", "order2",
+                                             "order3"))
 def osd_decode_batch(llrs: jnp.ndarray, lam: float = DEFAULT_LAMBDA,
-                     force_jnp: bool = False, order2: int = DEFAULT_ORDER2):
+                     force_jnp: bool = False, order2: int = DEFAULT_ORDER2,
+                     order3: int = DEFAULT_ORDER3):
     """(..., 174) LLRs -> (plain (..., 174) int32, accepted (...,) bool).
 
     order2: number of least-reliable pivot rows whose XOR-pairs are also
     searched (partial order-2, C(order2, 2) extra flip patterns per
     candidate); 0 restores the pure order-1 search.
+
+    order3 (<= order2): XOR-triples of the order3 least-reliable pivot
+    rows are searched too (partial order-3, C(order3, 3) patterns).
     """
     flat = llrs.reshape(-1, _N)
     # one multi-operand sort yields the reliability order AND the sorted
@@ -390,7 +436,7 @@ def osd_decode_batch(llrs: jnp.ndarray, lam: float = DEFAULT_LAMBDA,
         red, pcol = jax.vmap(_reduce_basis_packed)(a_packed)
 
     plain, ok = jax.vmap(
-        lambda l, o, a, p: _osd_tail(l, o, a, p, lam, order2)
+        lambda l, o, a, p: _osd_tail(l, o, a, p, lam, order2, order3)
     )(llr_sorted, order, red, pcol)
     return (plain.reshape(*llrs.shape[:-1], _N),
             ok.reshape(llrs.shape[:-1]))

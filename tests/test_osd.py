@@ -127,3 +127,30 @@ def test_osd_order2_rejects_pure_noise():
                       .astype(np.float32))
     _, ok = osd_decode_batch(llr, order2=16)
     assert np.asarray(ok).sum() == 0
+
+
+def test_osd_order3_adds_decodes_and_stays_clean():
+    """Partial order-3 (triples of the least-reliable pivots) decodes a
+    superset of the order-2 search at the cliff, never accepts a wrong
+    codeword there, and still rejects pure noise."""
+    rng = np.random.default_rng(8)
+    cw = _codewords(rng, 60)
+    sigma = 0.95
+    noise = rng.standard_normal(cw.shape)
+    llr = jnp.asarray(((2 * cw - 1) * 2.0 + 2.0 * sigma * noise)
+                      .astype(np.float32))
+
+    p2, ok2 = osd_decode_batch(llr)
+    p3, ok3 = osd_decode_batch(llr, order3=12)
+    right2 = np.asarray(ok2) & (np.asarray(p2) == cw).all(axis=1)
+    right3 = np.asarray(ok3) & (np.asarray(p3) == cw).all(axis=1)
+    wrong3 = np.asarray(ok3) & ~(np.asarray(p3) == cw).all(axis=1)
+    assert wrong3.sum() == 0
+    assert right3.sum() >= right2.sum()
+    # every order-3 acceptance is a valid codeword (flip assembly check)
+    assert np.all(np.asarray(ldpc_check(p3))[np.asarray(ok3)] == 0)
+
+    noise_llr = jnp.asarray((3.0 * rng.standard_normal((400, 174)))
+                            .astype(np.float32))
+    _, okn = osd_decode_batch(noise_llr, order3=12)
+    assert int(np.asarray(okn).sum()) == 0
