@@ -158,7 +158,8 @@ def main(argv=None) -> int:
                           max_candidates=args.max_candidates,
                           min_score=args.min_score,
                           max_iterations=args.max_iterations,
-                          use_osd=args.osd, use_mf=args.mf),
+                          use_osd=args.osd, use_mf=args.mf,
+                          mf_first=args.mf_first),
             block_seconds=args.block_seconds)
         results = []
         chunk = max(session.block_len, int(sample_rate))

@@ -121,17 +121,24 @@ def finish_decode(llrs: jnp.ndarray, abs_time: jnp.ndarray,
 
 
 def _mf_llrs(wave: jnp.ndarray, p: WaterfallParams, abs_time: jnp.ndarray,
-             abs_freq: jnp.ndarray, is_complex: bool) -> jnp.ndarray:
+             abs_freq: jnp.ndarray, is_complex: bool,
+             spec=None) -> jnp.ndarray:
     """Matched-filter LLRs for candidates at absolute audio coordinates.
 
-    When the block-DFT geometry holds, the boxcar symbol DFTs are
-    assembled from hop-block spectra (extract_llrs_matched_blocks — exact
-    decomposition, no windows/pads/skinny matmuls; the direct form
-    dominated the deep-mode profile); otherwise the direct form runs.
+    When the block-DFT backend applies (geometry holds AND the DFT-matrix
+    size caps of _pick_backend allow it — e.g. 48 kHz exceeds them), the
+    boxcar symbol DFTs are assembled from hop-block spectra
+    (extract_llrs_matched_blocks — exact decomposition, no windows/pads/
+    skinny matmuls; the direct form dominated the deep-mode profile);
+    otherwise the direct form runs.  Pass precomputed (spec_re, spec_im)
+    hop-block spectra via `spec` to skip recomputing them.
     """
-    from ..ops.waterfall import _block_geometry_ok, _block_spectrum
+    from ..ops.waterfall import _block_spectrum, _pick_backend
 
-    if _block_geometry_ok(p):
+    if spec is not None:
+        return extract_llrs_matched_blocks(
+            spec[0], spec[1], abs_time, abs_freq, p.time_osr, p.freq_osr)
+    if _pick_backend(p, None) == "block":
         num_frames = p.num_frames(wave.shape[0])
         if is_complex:
             rr, ri = _block_spectrum(wave[..., 0], p, num_frames)
@@ -153,17 +160,19 @@ def decode_waterfall_mf(mag: jnp.ndarray, wave: jnp.ndarray,
                         t0_hops, f0_rows, max_candidates: int,
                         min_score: float, max_iterations: int = 20,
                         use_osd: bool = False,
-                        is_complex: bool = False) -> SlotDecodeResult:
+                        is_complex: bool = False,
+                        spec=None) -> SlotDecodeResult:
     """MF-first decode: candidates from the (possibly cropped) waterfall,
     every candidate decoded straight from matched-filter LLRs in a single
     BP(+OSD) pass — no Hann-LLR decode (measured yield-identical at the
     sensitivity cliff and ~2x cheaper; crowded-band caveat in
-    docs/DESIGN_NOTES.md)."""
+    docs/DESIGN_NOTES.md).  `spec` optionally carries the already-computed
+    (spec_re, spec_im) hop-block spectra of the UNCROPPED wave."""
     scores = sync_scores(mag, g)
     abs_time, abs_freq, score, cand_valid = find_candidates(
         scores, g, max_candidates, min_score)
     llrs = _mf_llrs(wave, p, abs_time + jnp.int32(t0_hops),
-                    abs_freq + jnp.int32(f0_rows), is_complex)
+                    abs_freq + jnp.int32(f0_rows), is_complex, spec)
     return finish_decode(llrs, abs_time, abs_freq, score, cand_valid,
                          max_iterations, use_osd)
 
@@ -216,18 +225,19 @@ def decode_slot(wave: jnp.ndarray, p: WaterfallParams, num_frames: int,
     and decode.  Batch with vmap over a leading axis; shard with pjit.
     use_mf adds the matched-filter LLR retry (beyond the reference).
 
-    mf_first (with use_mf, real input, block geometry) decodes every
-    candidate straight from matched-filter LLRs in a SINGLE BP(+OSD) pass
-    instead of Hann-LLR decode + MF retry: the hop-block spectra are
-    computed once and feed both the dB waterfall (sync/search) and the
-    boxcar symbol DFTs (ops/llr.py extract_llrs_matched_blocks), skipping
-    the Hann-LLR decode entirely.
+    mf_first (implies MF) decodes every candidate straight from
+    matched-filter LLRs in a SINGLE BP(+OSD) pass instead of Hann-LLR
+    decode + MF retry.  For real input on the block-DFT backend the
+    hop-block spectra are computed once and feed both the dB waterfall
+    (sync/search) and the boxcar symbol DFTs (ops/llr.py
+    extract_llrs_matched_blocks); other inputs route through
+    decode_waterfall_mf (same single-pass semantics).
     """
-    from ..ops.waterfall import (_block_geometry_ok, _block_spectrum,
-                                 _block_waterfall)
+    from ..ops.waterfall import (_block_spectrum, _block_waterfall,
+                                 _pick_backend)
 
     g = search_grid(p.num_freq_bins, num_frames, p.time_osr, p.freq_osr)
-    if use_mf and mf_first and not is_complex and _block_geometry_ok(p):
+    if mf_first and not is_complex and _pick_backend(p, None) == "block":
         spec = _block_spectrum(wave, p, num_frames)
         mag = _block_waterfall(spec, p, num_frames)
         scores = sync_scores(mag, g)
@@ -242,6 +252,10 @@ def decode_slot(wave: jnp.ndarray, p: WaterfallParams, num_frames: int,
         mag = waterfall_complex(wave, p, num_frames)
     else:
         mag = waterfall_real(wave, p, num_frames)
+    if mf_first:
+        return decode_waterfall_mf(mag, wave, p, g, 0, 0, max_candidates,
+                                   min_score, max_iterations, use_osd,
+                                   is_complex)
     res = decode_waterfall(mag, g, max_candidates, min_score,
                            max_iterations, use_osd)
     if use_mf:
@@ -283,6 +297,16 @@ def _format_results(res: SlotDecodeResult, hop_seconds: float,
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("p", "num_frames"))
+def _block_spec_and_mag(wave: jnp.ndarray, p: WaterfallParams,
+                        num_frames: int):
+    """Hop-block spectra + the dB waterfall derived from them, one jit."""
+    from ..ops.waterfall import _block_spectrum, _block_waterfall
+
+    spec = _block_spectrum(wave, p, num_frames)
+    return spec, _block_waterfall(spec, p, num_frames)
+
+
 def decode_ft8_message(wave_data, sample_rate: float,
                        bins_per_tone: int = 2, steps_per_symbol: int = 2,
                        max_candidates: int = 20, min_score: float = 10.0,
@@ -315,11 +339,11 @@ def decode_ft8_message(wave_data, sample_rate: float,
     decode are re-extracted with boxcar symbol-aligned DFTs.  Decodes are
     a strict superset of the reference-parity first pass.
 
-    mf_first=True (with use_mf) decodes every candidate straight from
-    matched-filter LLRs in a single BP(+OSD) pass instead of Hann-LLR
-    decode + retry — measured yield-identical at the sensitivity cliff
-    and several times cheaper (see docs/DESIGN_NOTES.md for the
-    crowded-band comparison).
+    mf_first=True (implies MF; use_mf need not be set) decodes every
+    candidate straight from matched-filter LLRs in a single BP(+OSD) pass
+    instead of Hann-LLR decode + retry — measured yield-identical at the
+    sensitivity cliff and several times cheaper (see docs/DESIGN_NOTES.md
+    for the crowded-band comparison).
 
     passes > 1 enables subtraction decoding (beyond the reference): after
     each pass, every decoded transmission is re-synthesised, frequency-
@@ -352,9 +376,18 @@ def decode_ft8_message(wave_data, sample_rate: float,
     rows: list[FT8Decode] = []
     seen_payloads: set[bytes] = set()
     first_res = None
+    from ..ops.waterfall import _pick_backend
     for pass_idx in range(max(1, passes)):
-        mag = waterfall_complex(wave_d, p, num_frames) if is_complex \
-            else waterfall_real(wave_d, p, num_frames)
+        spec = None
+        if mf_first and not is_complex \
+                and _pick_backend(p, None) == "block":
+            # compute the hop-block spectra once per pass: they feed both
+            # the dB waterfall and the boxcar matched-filter DFTs
+            spec, mag = _block_spec_and_mag(wave_d, p, num_frames)
+        elif is_complex:
+            mag = waterfall_complex(wave_d, p, num_frames)
+        else:
+            mag = waterfall_real(wave_d, p, num_frames)
 
         # frequency / time crops (host-side static slicing keeps the jitted
         # pipeline fixed-shape per crop config)
@@ -382,10 +415,11 @@ def decode_ft8_message(wave_data, sample_rate: float,
             if pass_idx == 0:
                 return _empty()
             break
-        if use_mf and mf_first:
+        if mf_first:
             res = decode_waterfall_mf(mag, wave_d, p, g, t_lo, f_lo,
                                       max_candidates, float(min_score),
-                                      max_iterations, use_osd, is_complex)
+                                      max_iterations, use_osd, is_complex,
+                                      spec)
         else:
             res = decode_waterfall(mag, g, max_candidates, float(min_score),
                                    max_iterations, use_osd)

@@ -322,7 +322,6 @@ def _osd_tail(llr_sorted: jnp.ndarray, order: jnp.ndarray, a: jnp.ndarray,
         # elementwise, so a triple's distance/ones corrections are the
         # singles' plus pairwise overlaps (already in ov/ov2) plus one tiny
         # third-order tensor T_ijk = sum_n a_i a_j a_k u_n.
-        assert order2 >= order3, "order3 rows come from the order2 set"
         ti, tj, tk = _triple_indices(order3)
         a3 = a_sub[:order3]                  # least-reliable-first (top_k)
         t_u = jnp.einsum("in,jn,kn->ijk", a3 * u, a3, a3, precision=hp)
@@ -383,7 +382,6 @@ def _syndrome_matrix() -> np.ndarray:
     return s
 
 
-_SYNDROME = jnp.asarray(_syndrome_matrix())
 # fixed per-row syndromes of the (natural-order) basis rows, packed along
 # as extra bit columns through the GF(2) elimination (91, 14)
 _ROW_SYNDROMES = jnp.asarray(
@@ -410,8 +408,14 @@ def osd_decode_batch(llrs: jnp.ndarray, lam: float = DEFAULT_LAMBDA,
     candidate); 0 restores the pure order-1 search.
 
     order3 (<= order2): XOR-triples of the order3 least-reliable pivot
-    rows are searched too (partial order-3, C(order3, 3) patterns).
+    rows are searched too (partial order-3, C(order3, 3) patterns;
+    values below 3 have no triples and are treated as 0).
     """
+    if order3 > order2:
+        raise ValueError(f"order3 ({order3}) must be <= order2 ({order2}):"
+                         " the triple rows come from the order-2 set")
+    if order3 < 3:
+        order3 = 0                       # C(order3, 3) == 0 — no triples
     flat = llrs.reshape(-1, _N)
     # one multi-operand sort yields the reliability order AND the sorted
     # LLR values (argsort lowers to this same sort; the llr payload rides

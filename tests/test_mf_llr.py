@@ -174,3 +174,33 @@ def test_mf_first_slot_path_matches_host_path(rng):
                                   np.asarray(ref.success))
     np.testing.assert_array_equal(np.asarray(fast.payload),
                                   np.asarray(ref.payload))
+
+
+def test_mf_first_complex_input_decodes(rng):
+    """Complex input routes through the true MF-first path in both the
+    host API and decode_slot (no silent fallback divergence)."""
+    bb = np.asarray(ft8_baseband(PAYLOAD, FS, 350.0))
+    sig = np.zeros(int(FS * 15), np.complex64)
+    sig[500: 500 + len(bb)] = bb
+    sp = float(np.mean(np.abs(bb) ** 2))
+    noise = (rng.standard_normal(len(sig)) + 1j * rng.standard_normal(len(sig)))
+    sig += (noise * np.sqrt(sp / 10 ** (-12.0 / 10) / 2)).astype(np.complex64)
+    res = decode_ft8_message(sig, FS, min_score=1.0, use_osd=True,
+                             mf_first=True)
+    assert any(r.message.payload == _expected(PAYLOAD) for r in res)
+
+    p = waterfall_params(FS, 2, 2)
+    w2 = jnp.asarray(np.stack([sig.real, sig.imag], -1).astype(np.float32))
+    slot = decode_slot(w2, p, p.num_frames(len(sig)), min_score=1.0,
+                       is_complex=True, use_osd=True, mf_first=True)
+    got = {bytes(r.tolist()) for r, s in
+           zip(np.asarray(slot.payload), np.asarray(slot.success)) if s}
+    assert _expected(PAYLOAD) in got
+
+
+def test_mf_first_implies_mf():
+    """mf_first without use_mf is the MF-first decode, not a silent no-op."""
+    sig = _noisy(0, -15.0)
+    res = decode_ft8_message(sig, FS, min_score=1.0, use_osd=True,
+                             mf_first=True)
+    assert any(r.message.payload == _expected(PAYLOAD) for r in res)

@@ -154,3 +154,18 @@ def test_osd_order3_adds_decodes_and_stays_clean():
                             .astype(np.float32))
     _, okn = osd_decode_batch(noise_llr, order3=12)
     assert int(np.asarray(okn).sum()) == 0
+
+
+def test_osd_order3_below_three_is_a_noop():
+    """order3 in {1, 2} has no triples — must behave exactly like 0."""
+    rng = np.random.default_rng(9)
+    llr = jnp.asarray((3.0 * rng.standard_normal((16, 174)))
+                      .astype(np.float32))
+    p0, ok0 = osd_decode_batch(llr)
+    p2, ok2 = osd_decode_batch(llr, order3=2)
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p2))
+    np.testing.assert_array_equal(np.asarray(ok0), np.asarray(ok2))
+
+    import pytest
+    with pytest.raises(ValueError):
+        osd_decode_batch(llr, order2=4, order3=8)

@@ -100,3 +100,35 @@ def test_flush_searches_past_final_block_boundary(rng):
         (PAYLOAD_B.tobytes().hex(), 31) in rows
     assert len(rows) == 1
     assert len(sess._buffer) == 0   # flush consumed the tail
+
+
+def test_stream_session_mf_first_and_checkpoint_roundtrip(tmp_path):
+    """mf_first streams decode, and the flag survives save/load."""
+    import numpy as np
+
+    from ft8_demodulator_tpu.config import DecoderConfig
+    from ft8_demodulator_tpu.demod.stream_session import StreamSession
+    from ft8_demodulator_tpu.ops.gfsk import ft8_passband
+
+    fs = 2000.0
+    payload = np.array([0x1C, 0x3F, 0x8A, 0x6A, 0xE2, 0x07, 0xA1, 0xE3,
+                        0x94, 0x51], dtype=np.uint8)
+    w = np.asarray(ft8_passband(payload, fs, 400.0, 0.0))
+    sig = np.zeros(int(fs * 20), np.float32)
+    sig[1000: 1000 + len(w)] = w
+    rng = np.random.default_rng(0)
+    sig += 0.05 * rng.standard_normal(len(sig)).astype(np.float32)
+
+    cfg = DecoderConfig(min_score=1.0, use_osd=True, mf_first=True)
+    sess = StreamSession(fs, cfg)
+    out = list(sess.feed(sig)) + list(sess.flush())
+    expected = payload.copy(); expected[9] &= 0xF8
+    assert any(r.message.payload == bytes(expected.tolist()) for r in out)
+
+    path = str(tmp_path / "ckpt.npz")
+    sess2 = StreamSession(fs, cfg)
+    sess2.feed(sig[: int(fs * 5)])
+    sess2.save(path)
+    restored = StreamSession.load(path)
+    assert restored.config.mf_first is True
+    assert restored.config.use_osd is True
