@@ -133,3 +133,29 @@ def test_mf_retry_on_chip(tpu):
     res = decode_ft8_message(sig, fs, min_score=1.0, use_osd=True,
                              use_mf=True)
     assert any(r.message.payload == bytes(payload.tolist()) for r in res)
+
+
+def test_mf_first_on_chip(tpu):
+    """MF-first single-pass decode (fused block spectra + Mosaic OSD
+    elimination) recovers a -15 dB signal on the real chip."""
+    import jax.numpy as jnp
+
+    from ft8_demodulator_tpu.demod import decode_ft8_message
+    from ft8_demodulator_tpu.ops.gfsk import ft8_passband
+
+    fs = 2000.0
+    payload = np.array([0x1C, 0x3F, 0x8A, 0x6A, 0xE2, 0x07, 0xA1, 0xE3,
+                        0x94, 0x51], np.uint8)
+    w = np.asarray(ft8_passband(payload, fs, 400.0, 0.0))
+    sig = np.zeros(int(fs * 15), np.float32)
+    sig[500: 500 + len(w)] = w
+    sp = float(np.mean(w ** 2))
+    rng = np.random.default_rng(0)
+    sig += rng.standard_normal(len(sig)).astype(np.float32) \
+        * np.sqrt(sp / 10 ** (-15.0 / 10))
+
+    res = decode_ft8_message(sig, fs, min_score=1.0, use_osd=True,
+                             mf_first=True)
+    expected = payload.copy()
+    expected[9] &= 0xF8
+    assert any(r.message.payload == bytes(expected.tolist()) for r in res)
