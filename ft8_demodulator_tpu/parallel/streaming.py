@@ -70,7 +70,9 @@ def _local_grid(p: WaterfallParams, block_frames: int,
 def _decode_block(block: jnp.ndarray, halo: jnp.ndarray, p: WaterfallParams,
                   max_candidates: int, min_score: float,
                   max_iterations: int,
-                  use_mf: bool = False) -> SlotDecodeResult:
+                  use_mf: bool = False,
+                  use_osd: bool = False,
+                  mf_first: bool = False) -> SlotDecodeResult:
     """One shard's work: extend with the right halo, decode locally-owned
     start times."""
     extended = jnp.concatenate([block, halo], axis=-1)
@@ -78,19 +80,28 @@ def _decode_block(block: jnp.ndarray, halo: jnp.ndarray, p: WaterfallParams,
     block_frames = block.shape[-1] // p.hop
     mag = waterfall_real(extended, p, ext_frames)
     g = _local_grid(p, block_frames, ext_frames)
-    res = decode_waterfall(mag, g, max_candidates, min_score, max_iterations)
+    if mf_first:
+        from ..demod.decode import decode_waterfall_mf
+        return decode_waterfall_mf(mag, extended, p, g, 0, 0,
+                                   max_candidates, min_score,
+                                   max_iterations, use_osd)
+    res = decode_waterfall(mag, g, max_candidates, min_score,
+                           max_iterations, use_osd)
     if use_mf:
         from ..demod.decode import mf_retry
-        res = mf_retry(extended, p, res, 0, 0, max_iterations)
+        res = mf_retry(extended, p, res, 0, 0, max_iterations, use_osd)
     return res
 
 
 @functools.partial(jax.jit, static_argnames=("p", "max_candidates",
-                                             "max_iterations", "use_mf"))
+                                             "max_iterations", "use_mf",
+                                             "use_osd", "mf_first"))
 def _decode_preroll(audio: jnp.ndarray, p: WaterfallParams,
                     max_candidates: int, min_score: float,
                     max_iterations: int,
-                    use_mf: bool = False) -> SlotDecodeResult:
+                    use_mf: bool = False,
+                    use_osd: bool = False,
+                    mf_first: bool = False) -> SlotDecodeResult:
     """Decode ONLY the pre-roll start times (t < 0) of the capture start.
 
     audio: (channels, w) leading slice covering one frame past the scan;
@@ -110,11 +121,16 @@ def _decode_preroll(audio: jnp.ndarray, p: WaterfallParams,
 
     def one(wave):
         mag = waterfall_real(wave, p, num_frames)
+        if mf_first:
+            from ..demod.decode import decode_waterfall_mf
+            return decode_waterfall_mf(mag, wave, p, g, 0, 0,
+                                       max_candidates, min_score,
+                                       max_iterations, use_osd)
         res = decode_waterfall(mag, g, max_candidates, min_score,
-                               max_iterations)
+                               max_iterations, use_osd)
         if use_mf:
             from ..demod.decode import mf_retry
-            res = mf_retry(wave, p, res, 0, 0, max_iterations)
+            res = mf_retry(wave, p, res, 0, 0, max_iterations, use_osd)
         return res
 
     return jax.vmap(one)(audio)
@@ -123,11 +139,12 @@ def _decode_preroll(audio: jnp.ndarray, p: WaterfallParams,
 @functools.partial(
     jax.jit,
     static_argnames=("p", "mesh", "max_candidates", "max_iterations",
-                     "use_mf"),
+                     "use_mf", "use_osd", "mf_first"),
 )
 def decode_stream_sharded(audio: jnp.ndarray, p: WaterfallParams, mesh: Mesh,
                           max_candidates: int = 20, min_score: float = 10.0,
-                          max_iterations: int = 20, use_mf: bool = False
+                          max_iterations: int = 20, use_mf: bool = False,
+                          use_osd: bool = False, mf_first: bool = False
                           ) -> tuple[SlotDecodeResult, jnp.ndarray]:
     """(channels, n_samples) audio -> (stacked SlotDecodeResult, yield).
 
@@ -151,7 +168,8 @@ def decode_stream_sharded(audio: jnp.ndarray, p: WaterfallParams, mesh: Mesh,
         perm = [(i, i - 1) for i in range(1, n_stream)]
         halo = jax.lax.ppermute(head, "stream", perm)
         decode = jax.vmap(lambda b, h: _decode_block(
-            b, h, p, max_candidates, min_score, max_iterations, use_mf))
+            b, h, p, max_candidates, min_score, max_iterations, use_mf,
+            use_osd, mf_first))
         rows = local.shape[0]
         # XLA's decode fusions degrade at wide vmaps (see DESIGN_NOTES):
         # map narrow chunks when the channel count allows it
@@ -213,7 +231,9 @@ def decode_stream(audio: np.ndarray, sample_rate: float,
                   bins_per_tone: int = 2, steps_per_symbol: int = 2,
                   max_candidates: int = 20, min_score: float = 10.0,
                   max_iterations: int = 20,
-                  use_mf: bool = False) -> list[FT8Decode]:
+                  use_mf: bool = False,
+                  use_osd: bool = False,
+                  mf_first: bool = False) -> list[FT8Decode]:
     """Host API: decode a long (or multi-channel) capture over the mesh.
 
     audio: (n,) or (channels, n) float samples.  The stream is padded to a
@@ -254,7 +274,8 @@ def decode_stream(audio: np.ndarray, sample_rate: float,
         audio_in = jnp.asarray(audio)
     res, n_success = decode_stream_sharded(audio_in, p, mesh,
                                            max_candidates, float(min_score),
-                                           max_iterations, use_mf)
+                                           max_iterations, use_mf, use_osd,
+                                           mf_first)
     # capture-start pre-roll: one tiny replicated program over the leading
     # slice (kept out of the sharded grids — see _local_grid)
     pre_w = min(audio.shape[1], (C.NUM_SYMBOLS + 1) * p.nperseg)
@@ -262,7 +283,7 @@ def decode_stream(audio: np.ndarray, sample_rate: float,
     if pre_w >= p.nperseg:
         pre_res = jax.tree_util.tree_map(np.asarray, _decode_preroll(
             jnp.asarray(audio[:, :pre_w]), p, max_candidates,
-            float(min_score), max_iterations, use_mf))
+            float(min_score), max_iterations, use_mf, use_osd, mf_first))
     if int(n_success) == 0 and (
             pre_res is None or not pre_res.success.any()):
         return []

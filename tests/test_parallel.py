@@ -100,3 +100,21 @@ def test_stream_decodes_transmission_clipped_at_capture_start(rng):
     results = decode_stream(stream, FS, mesh=mesh, min_score=4.0)
     rows = [(r.message.payload.hex(), round(r.time_sec)) for r in results]
     assert rows == [(PAYLOAD_A.tobytes().hex(), -1)]
+
+
+def test_stream_decode_with_osd_and_mf_first(rng):
+    """The sharded stream supports the beyond-reference decoders: a weak
+    (-13 dB) transmission mid-stream decodes with use_osd + mf_first."""
+    n = int(FS * 60)                       # 8 shards x 7.5 s
+    stream = np.zeros(n, np.float32)
+    wa = np.asarray(ft8_passband(PAYLOAD_A, FS, 400.0, 0.0))
+    sp = float(np.mean(wa ** 2))
+    _place(stream, wa, 17.0)
+    stream += (rng.standard_normal(n).astype(np.float32)
+               * np.sqrt(sp / 10 ** (-13.0 / 10)))
+
+    mesh = make_mesh(stream=8, channel=1)
+    deep = decode_stream(stream, FS, mesh=mesh, min_score=1.0,
+                         use_osd=True, mf_first=True)
+    rows = [(r.message.payload.hex(), round(r.time_sec)) for r in deep]
+    assert (PAYLOAD_A.tobytes().hex(), 17) in rows
