@@ -67,6 +67,10 @@ def main():
                     help="matched-filter LLR retry (beyond the reference)")
     ap.add_argument("--mf-first", action="store_true",
                     help="single-pass matched-filter LLR decode")
+    ap.add_argument("--mf-refine", action="store_true",
+                    help="sub-grid (dt, df) offset search before MF "
+                         "extraction — the crowded band places every "
+                         "signal off-grid")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -86,7 +90,8 @@ def main():
             rows = decode_ft8_message(sig, FS, max_candidates=40,
                                       min_score=3.0, passes=passes,
                                       use_osd=args.osd, use_mf=args.mf,
-                                      mf_first=args.mf_first)
+                                      mf_first=args.mf_first,
+                                      mf_refine=args.mf_refine)
             got = {r.message.payload.hex() for r in rows}
             found += sum(p.tobytes().hex() in got for p in payloads)
         yields[f"passes={passes}"] = round(found / total, 4)
@@ -100,6 +105,7 @@ def main():
         "osd": args.osd,
         "mf": args.mf,
         "mf_first": args.mf_first,
+        "mf_refine": args.mf_refine,
         "yield": yields,
         "device": str(jax.devices()[0]),
         "wall_seconds": round(time.perf_counter() - t0, 1),

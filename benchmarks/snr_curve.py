@@ -29,8 +29,17 @@ def run_curve(fs: float, snrs, trials: int, f0: float = None,
               min_score: float = 1.0, max_candidates: int = 20,
               seed: int = 0, bins_per_tone: int = 2,
               steps_per_symbol: int = 2, use_osd: bool = False,
-              use_mf: bool = False, mf_first: bool = False):
-    """Returns (snr_list, success_rate_list, wall_seconds)."""
+              use_mf: bool = False, mf_first: bool = False,
+              mf_refine: bool = False, offgrid: bool = False):
+    """Returns (snr_list, success_rate_list, wall_seconds).
+
+    offgrid places each trial's transmission at a RANDOM sub-grid offset —
+    time uniform over one search-grid hop, frequency uniform over one grid
+    row — like every real-world signal.  The default on-grid placement
+    (f0 = fs/8 = 40 tone spacings, start on a hop boundary) is the
+    best case for the quantised candidate grid; off-grid measures the
+    realistic sensitivity (and what mf_refine recovers).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -49,14 +58,25 @@ def run_curve(fs: float, snrs, trials: int, f0: float = None,
 
     payloads = rng.integers(0, 256, size=(trials, 10), dtype=np.uint8)
     payloads[:, 9] &= 0xF8
+    if offgrid:
+        grid_step = C.TONE_SPACING_HZ / p.freq_osr
+        f0s = f0 + rng.uniform(-0.5, 0.5, trials) * grid_step
+        starts = sps // 2 + rng.integers(-(p.hop // 2), p.hop // 2 + 1,
+                                         trials)
+    else:
+        f0s = np.full(trials, f0)
+        starts = np.full(trials, sps // 2)
+    f0s_d = jnp.asarray(f0s.astype(np.float32))
+    starts_d = jnp.asarray(starts.astype(np.int32))
 
     @jax.jit
     def synth(payloads_d, noise, snr_db):
         tones = encode_tones(payloads_d)
         waves = jax.vmap(
-            lambda t: jnp.real(_baseband_complex(t, sps, fs, f0)))(tones)
-        sig = jnp.zeros((trials, n), jnp.float32)
-        sig = sig.at[:, sps // 2: sps // 2 + waves.shape[1]].set(waves)
+            lambda t, f: jnp.real(_baseband_complex(t, sps, fs, f))
+        )(tones, f0s_d)
+        sig = jax.vmap(lambda w, s: jax.lax.dynamic_update_slice(
+            jnp.zeros(n, jnp.float32), w, (s,)))(waves, starts_d)
         power = jnp.mean(waves ** 2, axis=1, keepdims=True)
         scale = jnp.sqrt(power / 10.0 ** (snr_db / 10.0))
         return sig + noise * scale
@@ -66,7 +86,7 @@ def run_curve(fs: float, snrs, trials: int, f0: float = None,
         return jax.vmap(lambda w: decode_slot(
             w, p, num_frames, max_candidates=max_candidates,
             min_score=min_score, max_iterations=20, use_osd=use_osd,
-            use_mf=use_mf, mf_first=mf_first))(waves)
+            use_mf=use_mf, mf_first=mf_first, mf_refine=mf_refine))(waves)
 
     payloads_d = jnp.asarray(payloads)
     expected = payloads.copy()
@@ -106,6 +126,13 @@ def main():
     ap.add_argument("--mf-first", action="store_true",
                     help="decode every candidate from matched-filter LLRs "
                          "in one pass (skips the Hann-LLR decode)")
+    ap.add_argument("--mf-refine", action="store_true",
+                    help="sub-grid (dt, df) offset search before MF "
+                         "extraction (recovers off-grid quantisation loss)")
+    ap.add_argument("--offgrid", action="store_true",
+                    help="place each trial at a random sub-grid time/"
+                         "frequency offset (realistic signals) instead of "
+                         "the grid-aligned best case")
     args = ap.parse_args()
 
     snrs = np.arange(args.snr_start, args.snr_stop + 1e-9, args.snr_step)
@@ -115,7 +142,9 @@ def main():
                                       steps_per_symbol=args.steps_per_symbol,
                                       max_candidates=args.max_candidates,
                                       use_osd=args.osd, use_mf=args.mf,
-                                      mf_first=args.mf_first)
+                                      mf_first=args.mf_first,
+                                      mf_refine=args.mf_refine,
+                                      offgrid=args.offgrid)
     passing = [s for s, r in zip(snr_list, rates) if r >= 0.5]
     print(json.dumps({
         "fs": args.fs,
@@ -124,6 +153,8 @@ def main():
         "osd": args.osd,
         "mf": args.mf,
         "mf_first": args.mf_first,
+        "mf_refine": args.mf_refine,
+        "offgrid": args.offgrid,
         "trials_per_point": args.trials,
         "snr_db": snr_list,
         "success_rate": rates,

@@ -64,6 +64,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "filter LLRs in one pass (with --mf; same "
                         "sensitivity, ~2x faster; slightly lower crowded-"
                         "band yield — see docs/DESIGN_NOTES.md)")
+    p.add_argument("--mf-refine", action="store_true",
+                   help="sub-grid time/frequency offset search before "
+                        "matched-filter extraction (with --mf/--mf-first): "
+                        "recovers up to ~3 dB of off-grid quantisation "
+                        "loss on real-world signals")
     p.add_argument("--deep", action="store_true",
                    help="high-sensitivity preset: osr 4x4, 40 candidates, "
                         "min-score 1, OSD (only fills in options you did "
@@ -159,7 +164,8 @@ def main(argv=None) -> int:
                           min_score=args.min_score,
                           max_iterations=args.max_iterations,
                           use_osd=args.osd, use_mf=args.mf,
-                          mf_first=args.mf_first),
+                          mf_first=args.mf_first,
+                          mf_refine=args.mf_refine),
             block_seconds=args.block_seconds)
         results = []
         chunk = max(session.block_len, int(sample_rate))
@@ -183,6 +189,7 @@ def main(argv=None) -> int:
             use_osd=args.osd,
             use_mf=args.mf,
             mf_first=args.mf_first,
+            mf_refine=args.mf_refine,
         )
         if args.metrics:
             import json

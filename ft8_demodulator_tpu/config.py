@@ -29,6 +29,10 @@ class DecoderConfig(NamedTuple):
     mf_first: bool = False       # decode ALL candidates from MF LLRs in one
                                  # pass (same cliff sensitivity, ~2x faster;
                                  # slightly lower crowded-band yield)
+    mf_refine: bool = False      # sub-grid (dt, df) offset search before MF
+                                 # extraction: recovers up to ~3 dB of
+                                 # off-grid quantisation loss (strict
+                                 # superset; see ops/llr.py)
 
     def waterfall(self, fs: float) -> WaterfallParams:
         return waterfall_params(fs, self.bins_per_tone,

@@ -23,7 +23,8 @@ import numpy as np
 
 from ..ops.ldpc_decode import bp_decode_batch
 from ..ops.llr import (extract_llrs, extract_llrs_matched,
-                       extract_llrs_matched_blocks)
+                       extract_llrs_matched_blocks,
+                       extract_llrs_matched_refined)
 from ..ops.osd import osd_decode_batch
 from ..ops.sync import SearchGrid, find_candidates, search_grid, sync_scores
 from ..ops.waterfall import WaterfallParams, waterfall_params, waterfall_real, \
@@ -120,9 +121,26 @@ def finish_decode(llrs: jnp.ndarray, abs_time: jnp.ndarray,
     )
 
 
+def _merge_results(res: SlotDecodeResult,
+                   retry: SlotDecodeResult) -> SlotDecodeResult:
+    """Rows that succeed in `retry` replace their failed originals in `res`
+    (candidate coordinates are shared, so decodes are a strict superset)."""
+    take = ~res.success & retry.success
+    pick = lambda a, b: jnp.where(take, a, b)
+    return SlotDecodeResult(
+        success=res.success | retry.success,
+        payload=jnp.where(take[:, None], retry.payload, res.payload),
+        crc=pick(retry.crc, res.crc),
+        crc_extracted=pick(retry.crc_extracted, res.crc_extracted),
+        ldpc_errors=pick(retry.ldpc_errors, res.ldpc_errors),
+        abs_time=res.abs_time, abs_freq=res.abs_freq, score=res.score,
+        candidate_valid=res.candidate_valid,
+    )
+
+
 def _mf_llrs(wave: jnp.ndarray, p: WaterfallParams, abs_time: jnp.ndarray,
              abs_freq: jnp.ndarray, is_complex: bool,
-             spec=None) -> jnp.ndarray:
+             spec=None, refine: bool = False) -> jnp.ndarray:
     """Matched-filter LLRs for candidates at absolute audio coordinates.
 
     When the block-DFT backend applies (geometry holds AND the DFT-matrix
@@ -132,9 +150,18 @@ def _mf_llrs(wave: jnp.ndarray, p: WaterfallParams, abs_time: jnp.ndarray,
     skinny matmuls; the direct form dominated the deep-mode profile);
     otherwise the direct form runs.  Pass precomputed (spec_re, spec_im)
     hop-block spectra via `spec` to skip recomputing them.
+
+    refine=True routes to the sub-grid (dt, df) offset search
+    (ops/llr.py extract_llrs_matched_refined) and returns ITS
+    (llrs_base, llrs_refined) tuple — necessarily the direct form, since
+    sub-hop/sub-bin offsets do not decompose over hop-block spectra.
     """
     from ..ops.waterfall import _block_spectrum, _pick_backend
 
+    if refine:
+        return extract_llrs_matched_refined(
+            wave, abs_time, abs_freq, p.nperseg, p.hop, p.freq_osr,
+            is_complex)
     if spec is not None:
         return extract_llrs_matched_blocks(
             spec[0], spec[1], abs_time, abs_freq, p.time_osr, p.freq_osr)
@@ -154,35 +181,49 @@ def _mf_llrs(wave: jnp.ndarray, p: WaterfallParams, abs_time: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "g", "p", "max_candidates", "max_iterations", "use_osd", "is_complex"))
+    "g", "p", "max_candidates", "max_iterations", "use_osd", "is_complex",
+    "mf_refine"))
 def decode_waterfall_mf(mag: jnp.ndarray, wave: jnp.ndarray,
                         p: WaterfallParams, g: SearchGrid,
                         t0_hops, f0_rows, max_candidates: int,
                         min_score: float, max_iterations: int = 20,
                         use_osd: bool = False,
                         is_complex: bool = False,
-                        spec=None) -> SlotDecodeResult:
+                        spec=None,
+                        mf_refine: bool = False) -> SlotDecodeResult:
     """MF-first decode: candidates from the (possibly cropped) waterfall,
     every candidate decoded straight from matched-filter LLRs in a single
     BP(+OSD) pass — no Hann-LLR decode (measured yield-identical at the
     sensitivity cliff and ~2x cheaper; crowded-band caveat in
     docs/DESIGN_NOTES.md).  `spec` optionally carries the already-computed
-    (spec_re, spec_im) hop-block spectra of the UNCROPPED wave."""
+    (spec_re, spec_im) hop-block spectra of the UNCROPPED wave.
+    mf_refine adds the sub-grid offset search (ops/llr.py): the base
+    offset-(0,0) LLRs decode first and refined-offset LLRs retry the
+    failures — a strict superset of the unrefined decode."""
     scores = sync_scores(mag, g)
     abs_time, abs_freq, score, cand_valid = find_candidates(
         scores, g, max_candidates, min_score)
     llrs = _mf_llrs(wave, p, abs_time + jnp.int32(t0_hops),
-                    abs_freq + jnp.int32(f0_rows), is_complex, spec)
+                    abs_freq + jnp.int32(f0_rows), is_complex, spec,
+                    mf_refine)
+    if mf_refine:
+        base, refined = llrs
+        res = finish_decode(base, abs_time, abs_freq, score, cand_valid,
+                            max_iterations, use_osd)
+        return _merge_results(res, finish_decode(
+            refined, abs_time, abs_freq, score, cand_valid,
+            max_iterations, use_osd))
     return finish_decode(llrs, abs_time, abs_freq, score, cand_valid,
                          max_iterations, use_osd)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "p", "max_iterations", "use_osd", "is_complex"))
+    "p", "max_iterations", "use_osd", "is_complex", "mf_refine"))
 def mf_retry(wave: jnp.ndarray, p: WaterfallParams, res: SlotDecodeResult,
              t0_hops, f0_rows, max_iterations: int = 20,
              use_osd: bool = False,
-             is_complex: bool = False) -> SlotDecodeResult:
+             is_complex: bool = False,
+             mf_refine: bool = False) -> SlotDecodeResult:
     """Matched-filter second chance for candidates BP(+OSD) could not crack.
 
     Re-extracts each candidate's LLRs straight from the audio with boxcar
@@ -190,35 +231,31 @@ def mf_retry(wave: jnp.ndarray, p: WaterfallParams, res: SlotDecodeResult,
     Hann waterfall reads) and re-runs the decode; rows that now succeed
     replace their failed originals.  Decodes are a strict superset of the
     first pass.  t0_hops/f0_rows translate crop-relative candidate indices
-    back to absolute audio coordinates.
+    back to absolute audio coordinates.  mf_refine chains a second retry
+    with sub-grid-offset LLRs (strict superset again).
     """
     llrs = _mf_llrs(wave, p, res.abs_time + jnp.int32(t0_hops),
-                    res.abs_freq + jnp.int32(f0_rows), is_complex)
-    retry = finish_decode(llrs, res.abs_time, res.abs_freq, res.score,
-                          res.candidate_valid, max_iterations, use_osd)
-    take = ~res.success & retry.success
-    pick = lambda a, b: jnp.where(take, a, b)
-    return SlotDecodeResult(
-        success=res.success | retry.success,
-        payload=jnp.where(take[:, None], retry.payload, res.payload),
-        crc=pick(retry.crc, res.crc),
-        crc_extracted=pick(retry.crc_extracted, res.crc_extracted),
-        ldpc_errors=pick(retry.ldpc_errors, res.ldpc_errors),
-        abs_time=res.abs_time, abs_freq=res.abs_freq, score=res.score,
-        candidate_valid=res.candidate_valid,
-    )
+                    res.abs_freq + jnp.int32(f0_rows), is_complex,
+                    refine=mf_refine)
+    variants = llrs if mf_refine else (llrs,)
+    for v in variants:
+        res = _merge_results(res, finish_decode(
+            v, res.abs_time, res.abs_freq, res.score,
+            res.candidate_valid, max_iterations, use_osd))
+    return res
 
 
 @functools.partial(jax.jit, static_argnames=(
     "p", "num_frames", "max_candidates", "max_iterations", "is_complex",
-    "use_osd", "use_mf", "mf_first"))
+    "use_osd", "use_mf", "mf_first", "mf_refine"))
 def decode_slot(wave: jnp.ndarray, p: WaterfallParams, num_frames: int,
                 max_candidates: int = 20, min_score: float = 10.0,
                 max_iterations: int = 20,
                 is_complex: bool = False,
                 use_osd: bool = False,
                 use_mf: bool = False,
-                mf_first: bool = False) -> SlotDecodeResult:
+                mf_first: bool = False,
+                mf_refine: bool = False) -> SlotDecodeResult:
     """Audio (n,) real — or (n, 2) [re, im] — -> SlotDecodeResult.
 
     The single-chip flagship entry point: one jit containing STFT, search
@@ -232,12 +269,18 @@ def decode_slot(wave: jnp.ndarray, p: WaterfallParams, num_frames: int,
     (sync/search) and the boxcar symbol DFTs (ops/llr.py
     extract_llrs_matched_blocks); other inputs route through
     decode_waterfall_mf (same single-pass semantics).
+
+    mf_refine layers the sub-grid (dt, df) offset search over whichever
+    MF stage runs (ops/llr.py extract_llrs_matched_refined) — recovers
+    the boxcar's off-grid quantisation loss (up to ~3 dB at grid-cell
+    corners) on real-world signals.
     """
     from ..ops.waterfall import (_block_spectrum, _block_waterfall,
                                  _pick_backend)
 
     g = search_grid(p.num_freq_bins, num_frames, p.time_osr, p.freq_osr)
-    if mf_first and not is_complex and _pick_backend(p, None) == "block":
+    if mf_first and not mf_refine and not is_complex \
+            and _pick_backend(p, None) == "block":
         spec = _block_spectrum(wave, p, num_frames)
         mag = _block_waterfall(spec, p, num_frames)
         scores = sync_scores(mag, g)
@@ -255,12 +298,12 @@ def decode_slot(wave: jnp.ndarray, p: WaterfallParams, num_frames: int,
     if mf_first:
         return decode_waterfall_mf(mag, wave, p, g, 0, 0, max_candidates,
                                    min_score, max_iterations, use_osd,
-                                   is_complex)
+                                   is_complex, mf_refine=mf_refine)
     res = decode_waterfall(mag, g, max_candidates, min_score,
                            max_iterations, use_osd)
     if use_mf:
         res = mf_retry(wave, p, res, 0, 0, max_iterations, use_osd,
-                       is_complex)
+                       is_complex, mf_refine)
     return res
 
 
@@ -320,7 +363,8 @@ def decode_ft8_message(wave_data, sample_rate: float,
                        passes: int = 1,
                        use_osd: bool = False,
                        use_mf: bool = False,
-                       mf_first: bool = False):
+                       mf_first: bool = False,
+                       mf_refine: bool = False):
     """Decode all FT8 messages in an audio capture (host API).
 
     Mirrors the reference decode_ft8_message (ft8_decode.py:288) with two
@@ -344,6 +388,12 @@ def decode_ft8_message(wave_data, sample_rate: float,
     instead of Hann-LLR decode + retry — measured yield-identical at the
     sensitivity cliff and several times cheaper (see docs/DESIGN_NOTES.md
     for the crowded-band comparison).
+
+    mf_refine=True layers a per-candidate sub-grid (dt, df) offset search
+    over the matched-filter extraction (ops/llr.py
+    extract_llrs_matched_refined): the candidate grid quantises time to
+    ~1/4 symbol and frequency to half a bin, costing off-grid signals up
+    to ~3 dB of boxcar detection SNR at the cell corners.
 
     passes > 1 enables subtraction decoding (beyond the reference): after
     each pass, every decoded transmission is re-synthesised, frequency-
@@ -379,7 +429,7 @@ def decode_ft8_message(wave_data, sample_rate: float,
     from ..ops.waterfall import _pick_backend
     for pass_idx in range(max(1, passes)):
         spec = None
-        if mf_first and not is_complex \
+        if mf_first and not mf_refine and not is_complex \
                 and _pick_backend(p, None) == "block":
             # compute the hop-block spectra once per pass: they feed both
             # the dB waterfall and the boxcar matched-filter DFTs
@@ -419,13 +469,13 @@ def decode_ft8_message(wave_data, sample_rate: float,
             res = decode_waterfall_mf(mag, wave_d, p, g, t_lo, f_lo,
                                       max_candidates, float(min_score),
                                       max_iterations, use_osd, is_complex,
-                                      spec)
+                                      spec, mf_refine)
         else:
             res = decode_waterfall(mag, g, max_candidates, float(min_score),
                                    max_iterations, use_osd)
             if use_mf:
                 res = mf_retry(wave_d, p, res, t_lo, f_lo, max_iterations,
-                               use_osd, is_complex)
+                               use_osd, is_complex, mf_refine)
         if first_res is None:
             first_res = res
         new_rows = _format_results(

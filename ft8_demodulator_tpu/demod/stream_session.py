@@ -88,12 +88,13 @@ class StreamSession:
             t_start=t_start, num_times=t_stop - t_start,
             num_freqs=max(0, self.p.num_freq_bins - 7 * self.p.freq_osr),
         )
+        refine = getattr(cfg, "mf_refine", False)
         if getattr(cfg, "mf_first", False):
             from .decode import decode_waterfall_mf
             res = decode_waterfall_mf(mag, jnp.asarray(chunk), self.p, g,
                                       0, 0, cfg.max_candidates,
                                       cfg.min_score, cfg.max_iterations,
-                                      cfg.use_osd)
+                                      cfg.use_osd, mf_refine=refine)
         else:
             res = decode_waterfall(mag, g, cfg.max_candidates,
                                    cfg.min_score, cfg.max_iterations,
@@ -101,7 +102,8 @@ class StreamSession:
             if getattr(cfg, "use_mf", False):
                 from .decode import mf_retry
                 res = mf_retry(jnp.asarray(chunk), self.p, res, 0, 0,
-                               cfg.max_iterations, cfg.use_osd)
+                               cfg.max_iterations, cfg.use_osd,
+                               mf_refine=refine)
         res = {k: np.asarray(v) for k, v in res._asdict().items()}
 
         hop_seconds = C.SYMBOL_PERIOD_S / self.p.time_osr
@@ -157,7 +159,8 @@ class StreamSession:
             max_iterations=int(cfgvals[4]),
             use_osd=bool(cfgvals[5]) if len(cfgvals) > 5 else False,
             use_mf=bool(cfgvals[6]) if len(cfgvals) > 6 else False,
-            mf_first=bool(cfgvals[7]) if len(cfgvals) > 7 else False)
+            mf_first=bool(cfgvals[7]) if len(cfgvals) > 7 else False,
+            mf_refine=bool(cfgvals[8]) if len(cfgvals) > 8 else False)
         sess = cls(float(data["fs"]), cfg,
                    block_seconds=float(data["block_seconds"]))
         sess._buffer = data["buffer"].astype(np.float32)

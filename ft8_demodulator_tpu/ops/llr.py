@@ -19,7 +19,8 @@ import numpy as np
 from ..protocol import constants as C
 
 __all__ = ["extract_llrs", "extract_llrs_matched",
-           "extract_llrs_matched_blocks", "normalize_llrs"]
+           "extract_llrs_matched_blocks", "extract_llrs_matched_refined",
+           "normalize_llrs"]
 
 # Tone order after Gray reordering: s2[j] = powers[GRAY_MAP[j]].
 _GRAY = jnp.asarray(C.GRAY_MAP)
@@ -183,6 +184,115 @@ def extract_llrs_matched_blocks(spec_re: jnp.ndarray, spec_im: jnp.ndarray,
     s2 = jnp.take(10.0 * jnp.log10(1e-12 + powers), _GRAY, axis=-1)
     llr = _llr_from_powers(s2)
     return normalize_llrs(llr.reshape(k, C.LDPC_N))
+
+
+@functools.partial(jax.jit, static_argnames=("sps", "hop", "freq_osr",
+                                             "is_complex", "nt", "nf"))
+def extract_llrs_matched_refined(wave: jnp.ndarray, abs_time: jnp.ndarray,
+                                 abs_freq: jnp.ndarray, sps: int, hop: int,
+                                 freq_osr: int, is_complex: bool = False,
+                                 nt: int = 3, nf: int = 3
+                                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Matched-filter LLRs with per-candidate SUB-GRID (dt, df) refinement.
+
+    The candidate grid quantises each transmission's start time to
+    +-hop/2 samples (~1/4 symbol at time osr 2) and its frequency to
+    +-1/(2*freq_osr) tone spacings.  For off-grid signals — every real
+    transmission; the crowded-band benchmark draws both offsets uniformly
+    — the one-symbol boxcar matched filter pays up to ~2.5 dB (time,
+    adjacent-symbol spill) + ~0.9 dB (frequency, scalloping) of detection
+    SNR at the grid-cell corner.  This variant evaluates the boxcar DFT
+    powers of ALL 79 symbols on an nt x nf sub-grid of offsets spanning
+    one grid cell, scores each offset by the linear-power contrast of the
+    21 Costas sync cells (sum of on-tone power minus the 8-tone mean),
+    and extracts each candidate's LLRs at its best-scoring offset.
+
+    Returns (llrs_base, llrs_refined): base is the unrefined offset-(0,0)
+    extraction (it is computed anyway as the first grid point), refined
+    the best-offset one.  Callers decode base first and RETRY failures
+    with refined — at the deep-cliff SNRs the 21-cell offset score is
+    noisy enough to occasionally pick a wrong offset for an on-grid
+    signal (measured -2/10 at -15.5 dB when refined replaces base), so
+    decode-both keeps refinement a strict superset.  The offsets run
+    sequentially (lax.map) to bound window memory at one offset's
+    (K, 79, sps) slab.  Sub-bin frequency mixes split into the integer-
+    row modular table (exact) times a small-angle fractional mix, so f32
+    phase error stays at the on-grid path's level.
+    """
+    phi = freq_osr
+    k = abs_freq.shape[0]
+    n_sig = C.NUM_SYMBOLS * sps
+    pad_spec = [(n_sig, n_sig)] + [(0, 0)] * (wave.ndim - 1)
+    xp = jnp.pad(wave.astype(jnp.float32), pad_spec)
+
+    # offset grid, (0, 0) first; spans (-1/2, 1/2) of one grid cell
+    t_fr = [0.0] + [f for f in np.linspace(-0.5, 0.5, nt + 1,
+                                           endpoint=False)[1:] if f != 0.0]
+    f_fr = [0.0] + [f for f in np.linspace(-0.5, 0.5, nf + 1,
+                                           endpoint=False)[1:] if f != 0.0]
+    offs = [(int(round(ft * hop)), ff) for ft in t_fr for ff in f_fr]
+    dts = jnp.asarray([o[0] for o in offs], dtype=jnp.int32)
+    dfs = jnp.asarray([o[1] for o in offs], dtype=jnp.float32)
+
+    # integer-row candidate mix (shared by every offset)
+    mixc_t, mixs_t = _mf_mix_tables(sps, phi)
+    q = jnp.mod(abs_freq.astype(jnp.int32), sps * phi)
+    tab = jnp.mod(q[:, None] * jnp.arange(sps)[None, :], sps * phi)
+    mc0 = jnp.asarray(mixc_t)[tab]                        # (K, sps)
+    ms0 = jnp.asarray(mixs_t)[tab]
+
+    tc = jnp.asarray(_mf_tone_matrices(sps)[0])
+    ts = jnp.asarray(_mf_tone_matrices(sps)[1])
+    hp = jax.lax.Precision.HIGH
+
+    def mm(a, b):
+        return jnp.matmul(a, b, precision=hp,
+                          preferred_element_type=jnp.float32)
+
+    is_costas = jnp.asarray(C.FRAME_IS_COSTAS)            # (79,)
+    costas_hot = jax.nn.one_hot(jnp.asarray(C.FRAME_COSTAS_TONE), 8)
+
+    def powers_at(off):
+        dt, df = off
+        # fractional-row mix e^{-2pi i df n/(sps*phi)} (|df| <= 1/2 row)
+        ang = (-2.0 * jnp.pi * df / (sps * phi)) * jnp.arange(sps)
+        fc, fs_ = jnp.cos(ang), jnp.sin(ang)
+        mc = mc0 * fc[None, :] - ms0 * fs_[None, :]       # (K, sps)
+        ms = mc0 * fs_[None, :] + ms0 * fc[None, :]
+
+        def windows(s0):
+            start = jnp.clip(s0 + dt + n_sig, 0, xp.shape[0] - n_sig)
+            w = jax.lax.dynamic_slice_in_dim(xp, start, n_sig, axis=0)
+            return w.reshape((C.NUM_SYMBOLS, sps) + wave.shape[1:])
+
+        win = jax.vmap(windows)(abs_time * hop)           # (K, 79, sps, .)
+        if is_complex:
+            wr, wi = win[..., 0], win[..., 1]
+            xr = wr * mc[:, None, :] - wi * ms[:, None, :]
+            xi = wr * ms[:, None, :] + wi * mc[:, None, :]
+        else:
+            xr = win * mc[:, None, :]
+            xi = win * ms[:, None, :]
+        re = mm(xr, tc) - mm(xi, ts)                      # (K, 79, 8)
+        im = mm(xr, ts) + mm(xi, tc)
+        powers = re * re + im * im
+        # Costas contrast in linear power: on-tone minus 8-tone mean
+        on = jnp.einsum("ksj,sj->ks", powers, costas_hot)
+        contrast = jnp.where(is_costas[None, :],
+                             on - jnp.mean(powers, axis=-1), 0.0)
+        return jnp.sum(contrast, axis=-1), powers         # (K,), (K,79,8)
+
+    scores, powers = jax.lax.map(powers_at, (dts, dfs))   # (O,K), (O,K,79,8)
+    best_hot = jax.nn.one_hot(jnp.argmax(scores, axis=0), dts.shape[0],
+                              axis=0)                     # (O, K)
+    sel = jnp.einsum("ok,oksj->ksj", best_hot, powers)    # (K, 79, 8)
+    dsym = np.asarray(C.DATA_SYMBOL_POSITIONS)
+
+    def to_llrs(pw):
+        s2 = jnp.take(10.0 * jnp.log10(1e-12 + pw[:, dsym]), _GRAY, axis=-1)
+        return normalize_llrs(_llr_from_powers(s2).reshape(k, C.LDPC_N))
+
+    return to_llrs(powers[0]), to_llrs(sel)
 
 
 @functools.partial(jax.jit, static_argnames=("sps", "hop", "freq_osr",

@@ -72,7 +72,8 @@ def _decode_block(block: jnp.ndarray, halo: jnp.ndarray, p: WaterfallParams,
                   max_iterations: int,
                   use_mf: bool = False,
                   use_osd: bool = False,
-                  mf_first: bool = False) -> SlotDecodeResult:
+                  mf_first: bool = False,
+                  mf_refine: bool = False) -> SlotDecodeResult:
     """One shard's work: extend with the right halo, decode locally-owned
     start times."""
     extended = jnp.concatenate([block, halo], axis=-1)
@@ -84,24 +85,28 @@ def _decode_block(block: jnp.ndarray, halo: jnp.ndarray, p: WaterfallParams,
         from ..demod.decode import decode_waterfall_mf
         return decode_waterfall_mf(mag, extended, p, g, 0, 0,
                                    max_candidates, min_score,
-                                   max_iterations, use_osd)
+                                   max_iterations, use_osd,
+                                   mf_refine=mf_refine)
     res = decode_waterfall(mag, g, max_candidates, min_score,
                            max_iterations, use_osd)
     if use_mf:
         from ..demod.decode import mf_retry
-        res = mf_retry(extended, p, res, 0, 0, max_iterations, use_osd)
+        res = mf_retry(extended, p, res, 0, 0, max_iterations, use_osd,
+                       mf_refine=mf_refine)
     return res
 
 
 @functools.partial(jax.jit, static_argnames=("p", "max_candidates",
                                              "max_iterations", "use_mf",
-                                             "use_osd", "mf_first"))
+                                             "use_osd", "mf_first",
+                                             "mf_refine"))
 def _decode_preroll(audio: jnp.ndarray, p: WaterfallParams,
                     max_candidates: int, min_score: float,
                     max_iterations: int,
                     use_mf: bool = False,
                     use_osd: bool = False,
-                    mf_first: bool = False) -> SlotDecodeResult:
+                    mf_first: bool = False,
+                    mf_refine: bool = False) -> SlotDecodeResult:
     """Decode ONLY the pre-roll start times (t < 0) of the capture start.
 
     audio: (channels, w) leading slice covering one frame past the scan;
@@ -125,12 +130,14 @@ def _decode_preroll(audio: jnp.ndarray, p: WaterfallParams,
             from ..demod.decode import decode_waterfall_mf
             return decode_waterfall_mf(mag, wave, p, g, 0, 0,
                                        max_candidates, min_score,
-                                       max_iterations, use_osd)
+                                       max_iterations, use_osd,
+                                       mf_refine=mf_refine)
         res = decode_waterfall(mag, g, max_candidates, min_score,
                                max_iterations, use_osd)
         if use_mf:
             from ..demod.decode import mf_retry
-            res = mf_retry(wave, p, res, 0, 0, max_iterations, use_osd)
+            res = mf_retry(wave, p, res, 0, 0, max_iterations, use_osd,
+                           mf_refine=mf_refine)
         return res
 
     return jax.vmap(one)(audio)
@@ -139,12 +146,13 @@ def _decode_preroll(audio: jnp.ndarray, p: WaterfallParams,
 @functools.partial(
     jax.jit,
     static_argnames=("p", "mesh", "max_candidates", "max_iterations",
-                     "use_mf", "use_osd", "mf_first"),
+                     "use_mf", "use_osd", "mf_first", "mf_refine"),
 )
 def decode_stream_sharded(audio: jnp.ndarray, p: WaterfallParams, mesh: Mesh,
                           max_candidates: int = 20, min_score: float = 10.0,
                           max_iterations: int = 20, use_mf: bool = False,
-                          use_osd: bool = False, mf_first: bool = False
+                          use_osd: bool = False, mf_first: bool = False,
+                          mf_refine: bool = False
                           ) -> tuple[SlotDecodeResult, jnp.ndarray]:
     """(channels, n_samples) audio -> (stacked SlotDecodeResult, yield).
 
@@ -169,7 +177,7 @@ def decode_stream_sharded(audio: jnp.ndarray, p: WaterfallParams, mesh: Mesh,
         halo = jax.lax.ppermute(head, "stream", perm)
         decode = jax.vmap(lambda b, h: _decode_block(
             b, h, p, max_candidates, min_score, max_iterations, use_mf,
-            use_osd, mf_first))
+            use_osd, mf_first, mf_refine))
         rows = local.shape[0]
         # XLA's decode fusions degrade at wide vmaps (see DESIGN_NOTES):
         # map narrow chunks when the channel count allows it
@@ -233,7 +241,8 @@ def decode_stream(audio: np.ndarray, sample_rate: float,
                   max_iterations: int = 20,
                   use_mf: bool = False,
                   use_osd: bool = False,
-                  mf_first: bool = False) -> list[FT8Decode]:
+                  mf_first: bool = False,
+                  mf_refine: bool = False) -> list[FT8Decode]:
     """Host API: decode a long (or multi-channel) capture over the mesh.
 
     audio: (n,) or (channels, n) float samples.  The stream is padded to a
@@ -275,7 +284,7 @@ def decode_stream(audio: np.ndarray, sample_rate: float,
     res, n_success = decode_stream_sharded(audio_in, p, mesh,
                                            max_candidates, float(min_score),
                                            max_iterations, use_mf, use_osd,
-                                           mf_first)
+                                           mf_first, mf_refine)
     # capture-start pre-roll: one tiny replicated program over the leading
     # slice (kept out of the sharded grids — see _local_grid)
     pre_w = min(audio.shape[1], (C.NUM_SYMBOLS + 1) * p.nperseg)
@@ -283,7 +292,8 @@ def decode_stream(audio: np.ndarray, sample_rate: float,
     if pre_w >= p.nperseg:
         pre_res = jax.tree_util.tree_map(np.asarray, _decode_preroll(
             jnp.asarray(audio[:, :pre_w]), p, max_candidates,
-            float(min_score), max_iterations, use_mf, use_osd, mf_first))
+            float(min_score), max_iterations, use_mf, use_osd, mf_first,
+            mf_refine))
     if int(n_success) == 0 and (
             pre_res is None or not pre_res.success.any()):
         return []

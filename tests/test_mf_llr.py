@@ -204,3 +204,79 @@ def test_mf_first_implies_mf():
     res = decode_ft8_message(sig, FS, min_score=1.0, use_osd=True,
                              mf_first=True)
     assert any(r.message.payload == _expected(PAYLOAD) for r in res)
+
+
+# ---------------------------------------------------------------------------
+# sub-grid (dt, df) refinement
+# ---------------------------------------------------------------------------
+
+def _noisy_offgrid_corner(seed, snr_db):
+    """Worst-case off-grid placement: half a search-grid hop in time and
+    half a grid row in frequency — the corner of one quantisation cell."""
+    p = waterfall_params(FS, 2, 2)
+    f0 = FS / 8.0 + (C.TONE_SPACING_HZ / p.freq_osr) / 2.0
+    w = np.asarray(ft8_passband(PAYLOAD, FS, f0, 0.0))
+    sps = int(C.SYMBOL_PERIOD_S * FS)
+    sig = np.zeros(int(FS * 15), np.float32)
+    t_off = sps // 2 + p.hop // 2
+    sig[t_off: t_off + len(w)] = w
+    sp = float(np.mean(w ** 2))
+    r = np.random.default_rng(seed)
+    sig += r.standard_normal(len(sig)).astype(np.float32) \
+        * np.sqrt(sp / 10 ** (snr_db / 10))
+    return sig
+
+
+def test_mf_refine_decodes_the_offgrid_corner(rng):
+    """-13 dB at the grid-cell corner: the boxcar's quantisation loss
+    (~1/4 symbol + ~1/2 bin) defeats plain MF-first (measured 0/10 seeds);
+    the sub-grid offset search decodes (10/10 at -14; seed 100 committed)."""
+    sig = _noisy_offgrid_corner(100, -13.0)
+    plain = decode_ft8_message(sig, FS, min_score=1.0, use_osd=True,
+                               mf_first=True)
+    refined = decode_ft8_message(sig, FS, min_score=1.0, use_osd=True,
+                                 mf_first=True, mf_refine=True)
+    assert not any(r.message.payload == _expected(PAYLOAD) for r in plain)
+    ok = [r for r in refined if r.message.payload == _expected(PAYLOAD)]
+    assert ok
+
+
+def test_mf_refine_retry_path_decodes_the_offgrid_corner(rng):
+    """The Hann-decode + MF-retry composition gains the same offset search
+    (use_mf + mf_refine)."""
+    sig = _noisy_offgrid_corner(100, -13.0)
+    res = decode_ft8_message(sig, FS, min_score=1.0, use_osd=True,
+                             use_mf=True, mf_refine=True)
+    assert any(r.message.payload == _expected(PAYLOAD) for r in res)
+
+
+def test_mf_refine_is_a_superset_on_grid(rng):
+    """On-grid signals decode identically with refinement: the base
+    offset-(0, 0) LLRs decode first and refined LLRs only retry failures."""
+    sig = _noisy(0, -15.0)
+    a = decode_ft8_message(sig, FS, min_score=1.0, use_osd=True,
+                           mf_first=True)
+    b = decode_ft8_message(sig, FS, min_score=1.0, use_osd=True,
+                           mf_first=True, mf_refine=True)
+    rows_a = {(r.message.payload, round(r.freq_hz)) for r in a}
+    rows_b = {(r.message.payload, round(r.freq_hz)) for r in b}
+    assert rows_a <= rows_b
+    assert any(p == _expected(PAYLOAD) for p, _ in rows_b)
+
+
+def test_mf_refine_base_llrs_match_unrefined(rng):
+    """The refined extractor's base output IS the plain direct-form MF
+    extraction (offset (0, 0) is the first grid point)."""
+    from ft8_demodulator_tpu.ops.llr import extract_llrs_matched_refined
+
+    p = waterfall_params(FS, 2, 2)
+    sig = jnp.asarray(rng.standard_normal(int(FS * 15)).astype(np.float32))
+    abs_time = jnp.int32([-5, 0, 40, 100])
+    abs_freq = jnp.int32([10, 100, 250, 300])
+    base, refined = extract_llrs_matched_refined(
+        sig, abs_time, abs_freq, p.nperseg, p.hop, p.freq_osr)
+    plain = extract_llrs_matched(sig, abs_time, abs_freq, p.nperseg, p.hop,
+                                 p.freq_osr)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(plain),
+                               rtol=0, atol=1e-4)
+    assert refined.shape == plain.shape
