@@ -225,12 +225,16 @@ def extract_llrs_matched_refined(wave: jnp.ndarray, abs_time: jnp.ndarray,
     pad_spec = [(n_sig, n_sig)] + [(0, 0)] * (wave.ndim - 1)
     xp = jnp.pad(wave.astype(jnp.float32), pad_spec)
 
-    # offset grid, (0, 0) first; spans (-1/2, 1/2) of one grid cell
-    t_fr = [0.0] + [f for f in np.linspace(-0.5, 0.5, nt + 1,
-                                           endpoint=False)[1:] if f != 0.0]
-    f_fr = [0.0] + [f for f in np.linspace(-0.5, 0.5, nf + 1,
-                                           endpoint=False)[1:] if f != 0.0]
-    offs = [(int(round(ft * hop)), ff) for ft in t_fr for ff in f_fr]
+    # offset grid: base (0, 0) first (its powers feed llrs_base), then the
+    # nt x nf BIN CENTERS of one grid cell — the minimax cover of the
+    # uniform residual (worst residual 1/(2*nt) of a hop vs 1/4 for a
+    # {0, +-1/4} grid); the duplicate centre point is dropped
+    t_fr = [(i + 0.5) / nt - 0.5 for i in range(nt)]
+    f_fr = [(i + 0.5) / nf - 0.5 for i in range(nf)]
+    offs = [(0, 0.0)] + [
+        (int(round(ft * hop)), ff)
+        for ft in t_fr for ff in f_fr
+        if (int(round(ft * hop)), ff) != (0, 0.0)]
     dts = jnp.asarray([o[0] for o in offs], dtype=jnp.int32)
     dfs = jnp.asarray([o[1] for o in offs], dtype=jnp.float32)
 
