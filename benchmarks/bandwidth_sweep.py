@@ -41,6 +41,14 @@ def main():
     ap.add_argument("--osd", action="store_true")
     ap.add_argument("--mf", action="store_true",
                     help="matched-filter LLR retry (beyond the reference)")
+    ap.add_argument("--mf-first", action="store_true",
+                    help="single-pass matched-filter LLR decode")
+    ap.add_argument("--mf-refine", action="store_true",
+                    help="sub-grid (dt, df) offset search before MF "
+                         "extraction")
+    ap.add_argument("--offgrid", action="store_true",
+                    help="random sub-grid signal placement (realistic) "
+                         "instead of grid-aligned")
     args = ap.parse_args()
 
     import jax
@@ -57,7 +65,10 @@ def main():
     for fs in fs_list:
         snr_list, rates, wall = run_curve(fs, snrs, args.trials,
                                           seed=args.seed, use_osd=args.osd,
-                                          use_mf=args.mf)
+                                          use_mf=args.mf,
+                                          mf_first=args.mf_first,
+                                          mf_refine=args.mf_refine,
+                                          offgrid=args.offgrid)
         passing = [s for s, r in zip(snr_list, rates) if r >= 0.5]
         rows.append({
             "fs": fs,
@@ -77,6 +88,9 @@ def main():
         "trials_per_point": args.trials,
         "osd": args.osd,
         "mf": args.mf,
+        "mf_first": args.mf_first,
+        "mf_refine": args.mf_refine,
+        "offgrid": args.offgrid,
         "snr_db": snr_list,
         "device": str(jax.devices()[0]),
         "rows": rows,

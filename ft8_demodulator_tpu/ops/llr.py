@@ -219,24 +219,22 @@ def extract_llrs_matched_refined(wave: jnp.ndarray, abs_time: jnp.ndarray,
     row modular table (exact) times a small-angle fractional mix, so f32
     phase error stays at the on-grid path's level.
     """
+    if nt % 2 == 0 or nf % 2 == 0:
+        raise ValueError("nt/nf must be odd so the (0, 0) base offset is "
+                         "a grid point (it feeds llrs_base)")
     phi = freq_osr
     k = abs_freq.shape[0]
     n_sig = C.NUM_SYMBOLS * sps
     pad_spec = [(n_sig, n_sig)] + [(0, 0)] * (wave.ndim - 1)
     xp = jnp.pad(wave.astype(jnp.float32), pad_spec)
 
-    # offset grid: base (0, 0) first (its powers feed llrs_base), then the
-    # nt x nf BIN CENTERS of one grid cell — the minimax cover of the
-    # uniform residual (worst residual 1/(2*nt) of a hop vs 1/4 for a
-    # {0, +-1/4} grid); the duplicate centre point is dropped
+    # offset grid: the nt x nf BIN CENTERS of one quantisation cell — the
+    # minimax cover of the uniform residual (worst residual 1/(2*nt) of a
+    # hop, vs 1/4 for a {0, +-1/4} grid).  Odd nt/nf put (0, 0) at the
+    # centre; its powers feed llrs_base.
     t_fr = [(i + 0.5) / nt - 0.5 for i in range(nt)]
     f_fr = [(i + 0.5) / nf - 0.5 for i in range(nf)]
-    offs = [(0, 0.0)] + [
-        (int(round(ft * hop)), ff)
-        for ft in t_fr for ff in f_fr
-        if (int(round(ft * hop)), ff) != (0, 0.0)]
-    dts = jnp.asarray([o[0] for o in offs], dtype=jnp.int32)
-    dfs = jnp.asarray([o[1] for o in offs], dtype=jnp.float32)
+    dts = jnp.asarray([int(round(f * hop)) for f in t_fr], dtype=jnp.int32)
 
     # integer-row candidate mix (shared by every offset)
     mixc_t, mixs_t = _mf_mix_tables(sps, phi)
@@ -245,8 +243,17 @@ def extract_llrs_matched_refined(wave: jnp.ndarray, abs_time: jnp.ndarray,
     mc0 = jnp.asarray(mixc_t)[tab]                        # (K, sps)
     ms0 = jnp.asarray(mixs_t)[tab]
 
-    tc = jnp.asarray(_mf_tone_matrices(sps)[0])
-    ts = jnp.asarray(_mf_tone_matrices(sps)[1])
+    # per-df tone matrices, host f64: the fractional-row shift is
+    # candidate-independent, so it folds into the (sps, 8) tone DFT matrix
+    # instead of a per-window mix — windows and candidate mixes are shared
+    # by all nf frequency offsets of one dt
+    n_ = np.arange(sps)[:, None]
+    tone = np.arange(8)[None, :]
+    tone_mats = []
+    for df in f_fr:
+        ang = -2.0 * np.pi * n_ * (tone / sps + df / (sps * phi))
+        tone_mats.append((jnp.asarray(np.cos(ang).astype(np.float32)),
+                          jnp.asarray(np.sin(ang).astype(np.float32))))
     hp = jax.lax.Precision.HIGH
 
     def mm(a, b):
@@ -256,14 +263,7 @@ def extract_llrs_matched_refined(wave: jnp.ndarray, abs_time: jnp.ndarray,
     is_costas = jnp.asarray(C.FRAME_IS_COSTAS)            # (79,)
     costas_hot = jax.nn.one_hot(jnp.asarray(C.FRAME_COSTAS_TONE), 8)
 
-    def powers_at(off):
-        dt, df = off
-        # fractional-row mix e^{-2pi i df n/(sps*phi)} (|df| <= 1/2 row)
-        ang = (-2.0 * jnp.pi * df / (sps * phi)) * jnp.arange(sps)
-        fc, fs_ = jnp.cos(ang), jnp.sin(ang)
-        mc = mc0 * fc[None, :] - ms0 * fs_[None, :]       # (K, sps)
-        ms = mc0 * fs_[None, :] + ms0 * fc[None, :]
-
+    def powers_at_dt(dt):
         def windows(s0):
             start = jnp.clip(s0 + dt + n_sig, 0, xp.shape[0] - n_sig)
             w = jax.lax.dynamic_slice_in_dim(xp, start, n_sig, axis=0)
@@ -272,22 +272,26 @@ def extract_llrs_matched_refined(wave: jnp.ndarray, abs_time: jnp.ndarray,
         win = jax.vmap(windows)(abs_time * hop)           # (K, 79, sps, .)
         if is_complex:
             wr, wi = win[..., 0], win[..., 1]
-            xr = wr * mc[:, None, :] - wi * ms[:, None, :]
-            xi = wr * ms[:, None, :] + wi * mc[:, None, :]
+            xr = wr * mc0[:, None, :] - wi * ms0[:, None, :]
+            xi = wr * ms0[:, None, :] + wi * mc0[:, None, :]
         else:
-            xr = win * mc[:, None, :]
-            xi = win * ms[:, None, :]
-        re = mm(xr, tc) - mm(xi, ts)                      # (K, 79, 8)
-        im = mm(xr, ts) + mm(xi, tc)
-        powers = re * re + im * im
-        # Costas contrast in linear power: on-tone minus 8-tone mean
-        on = jnp.einsum("ksj,sj->ks", powers, costas_hot)
-        contrast = jnp.where(is_costas[None, :],
-                             on - jnp.mean(powers, axis=-1), 0.0)
-        return jnp.sum(contrast, axis=-1), powers         # (K,), (K,79,8)
+            xr = win * mc0[:, None, :]
+            xi = win * ms0[:, None, :]
+        out = []
+        for tc, ts in tone_mats:
+            re = mm(xr, tc) - mm(xi, ts)                  # (K, 79, 8)
+            im = mm(xr, ts) + mm(xi, tc)
+            out.append(re * re + im * im)
+        return jnp.stack(out)                             # (nf, K, 79, 8)
 
-    scores, powers = jax.lax.map(powers_at, (dts, dfs))   # (O,K), (O,K,79,8)
-    best_hot = jax.nn.one_hot(jnp.argmax(scores, axis=0), dts.shape[0],
+    powers = jax.lax.map(powers_at_dt, dts)               # (nt, nf, K,79,8)
+    powers = powers.reshape((nt * nf,) + powers.shape[2:])
+    # Costas contrast in linear power: on-tone minus 8-tone mean
+    on = jnp.einsum("oksj,sj->oks", powers, costas_hot)
+    contrast = jnp.where(is_costas[None, None, :],
+                         on - jnp.mean(powers, axis=-1), 0.0)
+    scores = jnp.sum(contrast, axis=-1)                   # (O, K)
+    best_hot = jax.nn.one_hot(jnp.argmax(scores, axis=0), nt * nf,
                               axis=0)                     # (O, K)
     sel = jnp.einsum("ok,oksj->ksj", best_hot, powers)    # (K, 79, 8)
     dsym = np.asarray(C.DATA_SYMBOL_POSITIONS)
@@ -296,7 +300,7 @@ def extract_llrs_matched_refined(wave: jnp.ndarray, abs_time: jnp.ndarray,
         s2 = jnp.take(10.0 * jnp.log10(1e-12 + pw[:, dsym]), _GRAY, axis=-1)
         return normalize_llrs(_llr_from_powers(s2).reshape(k, C.LDPC_N))
 
-    return to_llrs(powers[0]), to_llrs(sel)
+    return to_llrs(powers[(nt // 2) * nf + nf // 2]), to_llrs(sel)
 
 
 @functools.partial(jax.jit, static_argnames=("sps", "hop", "freq_osr",
