@@ -280,3 +280,23 @@ def test_mf_refine_base_llrs_match_unrefined(rng):
     np.testing.assert_allclose(np.asarray(base), np.asarray(plain),
                                rtol=0, atol=1e-4)
     assert refined.shape == plain.shape
+
+
+def test_mf_refine_rejects_pure_noise(rng):
+    """The best-of-9-offsets selection maximises over noise too — the
+    refined LLRs must still accept nothing from noise-only candidates
+    through BP + OSD + CRC."""
+    from ft8_demodulator_tpu.ops.llr import extract_llrs_matched_refined
+
+    p = waterfall_params(FS, 2, 2)
+    sig = jnp.asarray(rng.standard_normal(int(FS * 15)).astype(np.float32))
+    k = 64
+    abs_time = jnp.int32(rng.integers(0, 100, k))
+    abs_freq = jnp.int32(rng.integers(0, 900, k))
+    base, refined = extract_llrs_matched_refined(
+        sig, abs_time, abs_freq, p.nperseg, p.hop, p.freq_osr)
+    for llrs in (base, refined):
+        res = finish_decode(llrs, abs_time, abs_freq,
+                            jnp.ones((k,)), jnp.ones((k,), bool),
+                            use_osd=True)
+        assert not np.asarray(res.success).any()
