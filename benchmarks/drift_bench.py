@@ -76,7 +76,8 @@ def time_reference(sig, reps):
         return None
     t0 = time.perf_counter()
     for _ in range(reps):
-        corrected, rate = ref_correct(sig, FS)
+        # reference signature: (wave_complex, fs, sym_bin, sym_t, params)
+        corrected, rate = ref_correct(sig, FS, 6.25, 0.16)
     dt = (time.perf_counter() - t0) / reps
     return dt, float(rate * FS)
 
