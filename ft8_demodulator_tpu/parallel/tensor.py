@@ -46,13 +46,14 @@ __all__ = ["decode_slot_tp"]
 @functools.partial(
     jax.jit,
     static_argnames=("p", "num_frames", "mesh", "max_candidates",
-                     "max_iterations", "use_osd", "use_mf"),
+                     "max_iterations", "use_osd", "use_mf", "mf_refine"),
 )
 def decode_slot_tp(wave: jnp.ndarray, p: WaterfallParams, num_frames: int,
                    mesh: Mesh, max_candidates: int = 20,
                    min_score: float = 10.0, max_iterations: int = 20,
                    use_osd: bool = False,
-                   use_mf: bool = False) -> SlotDecodeResult:
+                   use_mf: bool = False,
+                   mf_refine: bool = False) -> SlotDecodeResult:
     """Audio (n,) real -> SlotDecodeResult, frequency-sharded over
     ``mesh`` (one axis named ``freq``).
 
@@ -116,5 +117,6 @@ def decode_slot_tp(wave: jnp.ndarray, p: WaterfallParams, num_frames: int,
                         max_iterations, use_osd)
     if use_mf:
         from ..demod.decode import mf_retry
-        res = mf_retry(wave, p, res, 0, 0, max_iterations, use_osd)
+        res = mf_retry(wave, p, res, 0, 0, max_iterations, use_osd,
+                       mf_refine=mf_refine)
     return res

@@ -98,10 +98,11 @@ def test_tp_decode_with_osd_and_mf_matches_single_device(rng):
     nf = p.num_frames(len(audio))
 
     single = decode_slot(jnp.asarray(audio), p, nf, max_candidates=8,
-                         min_score=4.0, use_osd=True, use_mf=True)
+                         min_score=4.0, use_osd=True, use_mf=True,
+                         mf_refine=True)
     sharded = decode_slot_tp(jnp.asarray(audio), p, nf, make_freq_mesh(4),
                              max_candidates=8, min_score=4.0,
-                             use_osd=True, use_mf=True)
+                             use_osd=True, use_mf=True, mf_refine=True)
     s = jax.tree_util.tree_map(np.asarray, single)
     t = jax.tree_util.tree_map(np.asarray, sharded)
     np.testing.assert_array_equal(t.success, s.success)
