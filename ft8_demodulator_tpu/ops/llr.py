@@ -191,7 +191,7 @@ def extract_llrs_matched_blocks(spec_re: jnp.ndarray, spec_im: jnp.ndarray,
 def extract_llrs_matched_refined(wave: jnp.ndarray, abs_time: jnp.ndarray,
                                  abs_freq: jnp.ndarray, sps: int, hop: int,
                                  freq_osr: int, is_complex: bool = False,
-                                 nt: int = 3, nf: int = 3
+                                 nt: int = 5, nf: int = 3
                                  ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Matched-filter LLRs with per-candidate SUB-GRID (dt, df) refinement.
 
@@ -218,6 +218,14 @@ def extract_llrs_matched_refined(wave: jnp.ndarray, abs_time: jnp.ndarray,
     (K, 79, sps) slab.  Sub-bin frequency mixes split into the integer-
     row modular table (exact) times a small-angle fractional mix, so f32
     phase error stays at the on-grid path's level.
+
+    Grid defaults (nt=5, nf=3) are measured: TIME is the binding axis
+    (adjacent-symbol spill dominates scalloping), and refining it to
+    1/10-hop worst residual beats the 3x3 grid's 1/6 at every cliff SNR
+    (150 off-grid trials/point, fs 2 kHz: -16.0 dB 0.27->0.32, -15.5
+    0.52->0.56, -15.0 0.76->0.85 over 100 fresh trials, consistent with
+    the first 50); nf=5 added nothing over nf=3.  Cost is linear in nt
+    (one sequential dt slab each).
     """
     if nt % 2 == 0 or nf % 2 == 0:
         raise ValueError("nt/nf must be odd so the (0, 0) base offset is "
