@@ -282,8 +282,27 @@ def test_mf_refine_base_llrs_match_unrefined(rng):
     assert refined.shape == plain.shape
 
 
+def test_mf_refine_complex_offgrid_decodes(rng):
+    """The refined extractor's complex branch: an off-grid-corner complex
+    (drift-corrected-style) signal decodes with mf_first + mf_refine."""
+    p = waterfall_params(FS, 2, 2)
+    f0 = FS / 8.0 + (C.TONE_SPACING_HZ / p.freq_osr) / 2.0
+    bb = np.asarray(ft8_baseband(PAYLOAD, FS, f0))
+    sps = int(C.SYMBOL_PERIOD_S * FS)
+    sig = np.zeros(int(FS * 15), np.complex64)
+    t_off = sps // 2 + p.hop // 2
+    sig[t_off: t_off + len(bb)] = bb
+    sp = float(np.mean(np.abs(bb) ** 2))
+    noise = (rng.standard_normal(len(sig))
+             + 1j * rng.standard_normal(len(sig)))
+    sig += (noise * np.sqrt(sp / 10 ** (-13.0 / 10) / 2)).astype(np.complex64)
+    res = decode_ft8_message(sig, FS, min_score=1.0, use_osd=True,
+                             mf_first=True, mf_refine=True)
+    assert any(r.message.payload == _expected(PAYLOAD) for r in res)
+
+
 def test_mf_refine_rejects_pure_noise(rng):
-    """The best-of-9-offsets selection maximises over noise too — the
+    """The best-offset selection maximises over noise too — the
     refined LLRs must still accept nothing from noise-only candidates
     through BP + OSD + CRC."""
     from ft8_demodulator_tpu.ops.llr import extract_llrs_matched_refined
