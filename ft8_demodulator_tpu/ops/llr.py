@@ -225,7 +225,8 @@ def extract_llrs_matched_refined(wave: jnp.ndarray, abs_time: jnp.ndarray,
     (150 off-grid trials/point, fs 2 kHz: -16.0 dB 0.27->0.32, -15.5
     0.52->0.56, -15.0 0.76->0.85 over 100 fresh trials, consistent with
     the first 50); nf=5 added nothing over nf=3.  Cost is linear in nt
-    (one sequential dt slab each).
+    (one sequential dt slab each).  The gain survives osr 4x4's halved
+    cells (fs 4 kHz off-grid: -18.5 dB yield 0.50 -> 0.83).
     """
     if nt % 2 == 0 or nf % 2 == 0:
         raise ValueError("nt/nf must be odd so the (0, 0) base offset is "
