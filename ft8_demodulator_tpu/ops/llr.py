@@ -269,16 +269,19 @@ def extract_llrs_matched_refined(wave: jnp.ndarray, abs_time: jnp.ndarray,
         return jnp.matmul(a, b, precision=hp,
                           preferred_element_type=jnp.float32)
 
-    is_costas = jnp.asarray(C.FRAME_IS_COSTAS)            # (79,)
-    costas_hot = jax.nn.one_hot(jnp.asarray(C.FRAME_COSTAS_TONE), 8)
+    costas_pos = np.where(C.FRAME_IS_COSTAS)[0]           # (21,)
+    costas_hot = jax.nn.one_hot(
+        jnp.asarray(C.FRAME_COSTAS_TONE[costas_pos]), 8)  # (21, 8)
+    dsym = np.asarray(C.DATA_SYMBOL_POSITIONS)            # (58,)
 
-    def powers_at_dt(dt):
-        def windows(s0):
-            start = jnp.clip(s0 + dt + n_sig, 0, xp.shape[0] - n_sig)
-            w = jax.lax.dynamic_slice_in_dim(xp, start, n_sig, axis=0)
-            return w.reshape((C.NUM_SYMBOLS, sps) + wave.shape[1:])
+    def windows(s0, dt, rows):
+        """One candidate's symbol rows at sample offset dt: (len(rows), sps, .)"""
+        start = jnp.clip(s0 + dt + n_sig, 0, xp.shape[0] - n_sig)
+        w = jax.lax.dynamic_slice_in_dim(xp, start, n_sig, axis=0)
+        return w.reshape((C.NUM_SYMBOLS, sps) + wave.shape[1:])[rows]
 
-        win = jax.vmap(windows)(abs_time * hop)           # (K, 79, sps, .)
+    def mix(win):
+        """Apply the per-candidate integer-row mix: win (K, rows, sps, .)."""
         if is_complex:
             wr, wi = win[..., 0], win[..., 1]
             xr = wr * mc0[:, None, :] - wi * ms0[:, None, :]
@@ -286,30 +289,55 @@ def extract_llrs_matched_refined(wave: jnp.ndarray, abs_time: jnp.ndarray,
         else:
             xr = win * mc0[:, None, :]
             xi = win * ms0[:, None, :]
+        return xr, xi
+
+    # stage 1 — score every offset on the 21 Costas symbols ONLY (21/79
+    # of the window work; the data symbols are extracted once, at the
+    # winning offset, in stage 2).  Costas contrast in linear power:
+    # on-tone minus 8-tone mean, summed over the 21 sync cells.
+    def scores_at_dt(dt):
+        win = jax.vmap(lambda s0: windows(s0, dt, costas_pos))(
+            abs_time * hop)                               # (K, 21, sps, .)
+        xr, xi = mix(win)
         out = []
         for tc, ts in tone_mats:
-            re = mm(xr, tc) - mm(xi, ts)                  # (K, 79, 8)
+            re = mm(xr, tc) - mm(xi, ts)                  # (K, 21, 8)
             im = mm(xr, ts) + mm(xi, tc)
-            out.append(re * re + im * im)
-        return jnp.stack(out)                             # (nf, K, 79, 8)
+            pw = re * re + im * im
+            on = jnp.einsum("ksj,sj->ks", pw, costas_hot)
+            out.append(jnp.sum(on - jnp.mean(pw, axis=-1), axis=-1))
+        return jnp.stack(out)                             # (nf, K)
 
-    powers = jax.lax.map(powers_at_dt, dts)               # (nt, nf, K,79,8)
-    powers = powers.reshape((nt * nf,) + powers.shape[2:])
-    # Costas contrast in linear power: on-tone minus 8-tone mean
-    on = jnp.einsum("oksj,sj->oks", powers, costas_hot)
-    contrast = jnp.where(is_costas[None, None, :],
-                         on - jnp.mean(powers, axis=-1), 0.0)
-    scores = jnp.sum(contrast, axis=-1)                   # (O, K)
-    best_hot = jax.nn.one_hot(jnp.argmax(scores, axis=0), nt * nf,
-                              axis=0)                     # (O, K)
-    sel = jnp.einsum("ok,oksj->ksj", best_hot, powers)    # (K, 79, 8)
-    dsym = np.asarray(C.DATA_SYMBOL_POSITIONS)
+    scores = jax.lax.map(scores_at_dt, dts)               # (nt, nf, K)
+    best = jnp.argmax(scores.reshape(nt * nf, k), axis=0)   # (K,)
+    dt_best = dts[best // nf]                             # (K,) samples
+    df_hot = jax.nn.one_hot(best % nf, nf)                # (K, nf)
 
     def to_llrs(pw):
-        s2 = jnp.take(10.0 * jnp.log10(1e-12 + pw[:, dsym]), _GRAY, axis=-1)
+        s2 = jnp.take(10.0 * jnp.log10(1e-12 + pw), _GRAY, axis=-1)
         return normalize_llrs(_llr_from_powers(s2).reshape(k, C.LDPC_N))
 
-    return to_llrs(powers[(nt // 2) * nf + nf // 2]), to_llrs(sel)
+    # base: offset (0, 0) — dt 0, centre (df = 0) tone matrix
+    tc0, ts0 = tone_mats[nf // 2]
+    win0 = jax.vmap(lambda s0: windows(s0, 0, dsym))(abs_time * hop)
+    xr0, xi0 = mix(win0)                                  # (K, 58, sps)
+    re0 = mm(xr0, tc0) - mm(xi0, ts0)
+    im0 = mm(xr0, ts0) + mm(xi0, tc0)
+    llrs_base = to_llrs(re0 * re0 + im0 * im0)
+
+    # stage 2 — data-symbol extraction at each candidate's best offset:
+    # per-candidate dt goes into the window slice, per-candidate df into
+    # a one-hot-combined (K, sps, 8) tone matrix (batched matmul)
+    tc_all = jnp.stack([tc for tc, _ in tone_mats])       # (nf, sps, 8)
+    ts_all = jnp.stack([ts for _, ts in tone_mats])
+    tck = jnp.einsum("kj,jst->kst", df_hot, tc_all)
+    tsk = jnp.einsum("kj,jst->kst", df_hot, ts_all)
+    winb = jax.vmap(lambda s0, dt: windows(s0, dt, dsym))(
+        abs_time * hop, dt_best)                          # (K, 58, sps, .)
+    xrb, xib = mix(winb)
+    reb = mm(xrb, tck) - mm(xib, tsk)                     # (K, 58, 8)
+    imb = mm(xrb, tsk) + mm(xib, tck)
+    return llrs_base, to_llrs(reb * reb + imb * imb)
 
 
 @functools.partial(jax.jit, static_argnames=("sps", "hop", "freq_osr",
