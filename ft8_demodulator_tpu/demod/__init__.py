@@ -1,11 +1,14 @@
 """RX demodulation: slot decoder and result types."""
 
 from .decode import decode_ft8_message, decode_slot, decode_waterfall
+from .stack import decode_ft8_stacked, decode_slot_stacked
 from .types import FT8Decode, FT8DecodeStatus, FT8Message, SlotDecodeResult
 
 __all__ = [
     "decode_ft8_message",
+    "decode_ft8_stacked",
     "decode_slot",
+    "decode_slot_stacked",
     "decode_waterfall",
     "FT8Decode",
     "FT8DecodeStatus",

@@ -1,0 +1,158 @@
+"""Cross-transmission (beacon) stacking decoder — beyond the reference.
+
+The reference is an FT8 *beacon* receiver
+(src/ft8_tools/ft8_beacon_receiver/frequency_correction.py): a beacon
+transmits the SAME payload every 15-s FT8 cycle, so R received slots are R
+independent noncoherent looks at one transmission.  For noncoherent FSK
+under independent noise the summed per-tone energy is the sufficient
+statistic, so the optimal combiner needs no carrier phase coherence across
+repeats: this module averages LINEAR waterfall powers across repeats for
+sync/candidate search (the Costas stencil contrast grows with the average)
+and averages matched-filter symbol powers for LLR extraction, then decodes
+once.  The reference has no cross-transmission combining of any kind; its
+sensitivity is single-slot (docs/DESIGN_NOTES.md places the single-slot
+wall at the code decoder, and stacking is the named next step past it).
+
+Alignment contract: repeats must be slot-aligned (FT8 transmissions start
+on the 15-s cycle boundary, so receivers naturally capture them at a fixed
+slot offset) and frequency-stable to a fraction of a tone across repeats.
+On satellite channels apply per-repeat drift correction
+(beacon.correct_frequency_drift) first; the complex corrected waves stack
+the same way ((R, n, 2) input).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.llr import (extract_llrs, extract_llrs_matched_blocks_stacked,
+                       extract_llrs_matched_stacked)
+from ..ops.sync import find_candidates, search_grid, sync_scores
+from ..ops.waterfall import WaterfallParams, waterfall_params
+from ..protocol import constants as C
+from .decode import _format_results, finish_decode
+from .types import FT8Decode, SlotDecodeResult
+
+__all__ = ["decode_slot_stacked", "decode_ft8_stacked"]
+
+
+def _stacked_mag_and_spec(waves: jnp.ndarray, p: WaterfallParams,
+                          num_frames: int, is_complex: bool):
+    """(R, n[, 2]) repeats -> (dB waterfall of the MEAN linear power,
+    per-repeat block spectra or None).
+
+    The dB grid is 10*log10(mean_R linear power): sync scoring and Hann
+    LLR extraction read it exactly like a single-slot waterfall.  When the
+    block backend applies, the per-repeat hop-block spectra are returned
+    too so the matched-filter symbol DFTs reuse them
+    (ops/llr.py extract_llrs_matched_blocks_stacked).
+    """
+    from ..ops.waterfall import (_DB_FLOOR, _block_power, _block_spectrum,
+                                 _hann_periodic, _pick_backend,
+                                 _power_spectrum, frame_signal)
+
+    backend = _pick_backend(p, None)
+    if backend == "block":
+        if is_complex:
+            rr, ri = _block_spectrum(waves[..., 0], p, num_frames)
+            ir, ii = _block_spectrum(waves[..., 1], p, num_frames)
+            spec = (rr - ii, ri + ir)
+        else:
+            spec = _block_spectrum(waves, p, num_frames)
+        power = _block_power(spec, p, num_frames)         # (R, T, K)
+    else:
+        spec = None
+        if is_complex:
+            fr = frame_signal(waves[..., 0], p.nperseg, p.hop, num_frames)
+            fi = frame_signal(waves[..., 1], p.nperseg, p.hop, num_frames)
+        else:
+            fr = frame_signal(waves, p.nperseg, p.hop, num_frames)
+            fi = None
+        power = _power_spectrum(fr, fi, p, backend)       # (R, T, F)
+    scale = 1.0 / float(np.sum(_hann_periodic(p.nperseg)) ** 2)
+    mag = 10.0 * jnp.log10(_DB_FLOOR + jnp.mean(power, axis=0) * scale)
+    return jnp.swapaxes(mag, -1, -2), spec
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "p", "num_frames", "max_candidates", "max_iterations", "is_complex",
+    "use_osd", "use_mf"))
+def decode_slot_stacked(waves: jnp.ndarray, p: WaterfallParams,
+                        num_frames: int, max_candidates: int = 20,
+                        min_score: float = 10.0, max_iterations: int = 20,
+                        is_complex: bool = False,
+                        use_osd: bool = False,
+                        use_mf: bool = True) -> SlotDecodeResult:
+    """R slot-aligned repeats (R, n[, 2]) of ONE transmission -> decode.
+
+    One jit: per-repeat STFT, linear-power averaging, sync stencil +
+    top-K candidates on the stacked grid, repeat-averaged matched-filter
+    LLRs (use_mf, the default — the single-slot MF-first path's combiner)
+    or Hann LLRs read from the stacked dB grid, BP(+OSD), CRC.
+
+    With R == 1 and use_mf this is exactly decode_slot(mf_first=True):
+    the mean over one repeat is the identity, so results match
+    bit-for-bit (tested).
+    """
+    g = search_grid(p.num_freq_bins, num_frames, p.time_osr, p.freq_osr)
+    mag, spec = _stacked_mag_and_spec(waves, p, num_frames, is_complex)
+    scores = sync_scores(mag, g)
+    abs_time, abs_freq, score, cand_valid = find_candidates(
+        scores, g, max_candidates, min_score)
+    if use_mf:
+        if spec is not None:
+            llrs = extract_llrs_matched_blocks_stacked(
+                spec[0], spec[1], abs_time, abs_freq, p.time_osr,
+                p.freq_osr)
+        else:
+            llrs = extract_llrs_matched_stacked(
+                waves, abs_time, abs_freq, p.nperseg, p.hop, p.freq_osr,
+                is_complex)
+    else:
+        llrs = extract_llrs(mag, abs_time, abs_freq, p.time_osr,
+                            p.freq_osr, g.num_blocks)
+    return finish_decode(llrs, abs_time, abs_freq, score, cand_valid,
+                         max_iterations, use_osd)
+
+
+def decode_ft8_stacked(waves, sample_rate: float,
+                       bins_per_tone: int = 2, steps_per_symbol: int = 2,
+                       max_candidates: int = 20, min_score: float = 10.0,
+                       max_iterations: int = 20,
+                       use_osd: bool = False,
+                       use_mf: bool = True,
+                       deduplicate: bool = True) -> list[FT8Decode]:
+    """Decode one repeated transmission from R stacked slots (host API).
+
+    waves: (R, n) real or (R, n) complex — R captures of the same
+    transmission, slot-aligned.  Returns FT8Decode rows like
+    decode_ft8_message; time/frequency are relative to the common slot.
+
+    Measured gain over the best single-slot path (OSD + MF) at fs 2 kHz:
+    see benchmarks/results/stacking_snr_fs2k.json and
+    docs/DESIGN_NOTES.md ("Cross-transmission stacking").
+    """
+    waves = np.asarray(waves)
+    if waves.ndim != 2:
+        raise ValueError("waves must be (R, n): R slot-aligned repeats")
+    p = waterfall_params(sample_rate, bins_per_tone, steps_per_symbol)
+    if waves.shape[-1] < p.nperseg:
+        return []
+    num_frames = p.num_frames(waves.shape[-1])
+    is_complex = bool(np.iscomplexobj(waves))
+    if is_complex:
+        wave_d = jnp.asarray(
+            np.stack([waves.real, waves.imag], axis=-1).astype(np.float32))
+    else:
+        wave_d = jnp.asarray(waves.astype(np.float32))
+    res = decode_slot_stacked(wave_d, p, num_frames, max_candidates,
+                              float(min_score), max_iterations, is_complex,
+                              use_osd, use_mf)
+    hop_seconds = C.SYMBOL_PERIOD_S / p.time_osr
+    freq_step = C.TONE_SPACING_HZ / p.freq_osr
+    return _format_results(res, hop_seconds, freq_step, 0.0, 0.0,
+                           deduplicate)

@@ -20,7 +20,8 @@ from ..protocol import constants as C
 
 __all__ = ["extract_llrs", "extract_llrs_matched",
            "extract_llrs_matched_blocks", "extract_llrs_matched_refined",
-           "normalize_llrs"]
+           "extract_llrs_matched_blocks_stacked",
+           "extract_llrs_matched_stacked", "normalize_llrs"]
 
 # Tone order after Gray reordering: s2[j] = powers[GRAY_MAP[j]].
 _GRAY = jnp.asarray(C.GRAY_MAP)
@@ -106,6 +107,12 @@ def normalize_llrs(llr: jnp.ndarray) -> jnp.ndarray:
 # matched-filter LLR re-extraction (beyond the reference)
 # ---------------------------------------------------------------------------
 
+def _powers_to_llrs(powers: jnp.ndarray) -> jnp.ndarray:
+    """(K, 58, 8) linear symbol powers -> (K, 174) normalised LLRs."""
+    s2 = jnp.take(10.0 * jnp.log10(1e-12 + powers), _GRAY, axis=-1)
+    llr = _llr_from_powers(s2)
+    return normalize_llrs(llr.reshape(powers.shape[0], C.LDPC_N))
+
 @functools.lru_cache(maxsize=16)
 def _mf_tone_matrices(sps: int) -> tuple[np.ndarray, np.ndarray]:
     """(sps, 8) cos/sin of the integer-tone boxcar DFT e^{-2pi i tone n/sps}."""
@@ -147,6 +154,14 @@ def extract_llrs_matched_blocks(spec_re: jnp.ndarray, spec_im: jnp.ndarray,
     extended columns (col = bin + phi).  Bit-equivalent to the direct
     boxcar DFT up to f32 summation order.
     """
+    return _powers_to_llrs(_mf_block_powers(
+        spec_re, spec_im, abs_time, abs_freq, time_osr, freq_osr))
+
+
+def _mf_block_powers(spec_re: jnp.ndarray, spec_im: jnp.ndarray,
+                     abs_time: jnp.ndarray, abs_freq: jnp.ndarray,
+                     time_osr: int, freq_osr: int) -> jnp.ndarray:
+    """Block spectra (nb, Kx) -> per-candidate symbol powers (K, 58, 8)."""
     tau, phi = time_osr, freq_osr
     k = abs_freq.shape[0]
     m = phi * tau
@@ -179,11 +194,29 @@ def extract_llrs_matched_blocks(spec_re: jnp.ndarray, spec_im: jnp.ndarray,
     ss = jnp.sin(ang)[:, None]
     xr = jnp.sum(wr * cc - wi * ss, axis=-2)              # (K, 58, 8)
     xi = jnp.sum(wr * ss + wi * cc, axis=-2)
-    powers = xr * xr + xi * xi
+    return xr * xr + xi * xi
 
-    s2 = jnp.take(10.0 * jnp.log10(1e-12 + powers), _GRAY, axis=-1)
-    llr = _llr_from_powers(s2)
-    return normalize_llrs(llr.reshape(k, C.LDPC_N))
+
+@functools.partial(jax.jit, static_argnames=("time_osr", "freq_osr"))
+def extract_llrs_matched_blocks_stacked(spec_re: jnp.ndarray,
+                                        spec_im: jnp.ndarray,
+                                        abs_time: jnp.ndarray,
+                                        abs_freq: jnp.ndarray,
+                                        time_osr: int,
+                                        freq_osr: int) -> jnp.ndarray:
+    """Repeat-stacked matched-filter LLRs from (R, nb, Kx) block spectra.
+
+    Noncoherent cross-transmission combining (demod/stack.py, beyond the
+    reference): spec_re/spec_im carry the hop-block spectra of R
+    slot-aligned repeats of ONE transmission; the per-tone symbol powers
+    are averaged across repeats in the LINEAR domain before LLR formation.
+    For noncoherent FSK under independent noise the summed per-tone energy
+    is the sufficient statistic, so this is the optimal combiner — phase
+    is free to differ arbitrarily between repeats.
+    """
+    pw = jax.vmap(lambda r, i: _mf_block_powers(
+        r, i, abs_time, abs_freq, time_osr, freq_osr))(spec_re, spec_im)
+    return _powers_to_llrs(jnp.mean(pw, axis=0))
 
 
 @functools.partial(jax.jit, static_argnames=("sps", "hop", "freq_osr",
@@ -313,9 +346,7 @@ def extract_llrs_matched_refined(wave: jnp.ndarray, abs_time: jnp.ndarray,
     dt_best = dts[best // nf]                             # (K,) samples
     df_hot = jax.nn.one_hot(best % nf, nf)                # (K, nf)
 
-    def to_llrs(pw):
-        s2 = jnp.take(10.0 * jnp.log10(1e-12 + pw), _GRAY, axis=-1)
-        return normalize_llrs(_llr_from_powers(s2).reshape(k, C.LDPC_N))
+    to_llrs = _powers_to_llrs
 
     # base: offset (0, 0) — dt 0, centre (df = 0) tone matrix
     tc0, ts0 = tone_mats[nf // 2]
@@ -366,8 +397,33 @@ def extract_llrs_matched(wave: jnp.ndarray, abs_time: jnp.ndarray,
     negative (pre-roll); out-of-range samples read as zero and the affected
     symbols contribute ~zero LLRs, like extract_llrs.
     """
+    return _powers_to_llrs(_mf_direct_powers(
+        wave, abs_time, abs_freq, sps, hop, freq_osr, is_complex))
+
+
+@functools.partial(jax.jit, static_argnames=("sps", "hop", "freq_osr",
+                                             "is_complex"))
+def extract_llrs_matched_stacked(waves: jnp.ndarray, abs_time: jnp.ndarray,
+                                 abs_freq: jnp.ndarray, sps: int, hop: int,
+                                 freq_osr: int,
+                                 is_complex: bool = False) -> jnp.ndarray:
+    """Repeat-stacked matched-filter LLRs straight from (R, n[, 2]) audio.
+
+    Direct-form fallback of extract_llrs_matched_blocks_stacked for
+    geometries the hop-block decomposition does not cover: per-tone symbol
+    powers of R slot-aligned repeats averaged in the linear domain before
+    LLR formation (noncoherent combining; see demod/stack.py).
+    """
+    pw = jax.vmap(lambda w: _mf_direct_powers(
+        w, abs_time, abs_freq, sps, hop, freq_osr, is_complex))(waves)
+    return _powers_to_llrs(jnp.mean(pw, axis=0))
+
+
+def _mf_direct_powers(wave: jnp.ndarray, abs_time: jnp.ndarray,
+                      abs_freq: jnp.ndarray, sps: int, hop: int,
+                      freq_osr: int, is_complex: bool) -> jnp.ndarray:
+    """Audio (n[, 2]) -> per-candidate boxcar symbol powers (K, 58, 8)."""
     phi = freq_osr
-    k = abs_freq.shape[0]
     sym = np.asarray(C.DATA_SYMBOL_POSITIONS)             # (58,)
 
     # window extraction: one contiguous 79-symbol dynamic_slice per
@@ -415,8 +471,4 @@ def extract_llrs_matched(wave: jnp.ndarray, abs_time: jnp.ndarray,
 
     re = mm(xr, tc) - mm(xi, ts)                          # (K, 58, 8)
     im = mm(xr, ts) + mm(xi, tc)
-    powers = re * re + im * im
-
-    s2 = jnp.take(10.0 * jnp.log10(1e-12 + powers), _GRAY, axis=-1)
-    llr = _llr_from_powers(s2)                            # (K, 58, 3)
-    return normalize_llrs(llr.reshape(k, C.LDPC_N))
+    return re * re + im * im
