@@ -69,6 +69,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "matched-filter extraction (with --mf/--mf-first): "
                         "recovers up to ~3 dB of off-grid quantisation "
                         "loss on real-world signals")
+    p.add_argument("--stack", type=int, default=1, metavar="R",
+                   help="treat the capture as R consecutive 15-s cycles of "
+                        "a REPEATING transmission (beacon) and decode them "
+                        "together — noncoherent combining, ~+3.5 dB at R=4 "
+                        "(with --correction: each cycle is drift-corrected "
+                        "independently first)")
     p.add_argument("--deep", action="store_true",
                    help="high-sensitivity preset: osr 4x4, 40 candidates, "
                         "min-score 1, OSD (only fills in options you did "
@@ -105,6 +111,19 @@ def main(argv=None) -> int:
         if unsupported:
             parser.error("--stream does not support: "
                          + ", ".join(unsupported))
+    if args.stack > 1:
+        unsupported = [name for name, bad in [
+            ("--stream", args.stream), ("--metrics", args.metrics),
+            ("--mf-refine", args.mf_refine),
+            ("--freq-min", args.freq_min is not None),
+            ("--freq-max", args.freq_max is not None),
+            ("--time-min", args.time_min is not None),
+            ("--time-max", args.time_max is not None),
+            ("--passes", args.passes != 1),
+        ] if bad]
+        if unsupported:
+            parser.error("--stack does not support: "
+                         + ", ".join(unsupported))
     if not os.path.exists(args.wave_file):
         print(f"Error: File {args.wave_file} does not exist", file=sys.stderr)
         return 1
@@ -134,7 +153,45 @@ def main(argv=None) -> int:
     print(f"Read {args.wave_file}: {len(wave_data)} samples @ {sample_rate} Hz "
           f"({len(wave_data) / sample_rate:.2f} s)")
 
-    if args.correction:
+    if args.stack > 1:
+        from .demod.stack import decode_ft8_stacked
+
+        cycle = int(round(15.0 * sample_rate))
+        r = min(args.stack, len(wave_data) // cycle)
+        if r < 2:
+            print("Error: --stack needs at least two full 15-s cycles of "
+                  f"audio (got {len(wave_data) / sample_rate:.2f} s)",
+                  file=sys.stderr)
+            return 1
+        segs = np.asarray(wave_data[: r * cycle]).reshape(r, cycle)
+        if args.correction:
+            import scipy.signal
+            from .beacon import correct_frequency_drift
+
+            corrected = []
+            for i, seg in enumerate(segs):
+                c, drift_rate = correct_frequency_drift(
+                    scipy.signal.hilbert(seg), sample_rate, params={
+                        "bins_per_tone": args.bins_per_tone,
+                        "steps_per_symbol": args.steps_per_symbol,
+                    })
+                print(f"Cycle {i}: estimated drift rate "
+                      f"{drift_rate * sample_rate:.2f} Hz/s")
+                corrected.append(c)
+            segs = np.stack(corrected)
+        results = decode_ft8_stacked(
+            segs, sample_rate,
+            bins_per_tone=args.bins_per_tone,
+            steps_per_symbol=args.steps_per_symbol,
+            max_candidates=args.max_candidates,
+            min_score=args.min_score,
+            max_iterations=args.max_iterations,
+            use_osd=args.osd,
+            deduplicate=not args.no_dedup,
+        )
+        print(f"Stacked {r} cycles")
+
+    if args.correction and args.stack <= 1:
         import scipy.signal
         from .beacon import correct_frequency_drift
 
@@ -152,7 +209,9 @@ def main(argv=None) -> int:
         else:
             wave_data = corrected
 
-    if args.stream:
+    if args.stack > 1:
+        pass                        # results computed above
+    elif args.stream:
         from .config import DecoderConfig
         from .demod.stream_session import StreamSession
 

@@ -69,6 +69,49 @@ def test_cli_stream_rejects_unsupported_flags(wav_path, capsys):
         main([path, "--stream", "--passes", "2"])
 
 
+@pytest.fixture()
+def beacon_wav_path(tmp_path, goldens, rng):
+    """Four 15-s cycles of one repeating transmission at -17 dB (below the
+    single-slot cliff; each cycle alone does not decode)."""
+    fs = 2000.0
+    wave = np.asarray(ft8_passband(goldens["p1_payload"], fs, 400.0, 0.0))
+    sp = float(np.mean(wave ** 2))
+    sig = np.zeros((4, int(fs * 15)), np.float32)
+    sig[:, 500: 500 + len(wave)] = wave
+    sig += rng.standard_normal(sig.shape).astype(np.float32) \
+        * np.sqrt(sp / 10 ** (-17.0 / 10))
+    flat = sig.reshape(-1)
+    path = tmp_path / "beacon.wav"
+    write_wave_file(str(path), flat / np.abs(flat).max() * 0.8, fs)
+    want = goldens["p1_payload"].copy()
+    want[9] &= 0xF8
+    return str(path), want
+
+
+def test_cli_stack_decodes_repeated_beacon(beacon_wav_path, capsys):
+    path, payload = beacon_wav_path
+    # single-cycle decode of the same file misses it...
+    assert main([path, "--time-max", "15", "--min-score", "1",
+                 "--osd", "--mf-first"]) == 0
+    assert bytes(payload.tolist()).hex() not in _decoded_payloads(capsys)
+    # ...the 4-cycle stack decodes it
+    assert main([path, "--stack", "4", "--min-score", "1", "--osd"]) == 0
+    assert bytes(payload.tolist()).hex() in _decoded_payloads(capsys)
+
+
+def test_cli_stack_rejects_unsupported_flags(beacon_wav_path):
+    path, _ = beacon_wav_path
+    with pytest.raises(SystemExit):
+        main([path, "--stack", "4", "--stream"])
+    with pytest.raises(SystemExit):
+        main([path, "--stack", "4", "--passes", "2"])
+
+
+def test_cli_stack_needs_two_cycles(wav_path, capsys):
+    path, _ = wav_path                      # 15-s file: one cycle only
+    assert main([path, "--stack", "4"]) == 1
+
+
 def test_cli_deep_preset_keeps_explicit_flags(wav_path, capsys, monkeypatch):
     """--deep fills only unset options: an explicit --max-candidates wins."""
     import ft8_demodulator_tpu.demod as demod

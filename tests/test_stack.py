@@ -99,3 +99,31 @@ def test_stack_hann_path_gains_too():
 
 def test_stack_short_input_returns_empty():
     assert decode_ft8_stacked(np.zeros((2, 8), np.float32), FS) == []
+
+
+def test_stack_after_per_repeat_drift_correction():
+    """The satellite-beacon flow: each repeat passes through the channel
+    with a DIFFERENT drift rate, is drift-corrected independently
+    (beacon.correct_frequency_drift), and the complex corrected waves
+    stack into one decode."""
+    from ft8_demodulator_tpu.beacon import correct_frequency_drift
+
+    fs = 4096.0
+    bb = np.asarray(ft8_baseband(PAYLOAD, fs, 500.0)).astype(np.complex128)
+    pad = int(1.0 * fs)
+    n = 2 * pad + len(bb)
+    t = np.arange(n) / fs
+    es = np.mean(np.abs(bb) ** 2)
+    rng = np.random.default_rng(5)
+    corrected = []
+    for drift in (80.0, 120.0, 160.0):
+        sig = np.concatenate([np.zeros(pad, np.complex128), bb,
+                              np.zeros(pad, np.complex128)])
+        sig = sig * np.exp(2j * np.pi * drift * t * t / 2.0)
+        n0 = es / 10 ** (30.0 / 10)         # Es/N0 30 dB per repeat
+        sig += (rng.standard_normal(n)
+                + 1j * rng.standard_normal(n)) * np.sqrt(n0 / 2)
+        corrected.append(correct_frequency_drift(sig, fs)[0])
+    res = decode_ft8_stacked(np.stack(corrected), fs, min_score=4.0,
+                             use_osd=True)
+    assert any(r.message.payload == _expected(PAYLOAD) for r in res)
