@@ -1,0 +1,168 @@
+"""Known-payload beacon detection: full-track energy correlation.
+
+The reference exists to receive a KNOWN beacon through a satellite channel
+(its channel fixtures carry one fixed payload end-to-end,
+src/tests/channel/test_signal_after_channel.py:34, and the beacon receiver
+src/ft8_tools/ft8_beacon_receiver/ tracks that one transmitter) — yet its
+only detector is the 21-cell Costas sync score.  When the payload is known
+a priori, all 79 symbols of the tone track are usable sync: this module
+correlates the waterfall's LINEAR power against the full known track,
+which buys ~10·log10(79/21) ≈ 5.8 dB of detection SNR over Costas-only
+sync and needs no decode at all — presence, time and frequency of the
+beacon are established far below the decode threshold.
+
+Statistic.  At grid point (t, f), with per-cell linear powers P:
+
+    D(t, f) = sum_s [ P(f + track[s]·phi, t + s·tau)
+                      - (1/8) sum_j P(f + j·phi, t + s·tau) ]
+
+Under noise-only, each cell's contrast is zero-mean with variance
+(7/8)·var(P) (exponentially-distributed P gives var(P) = mu^2; an R-repeat
+average gives mu^2/R), so
+
+    z(t, f) = D / sqrt(0.875 * count * var(P))
+
+is a unit-variance detection score with var(P) estimated empirically from
+the grid (count = number of in-bounds cells).  Repeats of the transmission
+(a beacon transmits every 15-s cycle) average their linear power grids
+first — noise variance drops by R, z grows ~sqrt(R).
+
+Caveat: the track shares its 21 Costas cells with every FT8 signal, so a
+strong UNRELATED transmission at the same grid point scores ~21/79 + the
+chance data-tone matches of a true hit; detection confirms the known
+track, it does not decode.  Pair with decode_ft8_stacked when bits must
+be confirmed.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.sync import SearchGrid, search_grid
+from ..ops.waterfall import waterfall_params
+from ..protocol import constants as C
+from ..protocol.encode import encode_tones
+
+__all__ = ["KnownDetection", "known_track_scores", "detect_known_payload"]
+
+
+class KnownDetection(NamedTuple):
+    """One detection of the known track."""
+
+    time_sec: float
+    freq_hz: float
+    z: float          # unit-variance detection score (noise-only: ~N(0,1))
+
+
+def _track_masks(g: SearchGrid) -> tuple[np.ndarray, np.ndarray]:
+    """(79, num_times) per-cell validity + (num_times,) counts (host)."""
+    t = g.t_start + np.arange(g.num_times)
+    base = np.floor_divide(t, g.time_osr)
+    s = np.arange(C.NUM_SYMBOLS)[:, None]
+    valid = (base[None, :] + s >= 0) & (base[None, :] + s < g.num_blocks)
+    return valid, valid.sum(axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("g",))
+def known_track_scores(linpow: jnp.ndarray, track: jnp.ndarray,
+                       g: SearchGrid) -> jnp.ndarray:
+    """Linear power grid (F, T) + known track (79,) -> z grid (nF, nT).
+
+    Same stencil structure as ops/sync.py sync_scores (statically-offset
+    slices over a padded grid, validity masks zeroing out-of-bounds
+    cells), but per-cell tone offsets come from the traced track (the
+    payload is a runtime argument — one compilation serves every beacon)
+    and the contrast baseline is the exact 8-tone mean, evaluated via a
+    precomputed 8-shift row sum.
+    """
+    left = max(0, -g.t_start)
+    right = max(0, g.t_start + g.num_times
+                + (C.NUM_SYMBOLS - 1) * g.time_osr - linpow.shape[-1])
+    padded = jnp.pad(linpow, ((0, 0), (left, right)))
+
+    # 8-tone row sum: S8(f, t) = sum_j P(f + j*phi, t), one shifted add
+    # per tone over the frequency rows the search grid scans
+    s8 = jnp.zeros((g.num_freqs, padded.shape[-1]), jnp.float32)
+    for j in range(8):
+        s8 = s8 + jax.lax.dynamic_slice_in_dim(
+            padded, j * g.freq_osr, g.num_freqs, axis=0)
+
+    valid, count = _track_masks(g)
+    total = jnp.zeros((g.num_freqs, g.num_times), jnp.float32)
+    for s in range(C.NUM_SYMBOLS):
+        start = left + g.t_start + s * g.time_osr
+        on = jax.lax.dynamic_slice(
+            padded, (track[s] * g.freq_osr, start),
+            (g.num_freqs, g.num_times))
+        mean8 = jax.lax.dynamic_slice_in_dim(
+            s8, start, g.num_times, axis=-1) * 0.125
+        total = total + jnp.asarray(valid[s], jnp.float32) * (on - mean8)
+
+    # per-cell noise variance ESTIMATED from the grid: under noise-only
+    # var(P) = mu^2 for exponential P, and averaging R repeats scales it
+    # to mu^2/R — the empirical variance tracks both (and any window
+    # correlation) without knowing R
+    cell_var = jnp.var(linpow)
+    sigma = jnp.sqrt(cell_var * 0.875
+                     * jnp.asarray(np.maximum(count, 1), jnp.float32))
+    return jnp.where(jnp.asarray(count > 0), total / sigma, -jnp.inf)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "num_frames",
+                                             "is_complex", "top_k"))
+def _detect_grid(waves: jnp.ndarray, track: jnp.ndarray, p, num_frames: int,
+                 is_complex: bool, top_k: int):
+    from ..demod.stack import _stacked_power_and_spec
+
+    linpow, _ = _stacked_power_and_spec(waves, p, num_frames, is_complex)
+    g = search_grid(p.num_freq_bins, num_frames, p.time_osr, p.freq_osr)
+    z = known_track_scores(linpow, track, g)
+    vals, idx = jax.lax.top_k(z.reshape(-1), top_k)
+    return vals, g.t_start + idx % g.num_times, idx // g.num_times
+
+
+def detect_known_payload(waves, sample_rate: float, payload,
+                         bins_per_tone: int = 2, steps_per_symbol: int = 2,
+                         top_k: int = 4,
+                         min_z: float = 6.0) -> list[KnownDetection]:
+    """Find a KNOWN transmission's (time, frequency) without decoding.
+
+    waves: (n,) or (R, n) real or complex — R slot-aligned repeats average
+    their linear power grids (z grows ~sqrt(R)).  payload: the known
+    10-byte FT8 payload.  Returns detections with z >= min_z, strongest
+    first.  min_z=6 measures 0 false alarms over 200 noise-only slots
+    (~2e7 grid points) while a single slot at fs 2 kHz detects to ~-20 dB
+    and an 8-repeat stack to ~-25 dB (tests/test_known_detect.py,
+    docs/DESIGN_NOTES.md).
+    """
+    waves = np.asarray(waves)
+    if waves.ndim == 1:
+        waves = waves[None]
+    p = waterfall_params(sample_rate, bins_per_tone, steps_per_symbol)
+    if waves.shape[-1] < p.nperseg:
+        return []
+    num_frames = p.num_frames(waves.shape[-1])
+    is_complex = bool(np.iscomplexobj(waves))
+    if is_complex:
+        wave_d = jnp.asarray(
+            np.stack([waves.real, waves.imag], axis=-1).astype(np.float32))
+    else:
+        wave_d = jnp.asarray(waves.astype(np.float32))
+    track = encode_tones(jnp.asarray(np.asarray(payload, np.uint8)))
+    zs, ts, fs_ = _detect_grid(wave_d, track.astype(jnp.int32), p,
+                               num_frames, is_complex, top_k)
+    hop_seconds = C.SYMBOL_PERIOD_S / p.time_osr
+    freq_step = C.TONE_SPACING_HZ / p.freq_osr
+    out = []
+    for z, t, f in zip(np.asarray(zs), np.asarray(ts), np.asarray(fs_)):
+        if float(z) >= min_z:
+            out.append(KnownDetection(
+                time_sec=float(t) * hop_seconds,
+                freq_hz=float(f) * freq_step,
+                z=float(z)))
+    return out

@@ -40,18 +40,19 @@ from .types import FT8Decode, SlotDecodeResult
 __all__ = ["decode_slot_stacked", "decode_ft8_stacked"]
 
 
-def _stacked_mag_and_spec(waves: jnp.ndarray, p: WaterfallParams,
-                          num_frames: int, is_complex: bool):
-    """(R, n[, 2]) repeats -> (dB waterfall of the MEAN linear power,
-    per-repeat block spectra or None).
+def _stacked_power_and_spec(waves: jnp.ndarray, p: WaterfallParams,
+                            num_frames: int, is_complex: bool):
+    """(R, n[, 2]) repeats -> (MEAN linear power grid (F, T), per-repeat
+    block spectra or None).
 
-    The dB grid is 10*log10(mean_R linear power): sync scoring and Hann
-    LLR extraction read it exactly like a single-slot waterfall.  When the
-    block backend applies, the per-repeat hop-block spectra are returned
-    too so the matched-filter symbol DFTs reuse them
+    For noncoherent FSK under independent noise the summed per-tone energy
+    is the sufficient statistic, so the linear mean over repeats is the
+    lossless combining point; sync/LLR consumers convert to dB themselves.
+    When the block backend applies, the per-repeat hop-block spectra are
+    returned too so the matched-filter symbol DFTs reuse them
     (ops/llr.py extract_llrs_matched_blocks_stacked).
     """
-    from ..ops.waterfall import (_DB_FLOOR, _block_power, _block_spectrum,
+    from ..ops.waterfall import (_block_power, _block_spectrum,
                                  _hann_periodic, _pick_backend,
                                  _power_spectrum, frame_signal)
 
@@ -74,8 +75,17 @@ def _stacked_mag_and_spec(waves: jnp.ndarray, p: WaterfallParams,
             fi = None
         power = _power_spectrum(fr, fi, p, backend)       # (R, T, F)
     scale = 1.0 / float(np.sum(_hann_periodic(p.nperseg)) ** 2)
-    mag = 10.0 * jnp.log10(_DB_FLOOR + jnp.mean(power, axis=0) * scale)
-    return jnp.swapaxes(mag, -1, -2), spec
+    return jnp.swapaxes(jnp.mean(power, axis=0) * scale, -1, -2), spec
+
+
+def _stacked_mag_and_spec(waves: jnp.ndarray, p: WaterfallParams,
+                          num_frames: int, is_complex: bool):
+    """(R, n[, 2]) repeats -> (dB waterfall of the MEAN linear power,
+    per-repeat block spectra or None).  See _stacked_power_and_spec."""
+    from ..ops.waterfall import _DB_FLOOR
+
+    power, spec = _stacked_power_and_spec(waves, p, num_frames, is_complex)
+    return 10.0 * jnp.log10(_DB_FLOOR + power), spec
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -1,0 +1,84 @@
+"""Known-payload beacon detection tests (beyond-reference layer).
+
+The reference tracks a known beacon but only ever detects via the 21-cell
+Costas sync; beacon/detect.py correlates all 79 known symbols
+(~+5.8 dB of detection reach) and stacks repeats (~sqrt(R) more).
+"""
+
+import numpy as np
+
+from ft8_demodulator_tpu.beacon import detect_known_payload
+from ft8_demodulator_tpu.ops.gfsk import ft8_baseband, ft8_passband
+
+PAYLOAD = np.array([0x1C, 0x3F, 0x8A, 0x6A, 0xE2, 0x07, 0xA1, 0xE3, 0x94, 0x51],
+                   dtype=np.uint8)
+OTHER = np.array([0x2B, 0x14, 0x9C, 0x33, 0x71, 0xE0, 0x55, 0xAA, 0x06, 0x18],
+                 dtype=np.uint8)
+FS = 2000.0
+
+
+def _repeats(seed, snr_db, r, f0=400.0):
+    w = np.asarray(ft8_passband(PAYLOAD, FS, f0, 0.0))
+    sig = np.zeros((r, int(FS * 15)), np.float32)
+    sig[:, 500: 500 + len(w)] = w
+    sp = float(np.mean(w ** 2))
+    rng = np.random.default_rng(seed)
+    sig += rng.standard_normal(sig.shape).astype(np.float32) \
+        * np.sqrt(sp / 10 ** (snr_db / 10))
+    return sig
+
+
+def _hit(dets, f0=400.0, t0=0.25):
+    return any(abs(d.freq_hz - f0) < 7.0 and abs(d.time_sec - t0) < 0.6
+               for d in dets)
+
+
+def test_detects_far_below_the_decode_cliff():
+    """-20 dB single slot: 4.5 dB below the best decode cliff (-15.5),
+    the full-track detector still localises the beacon (measured 10/10
+    seeds at -20, 5/10 at -21; seed 200 committed)."""
+    sig = _repeats(200, -20.0, 1)[0]
+    assert _hit(detect_known_payload(sig, FS, PAYLOAD))
+
+
+def test_wrong_payload_does_not_detect():
+    """A different payload's track only shares the 21 Costas cells —
+    at -20 dB the wrong-track score stays below threshold."""
+    sig = _repeats(200, -20.0, 1)[0]
+    assert detect_known_payload(sig, FS, OTHER) == []
+
+
+def test_stacked_detection_reaches_minus_24():
+    """8 stacked repeats at -24 dB: 8.5 dB below the single-slot decode
+    cliff and 2.5 dB below the 8-repeat STACKED DECODE floor (-21.5) —
+    detection-only tracking reaches where no decode can (measured 10/10
+    at -24, 9/10 at -25; seed 201 committed)."""
+    sig = _repeats(201, -24.0, 8)
+    assert _hit(detect_known_payload(sig, FS, PAYLOAD))
+
+
+def test_noise_only_never_detects():
+    """min_z=6 sits ~1.4 sigma above the measured noise-only max over 20
+    slots (4.66); a handful of fresh noise slots must stay silent for
+    both single and stacked grids."""
+    rng = np.random.default_rng(5)
+    for r in (1, 8):
+        noise = rng.standard_normal((r, int(FS * 15))).astype(np.float32)
+        assert detect_known_payload(noise, FS, PAYLOAD) == []
+
+
+def test_complex_input_detects():
+    """Complex (drift-corrected-style) captures detect the same way."""
+    bb = np.asarray(ft8_baseband(PAYLOAD, FS, 350.0))
+    sig = np.zeros(int(FS * 15), np.complex64)
+    sig[500: 500 + len(bb)] = bb
+    sp = float(np.mean(np.abs(bb) ** 2))
+    rng = np.random.default_rng(7)
+    nz = rng.standard_normal(len(sig)) + 1j * rng.standard_normal(len(sig))
+    sig = sig + (nz * np.sqrt(sp / 10 ** (-20.0 / 10) / 2)).astype(np.complex64)
+    dets = detect_known_payload(sig, FS, PAYLOAD)
+    assert _hit(dets, f0=350.0)
+
+
+def test_short_input_returns_empty():
+    assert detect_known_payload(np.zeros(8, np.float32), FS, PAYLOAD) == []
