@@ -140,20 +140,21 @@ def detect_known_payload(waves, sample_rate: float, payload,
     and an 8-repeat stack to ~-25 dB (tests/test_known_detect.py,
     docs/DESIGN_NOTES.md).
     """
-    waves = np.asarray(waves)
-    if waves.ndim == 1:
-        waves = waves[None]
+    from ..demod.stack import as_device_stack
+
+    wave_d, is_complex = as_device_stack(waves)
     p = waterfall_params(sample_rate, bins_per_tone, steps_per_symbol)
-    if waves.shape[-1] < p.nperseg:
+    if wave_d.shape[1] < p.nperseg:
         return []
-    num_frames = p.num_frames(waves.shape[-1])
-    is_complex = bool(np.iscomplexobj(waves))
-    if is_complex:
-        wave_d = jnp.asarray(
-            np.stack([waves.real, waves.imag], axis=-1).astype(np.float32))
-    else:
-        wave_d = jnp.asarray(waves.astype(np.float32))
+    num_frames = p.num_frames(wave_d.shape[1])
+    g = search_grid(p.num_freq_bins, num_frames, p.time_osr, p.freq_osr)
+    if g.num_times <= 0 or g.num_freqs <= 0:
+        # capture too short for even one full-window score column (the
+        # decode paths guard this inside find_candidates; top_k needs a
+        # non-empty grid at trace time)
+        return []
     track = encode_tones(jnp.asarray(np.asarray(payload, np.uint8)))
+    top_k = min(top_k, g.num_times * g.num_freqs)
     zs, ts, fs_ = _detect_grid(wave_d, track.astype(jnp.int32), p,
                                num_frames, is_complex, top_k)
     hop_seconds = C.SYMBOL_PERIOD_S / p.time_osr

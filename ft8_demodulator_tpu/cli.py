@@ -74,7 +74,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "a REPEATING transmission (beacon) and decode them "
                         "together — noncoherent combining, ~+3.5 dB at R=4 "
                         "(with --correction: each cycle is drift-corrected "
-                        "independently first)")
+                        "independently first).  Stacked decoding always "
+                        "uses matched-filter LLRs (--mf/--mf-first are "
+                        "implied); --mf-refine is not supported")
     p.add_argument("--deep", action="store_true",
                    help="high-sensitivity preset: osr 4x4, 40 candidates, "
                         "min-score 1, OSD (only fills in options you did "

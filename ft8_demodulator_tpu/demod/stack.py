@@ -37,7 +37,7 @@ from ..protocol import constants as C
 from .decode import _format_results, finish_decode
 from .types import FT8Decode, SlotDecodeResult
 
-__all__ = ["decode_slot_stacked", "decode_ft8_stacked"]
+__all__ = ["decode_slot_stacked", "decode_ft8_stacked", "as_device_stack"]
 
 
 def _stacked_power_and_spec(waves: jnp.ndarray, p: WaterfallParams,
@@ -129,6 +129,33 @@ def decode_slot_stacked(waves: jnp.ndarray, p: WaterfallParams,
                          max_iterations, use_osd)
 
 
+def as_device_stack(waves) -> tuple[jnp.ndarray, bool]:
+    """Host repeats -> (device (R, n[, 2]) float32 array, is_complex).
+
+    Accepts (R, n) real, (R, n) complex, or (R, n, 2) [re, im] float (the
+    repo's standard complex representation for arrays that must cross the
+    host/device boundary).  (n,), (n, 2) and complex (n,) single captures
+    gain a leading R=1 axis.  Shared by decode_ft8_stacked and
+    beacon/detect.py so both entry points normalise identically.
+    """
+    waves = np.asarray(waves)
+    is_complex = bool(np.iscomplexobj(waves))
+    if waves.ndim == 1 or (waves.ndim == 2 and not is_complex
+                           and waves.shape[-1] == 2):
+        waves = waves[None]
+    if is_complex:
+        if waves.ndim != 2:
+            raise ValueError("complex waves must be (R, n) or (n,)")
+        return jnp.asarray(np.stack([waves.real, waves.imag],
+                                    axis=-1).astype(np.float32)), True
+    if waves.ndim == 3 and waves.shape[-1] == 2:
+        return jnp.asarray(waves.astype(np.float32)), True
+    if waves.ndim != 2:
+        raise ValueError("waves must be (R, n) real, (R, n) complex, or "
+                         "(R, n, 2) [re, im]: R slot-aligned repeats")
+    return jnp.asarray(waves.astype(np.float32)), False
+
+
 def decode_ft8_stacked(waves, sample_rate: float,
                        bins_per_tone: int = 2, steps_per_symbol: int = 2,
                        max_candidates: int = 20, min_score: float = 10.0,
@@ -138,27 +165,19 @@ def decode_ft8_stacked(waves, sample_rate: float,
                        deduplicate: bool = True) -> list[FT8Decode]:
     """Decode one repeated transmission from R stacked slots (host API).
 
-    waves: (R, n) real or (R, n) complex — R captures of the same
-    transmission, slot-aligned.  Returns FT8Decode rows like
+    waves: (R, n) real, (R, n) complex, or (R, n, 2) [re, im] — R captures
+    of the same transmission, slot-aligned.  Returns FT8Decode rows like
     decode_ft8_message; time/frequency are relative to the common slot.
 
     Measured gain over the best single-slot path (OSD + MF) at fs 2 kHz:
     see benchmarks/results/stacking_snr_fs2k.json and
     docs/DESIGN_NOTES.md ("Cross-transmission stacking").
     """
-    waves = np.asarray(waves)
-    if waves.ndim != 2:
-        raise ValueError("waves must be (R, n): R slot-aligned repeats")
+    wave_d, is_complex = as_device_stack(waves)
     p = waterfall_params(sample_rate, bins_per_tone, steps_per_symbol)
-    if waves.shape[-1] < p.nperseg:
+    if wave_d.shape[1] < p.nperseg:
         return []
-    num_frames = p.num_frames(waves.shape[-1])
-    is_complex = bool(np.iscomplexobj(waves))
-    if is_complex:
-        wave_d = jnp.asarray(
-            np.stack([waves.real, waves.imag], axis=-1).astype(np.float32))
-    else:
-        wave_d = jnp.asarray(waves.astype(np.float32))
+    num_frames = p.num_frames(wave_d.shape[1])
     res = decode_slot_stacked(wave_d, p, num_frames, max_candidates,
                               float(min_score), max_iterations, is_complex,
                               use_osd, use_mf)
