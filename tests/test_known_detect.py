@@ -82,3 +82,11 @@ def test_complex_input_detects():
 
 def test_short_input_returns_empty():
     assert detect_known_payload(np.zeros(8, np.float32), FS, PAYLOAD) == []
+
+
+def test_one_window_but_empty_grid_returns_empty():
+    """A capture long enough for a few STFT frames but shorter than one
+    full 79-symbol score column must return [] (not fail building an
+    empty top_k grid)."""
+    n = int(FS * 2.0)     # 2 s: frames exist, num_times <= 0
+    assert detect_known_payload(np.zeros(n, np.float32), FS, PAYLOAD) == []

@@ -101,6 +101,60 @@ def test_stack_short_input_returns_empty():
     assert decode_ft8_stacked(np.zeros((2, 8), np.float32), FS) == []
 
 
+def test_as_device_stack_forms():
+    """All accepted host shapes normalise to (R, n[, 2]) float32 with the
+    same values; rejected shapes raise ValueError."""
+    import pytest
+
+    from ft8_demodulator_tpu.demod.stack import as_device_stack
+
+    rng = np.random.default_rng(8)
+    real = rng.standard_normal((3, 16)).astype(np.float32)
+    cplx = (rng.standard_normal((3, 16))
+            + 1j * rng.standard_normal((3, 16))).astype(np.complex64)
+
+    d, c = as_device_stack(real)
+    assert not c and d.shape == (3, 16) and np.allclose(d, real)
+    d, c = as_device_stack(real[0])
+    assert not c and d.shape == (1, 16) and np.allclose(d[0], real[0])
+    d, c = as_device_stack(cplx)
+    assert c and d.shape == (3, 16, 2)
+    assert np.allclose(d[..., 0], cplx.real) and np.allclose(d[..., 1],
+                                                             cplx.imag)
+    d1, c1 = as_device_stack(cplx[0])
+    assert c1 and d1.shape == (1, 16, 2) and np.allclose(d1[0], d[0])
+    reim = np.stack([cplx.real, cplx.imag], axis=-1)
+    d2, c2 = as_device_stack(reim)
+    assert c2 and np.allclose(d2, d)
+    d3, c3 = as_device_stack(reim[0])
+    assert c3 and d3.shape == (1, 16, 2) and np.allclose(d3[0], d[0])
+
+    with pytest.raises(ValueError):
+        as_device_stack(np.zeros((2, 3, 4), np.complex64))
+    with pytest.raises(ValueError):
+        as_device_stack(np.zeros((2, 3, 4, 5), np.float32))
+    with pytest.raises(ValueError):
+        as_device_stack(np.zeros((2, 3, 5), np.float32))
+
+
+def test_stack_reim_form_decodes_like_complex():
+    """(R, n, 2) [re, im] input is the same decode as the complex form."""
+    bb = np.asarray(ft8_baseband(PAYLOAD, FS, 350.0))
+    sig = np.zeros((2, int(FS * 15)), np.complex64)
+    sig[:, 500: 500 + len(bb)] = bb
+    sp = float(np.mean(np.abs(bb) ** 2))
+    rng = np.random.default_rng(9)
+    nz = rng.standard_normal(sig.shape) + 1j * rng.standard_normal(sig.shape)
+    sig += (nz * np.sqrt(sp / 10 ** (-13.0 / 10) / 2)).astype(np.complex64)
+    a = decode_ft8_stacked(sig, FS, min_score=1.0, use_osd=True)
+    b = decode_ft8_stacked(np.stack([sig.real, sig.imag], axis=-1), FS,
+                           min_score=1.0, use_osd=True)
+    rows = lambda rs: [(r.message.payload, r.time_sec, r.freq_hz, r.score)
+                       for r in rs]
+    assert rows(a) == rows(b)
+    assert any(p == _expected(PAYLOAD) for p, _, _, _ in rows(a))
+
+
 def test_stack_after_per_repeat_drift_correction():
     """The satellite-beacon flow: each repeat passes through the channel
     with a DIFFERENT drift rate, is drift-corrected independently
