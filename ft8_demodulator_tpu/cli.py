@@ -263,6 +263,8 @@ def main(argv=None) -> int:
         print("No FT8 messages decoded")
         return 0
 
+    from .protocol.message import UnsupportedMessageError, unpack_message
+
     print(f"\nDecoded {len(results)} FT8 message(s):")
     print("-" * 50)
     for r in results:
@@ -270,6 +272,10 @@ def main(argv=None) -> int:
         print(f"Frequency: {r.freq_hz:.1f} Hz")
         print(f"Score: {r.score:.1f}")
         print(f"Payload: {r.message.payload.hex()}")
+        try:
+            print(f"Message: {unpack_message(r.message.payload)}")
+        except UnsupportedMessageError:
+            pass              # unimplemented i3/n3 type: hex above suffices
         print(f"CRC check: {r.status.crc_calculated}")
         print(f"LDPC errors: {r.status.ldpc_errors}")
         print("-" * 50)

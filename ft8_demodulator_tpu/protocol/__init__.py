@@ -1,6 +1,16 @@
 """FT8 protocol layer: constants, GF(2) CRC/LDPC algebra, tone framing."""
 
 from . import constants
+from .message import (
+    UnsupportedMessageError,
+    hash_callsign,
+    is_standard_callsign,
+    pack_free_text,
+    pack_message,
+    pack_telemetry,
+    remember_callsign,
+    unpack_message,
+)
 from .encode import (
     bits_to_payload,
     check_crc,
@@ -15,6 +25,14 @@ from .encode import (
 
 __all__ = [
     "constants",
+    "UnsupportedMessageError",
+    "hash_callsign",
+    "is_standard_callsign",
+    "pack_free_text",
+    "pack_message",
+    "pack_telemetry",
+    "remember_callsign",
+    "unpack_message",
     "bits_to_payload",
     "check_crc",
     "codeword_to_tones",

@@ -1,0 +1,490 @@
+"""FT8 message text <-> 77-bit payload codec (WSJT-X packjt77 semantics).
+
+Beyond-reference layer: the reference framework only ever handles raw
+10-byte payloads (golden payload in src/tests/generator/test_crc.py;
+from_wave.py prints payload hex, src/tests/demodulator/from_wave.py:222-229).
+Real FT8 traffic is text — "CQ K1ABC FN42" — so a user switching from
+WSJT-X needs the pack/unpack layer to generate beacons and read decodes.
+
+This codec is host-side pure Python by design: message packing is string
+processing (like SGP4 TLE parsing in channel/), not a TPU op; the packed
+10-byte payload is what enters the jitted encode/decode pipelines.
+
+Supported message types (i3 = last 3 payload bits; n3 = 3 bits before it
+when i3 = 0):
+
+- 0.0 free text    — 13 chars from a 42-char alphabet, right-justified
+- 0.5 telemetry    — 71 bits as up to 18 hex digits (first digit <= 7)
+- 1   standard     — c28 r1 c28 r1 R1 g15: two calls + grid/report, /R
+- 2   standard /P  — same layout, suffix means /P (EU VHF convention)
+- 4   nonstandard  — one full 11-char base-38 call + 12-bit hash of the
+                     other; RRR/RR73/73 exchange only
+
+Unsupported types (0.1 DXpedition, 0.3/0.4 Field Day, 3 RTTY RU, 5 EU VHF
+contest) raise UnsupportedMessageError on unpack so callers can fall back
+to payload hex.  Hashed callsigns ("<K1ABC>") resolve through a module
+hash table populated by every call this process packs or unpacks, exactly
+like WSJT-X's rolling hash cache; unknown hashes render as "<...>".
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+__all__ = [
+    "UnsupportedMessageError",
+    "pack_message",
+    "pack_free_text",
+    "pack_telemetry",
+    "unpack_message",
+    "hash_callsign",
+    "remember_callsign",
+    "clear_hash_table",
+    "is_standard_callsign",
+]
+
+# Standard-callsign 6-char field alphabets (position-dependent).
+_A1 = " 0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_A2 = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_A3 = "0123456789"
+_A4 = " ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_FREETEXT = " 0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ+-./?"
+_B38 = " 0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ/"
+
+_NTOKENS = 2063592          # DE/QRZ/CQ/CQ nnn/CQ aaaa token space
+_MAX22 = 1 << 22            # 22-bit hashed-callsign space
+_MAXGRID4 = 32400           # 18*18*10*10 four-char Maidenhead grids
+_HASH_MULT = 47055833459    # WSJT-X ihashcall multiplier
+
+_GRID_RE = re.compile(r"^[A-R][A-R][0-9][0-9]$")
+_REPORT_RE = re.compile(r"^(R)?([+-][0-9]{2})$")
+
+
+class UnsupportedMessageError(ValueError):
+    """Payload is a valid FT8 type this codec does not implement."""
+
+
+# ---------------------------------------------------------------------------
+# payload bytes <-> 77-bit integer
+
+def _payload_to_int(payload) -> int:
+    if isinstance(payload, (bytes, bytearray)):
+        payload = np.frombuffer(payload, np.uint8)
+    b = np.asarray(payload, dtype=np.uint8).reshape(-1)
+    if b.size != 10:
+        raise ValueError("payload must be 10 bytes")
+    return int.from_bytes(b.tobytes(), "big") >> 3
+
+def _int_to_payload(v: int) -> np.ndarray:
+    if not 0 <= v < (1 << 77):
+        raise ValueError("payload value out of 77-bit range")
+    return np.frombuffer((v << 3).to_bytes(10, "big"), np.uint8).copy()
+
+
+# ---------------------------------------------------------------------------
+# callsign hashing (10/12/22-bit), WSJT-X-compatible
+
+class _HashTable:
+    def __init__(self):
+        self._by_bits: dict[int, dict[int, str]] = {10: {}, 12: {}, 22: {}}
+
+    def add(self, call: str) -> None:
+        call = call.strip().upper()
+        if not call or any(c not in _B38 for c in call) or len(call) > 11:
+            return
+        for bits in (10, 12, 22):
+            self._by_bits[bits][hash_callsign(call, bits)] = call
+
+    def get(self, h: int, bits: int) -> str | None:
+        return self._by_bits[bits].get(h)
+
+    def clear(self) -> None:
+        for d in self._by_bits.values():
+            d.clear()
+
+
+_HASHES = _HashTable()
+
+
+def hash_callsign(call: str, bits: int = 22) -> int:
+    """WSJT-X rolling callsign hash: top `bits` of 47055833459 * n58.
+
+    n58 is the call left-justified in 11 base-38 chars
+    (" 0-9A-Z/").  bits must be 10, 12, or 22.
+    """
+    if bits not in (10, 12, 22):
+        raise ValueError("hash width must be 10, 12, or 22 bits")
+    c = call.strip().upper().ljust(11)
+    n58 = 0
+    for ch in c:
+        n58 = n58 * 38 + _B38.index(ch)
+    return ((_HASH_MULT * n58) & ((1 << 64) - 1)) >> (64 - bits)
+
+
+def remember_callsign(call: str) -> None:
+    """Add a call to the hash cache so later "<CALL>" decodes resolve."""
+    _HASHES.add(call)
+
+
+def clear_hash_table() -> None:
+    _HASHES.clear()
+
+
+# ---------------------------------------------------------------------------
+# standard callsign <-> n28
+
+def _align6(call: str) -> str | None:
+    """Place a standard call in the 6-char field (3rd char = digit)."""
+    if len(call) >= 3 and call[2] in _A3:
+        c6 = call
+    elif 2 <= len(call) <= 5 and call[1] in _A3:
+        c6 = " " + call
+    else:
+        return None
+    if len(c6) > 6:
+        return None
+    c6 = c6.ljust(6)
+    if (c6[0] in _A1 and c6[1] in _A2 and c6[2] in _A3
+            and all(ch in _A4 for ch in c6[3:])):
+        return c6
+    return None
+
+
+def is_standard_callsign(call: str) -> bool:
+    """True if `call` packs into the 28-bit standard-callsign space."""
+    return _align6(call.strip().upper()) is not None
+
+
+def _std_to_n28(c6: str) -> int:
+    n = _A1.index(c6[0])
+    n = n * 36 + _A2.index(c6[1])
+    n = n * 10 + _A3.index(c6[2])
+    for ch in c6[3:]:
+        n = n * 27 + _A4.index(ch)
+    return n
+
+
+def _n28_to_std(n: int) -> str:
+    out = []
+    for _ in range(3):
+        out.append(_A4[n % 27]); n //= 27
+    out.append(_A3[n % 10]); n //= 10
+    out.append(_A2[n % 36]); n //= 36
+    out.append(_A1[n])
+    return "".join(reversed(out)).strip()
+
+
+def _pack28(tok: str) -> int | None:
+    """One first/second-field token -> c28, or None if unrepresentable."""
+    if tok == "DE":
+        return 0
+    if tok == "QRZ":
+        return 1
+    if tok == "CQ":
+        return 2
+    m = re.match(r"^CQ[_ ]([0-9]{3})$", tok)
+    if m:
+        return 3 + int(m.group(1))
+    m = re.match(r"^CQ[_ ]([A-Z]{1,4})$", tok)
+    if m:
+        w = m.group(1).rjust(4)
+        n = 0
+        for ch in w:
+            n = n * 27 + _A4.index(ch)
+        return 1003 + n       # "   A" -> 1004; "ZZZZ" -> 532443
+    if tok.startswith("<") and tok.endswith(">"):
+        inner = tok[1:-1]
+        if inner and inner != "...":
+            _HASHES.add(inner)
+            return _NTOKENS + hash_callsign(inner, 22)
+        return None
+    c6 = _align6(tok)
+    if c6 is not None:
+        _HASHES.add(tok)
+        return _NTOKENS + _MAX22 + _std_to_n28(c6)
+    return None
+
+
+def _unpack28(c28: int) -> str:
+    if c28 == 0:
+        return "DE"
+    if c28 == 1:
+        return "QRZ"
+    if c28 == 2:
+        return "CQ"
+    if c28 < 1003:
+        return f"CQ {c28 - 3:03d}"
+    if c28 <= 532443:
+        n = c28 - 1003
+        w = []
+        for _ in range(4):
+            w.append(_A4[n % 27]); n //= 27
+        return "CQ " + "".join(reversed(w)).strip()
+    if c28 < _NTOKENS:
+        return "<?>"          # reserved token space (unused by WSJT-X)
+    if c28 < _NTOKENS + _MAX22:
+        call = _HASHES.get(c28 - _NTOKENS, 22)
+        return f"<{call}>" if call else "<...>"
+    call = _n28_to_std(c28 - _NTOKENS - _MAX22)
+    _HASHES.add(call)
+    return call
+
+
+# ---------------------------------------------------------------------------
+# grid / report field <-> g15
+
+def _pack_g15(rest: list[str]) -> tuple[int, int] | None:
+    """Trailing tokens -> (g15, R1-bit), or None if unrepresentable."""
+    if not rest:
+        return _MAXGRID4 + 1, 0
+    if rest[0] == "R" and len(rest) == 2 and _GRID_RE.match(rest[1]):
+        g = rest[1]
+        return ((ord(g[0]) - 65) * 18 * 100 + (ord(g[1]) - 65) * 100
+                + int(g[2:])), 1
+    if len(rest) != 1:
+        return None
+    t = rest[0]
+    if _GRID_RE.match(t) and t != "RR73":
+        return ((ord(t[0]) - 65) * 18 * 100 + (ord(t[1]) - 65) * 100
+                + int(t[2:])), 0
+    if t == "RRR":
+        return _MAXGRID4 + 2, 0
+    if t == "RR73":
+        return _MAXGRID4 + 3, 0
+    if t == "73":
+        return _MAXGRID4 + 4, 0
+    m = _REPORT_RE.match(t)
+    if m:
+        irpt = int(m.group(2)) + 35
+        if 5 <= irpt and _MAXGRID4 + irpt < (1 << 15):
+            return _MAXGRID4 + irpt, 1 if m.group(1) else 0
+    return None
+
+
+def _unpack_g15(g15: int, r_bit: int) -> str:
+    prefix = "R " if r_bit else ""
+    if g15 <= _MAXGRID4:
+        g = (chr(65 + g15 // 1800) + chr(65 + g15 // 100 % 18)
+             + f"{g15 % 100:02d}")
+        return prefix + g
+    irpt = g15 - _MAXGRID4
+    if irpt == 1:
+        return ""
+    if irpt == 2:
+        return "RRR"
+    if irpt == 3:
+        return "RR73"
+    if irpt == 4:
+        return "73"
+    return ("R" if r_bit else "") + f"{irpt - 35:+03d}"
+
+
+# ---------------------------------------------------------------------------
+# standard (i3 = 1/2) and nonstandard (i3 = 4) packing
+
+def _strip_suffix(tok: str) -> tuple[str, int, int]:
+    """-> (base, r1, pflag): strip /R (type 1) or /P (type 2)."""
+    if tok.endswith("/R"):
+        return tok[:-2], 1, 0
+    if tok.endswith("/P"):
+        return tok[:-2], 1, 1
+    return tok, 0, 0
+
+
+def _is_nonstd_call(tok: str) -> bool:
+    """A full call only the 58-bit base-38 field can carry."""
+    if not 3 <= len(tok) <= 11 or any(c not in _B38 for c in tok):
+        return False
+    if _align6(tok) is not None:
+        return False
+    return any(c.isalpha() for c in tok) and (
+        "/" in tok or any(c.isdigit() for c in tok))
+
+
+def _try_pack_standard(tokens: list[str]) -> int | None:
+    if len(tokens) < 2:
+        return None
+    # "CQ POTA K1ABC ..." / "CQ 001 ..." merge the modifier into field 1
+    if (tokens[0] == "CQ" and len(tokens) >= 3
+            and re.match(r"^([A-Z]{1,4}|[0-9]{3})$", tokens[1])
+            and _pack28(tokens[2].split("/")[0]
+                        if "/" in tokens[2] else tokens[2]) is not None):
+        tokens = [f"CQ {tokens[1]}"] + tokens[2:]
+    ta, tb, rest = tokens[0], tokens[1], tokens[2:]
+    a, r1a, pa = _strip_suffix(ta)
+    b, r1b, pb = _strip_suffix(tb)
+    c28a, c28b = _pack28(a), _pack28(b)
+    if c28a is None or c28b is None:
+        return None
+    g15r = _pack_g15(rest)
+    if g15r is None:
+        return None
+    g15, r_bit = g15r
+    i3 = 2 if (pa or pb) else 1
+    if (pa or pb) and (ta.endswith("/R") or tb.endswith("/R")):
+        return None
+    v = c28a
+    v = (v << 1) | r1a
+    v = (v << 28) | c28b
+    v = (v << 1) | r1b
+    v = (v << 1) | r_bit
+    v = (v << 15) | g15
+    return (v << 3) | i3
+
+
+def _try_pack_nonstandard(tokens: list[str]) -> int | None:
+    if len(tokens) < 2 or len(tokens) > 3:
+        return None
+    c1 = 1 if tokens[0] == "CQ" else 0
+    rest = tokens[2:]
+    if c1:
+        if rest:
+            return None             # "CQ PJ4/K1ABC" carries no exchange
+        full_idx, full, other = 0, tokens[1], None
+    else:
+        calls = tokens[:2]
+        nonstd = [i for i, t in enumerate(calls) if _is_nonstd_call(t)]
+        if len(nonstd) != 1:
+            return None
+        full_idx = nonstd[0]
+        full = calls[full_idx]
+        other = calls[1 - full_idx]
+        if other.startswith("<") and other.endswith(">"):
+            other = other[1:-1]
+        elif not is_standard_callsign(other):
+            return None
+    if not _is_nonstd_call(full):
+        return None
+    if not rest:
+        r2 = 0
+    elif len(rest) == 1 and rest[0] in ("RRR", "RR73", "73"):
+        r2 = {"RRR": 1, "RR73": 2, "73": 3}[rest[0]]
+    else:
+        return None
+    h12 = 0 if (c1 or other in ("", "...")) else hash_callsign(other, 12)
+    if other and other != "...":
+        _HASHES.add(other)
+    _HASHES.add(full)
+    n58 = 0
+    for ch in full.ljust(11):
+        n58 = n58 * 38 + _B38.index(ch)
+    # h1: 1 when the hashed call is the SECOND field (full call first)
+    h1 = 1 if (not c1 and full_idx == 0) else 0
+    v = h12
+    v = (v << 58) | n58
+    v = (v << 1) | h1
+    v = (v << 2) | r2
+    v = (v << 1) | c1
+    return (v << 3) | 4
+
+
+def _unpack_standard(v: int, i3: int) -> str:
+    g15 = (v >> 3) & 0x7FFF
+    r_bit = (v >> 18) & 1
+    r1b = (v >> 19) & 1
+    c28b = (v >> 20) & ((1 << 28) - 1)
+    r1a = (v >> 48) & 1
+    c28a = (v >> 49) & ((1 << 28) - 1)
+    sfx = "/P" if i3 == 2 else "/R"
+    a = _unpack28(c28a) + (sfx if r1a else "")
+    b = _unpack28(c28b) + (sfx if r1b else "")
+    tail = _unpack_g15(g15, r_bit)
+    return " ".join(x for x in (a, b, tail) if x)
+
+
+def _unpack_nonstandard(v: int) -> str:
+    c1 = (v >> 3) & 1
+    r2 = (v >> 4) & 3
+    h1 = (v >> 6) & 1
+    n58 = (v >> 7) & ((1 << 58) - 1)
+    h12 = (v >> 65) & 0xFFF
+    chars = []
+    for _ in range(11):
+        chars.append(_B38[n58 % 38]); n58 //= 38
+    full = "".join(reversed(chars)).strip()
+    _HASHES.add(full)
+    if c1:
+        parts = ["CQ", full]
+    else:
+        other = _HASHES.get(h12, 12)
+        hashed = f"<{other}>" if other else "<...>"
+        parts = [full, hashed] if h1 else [hashed, full]
+    tail = {0: "", 1: "RRR", 2: "RR73", 3: "73"}[r2]
+    if tail:
+        parts.append(tail)
+    return " ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# public API
+
+def pack_free_text(text: str) -> np.ndarray:
+    """<=13 chars of " 0-9A-Z+-./?" -> 10-byte type-0.0 payload.
+
+    The field is right-justified in 13 chars (WSJT-X convention), so
+    round-tripping strips leading/trailing blanks.
+    """
+    t = text.upper().strip()
+    if len(t) > 13 or any(c not in _FREETEXT for c in t):
+        raise ValueError("free text is at most 13 chars of "
+                         f"{_FREETEXT!r}")
+    f71 = 0
+    for ch in t.rjust(13):
+        f71 = f71 * 42 + _FREETEXT.index(ch)
+    return _int_to_payload(f71 << 6)           # n3 = 0, i3 = 0
+
+
+def pack_telemetry(hex_digits: str) -> np.ndarray:
+    """Up to 18 hex digits (< 2**71) -> 10-byte type-0.5 payload."""
+    h = hex_digits.strip().upper()
+    if not re.match(r"^[0-9A-F]{1,18}$", h):
+        raise ValueError("telemetry is 1-18 hex digits")
+    t71 = int(h, 16)
+    if t71 >= 1 << 71:
+        raise ValueError("telemetry exceeds 71 bits")
+    return _int_to_payload((t71 << 6) | (5 << 3))
+
+
+def pack_message(text: str) -> np.ndarray:
+    """Message text -> 10-byte payload (the TX pipeline's input).
+
+    Tries the standard (i3=1/2) layout, then nonstandard-call (i3=4),
+    then free text (i3.n3 = 0.0).  Telemetry must use pack_telemetry
+    explicitly — short hex-looking strings like "73" are messages, not
+    telemetry.
+    """
+    tokens = text.upper().split()
+    v = _try_pack_standard(tokens)
+    if v is None:
+        v = _try_pack_nonstandard(tokens)
+    if v is not None:
+        return _int_to_payload(v)
+    return pack_free_text(" ".join(tokens))
+
+
+def unpack_message(payload) -> str:
+    """10-byte payload -> message text.
+
+    Raises UnsupportedMessageError for valid-but-unimplemented types so
+    callers (e.g. the CLI) can fall back to payload hex.
+    """
+    v = _payload_to_int(payload)
+    i3 = v & 7
+    if i3 in (1, 2):
+        return _unpack_standard(v, i3)
+    if i3 == 4:
+        return _unpack_nonstandard(v)
+    if i3 == 0:
+        n3 = (v >> 3) & 7
+        f71 = v >> 6
+        if n3 == 0:
+            chars = []
+            for _ in range(13):
+                chars.append(_FREETEXT[f71 % 42]); f71 //= 42
+            return "".join(reversed(chars)).strip()
+        if n3 == 5:
+            return f"{f71:X}"
+        raise UnsupportedMessageError(f"message type 0.{n3} not supported")
+    raise UnsupportedMessageError(f"message type i3={i3} not supported")

@@ -30,7 +30,14 @@ def _decoded_payloads(capsys):
 def test_cli_batch_decode(wav_path, capsys):
     path, payload = wav_path
     assert main([path, "--min-score", "5"]) == 0
-    assert bytes(payload.tolist()).hex() in _decoded_payloads(capsys)
+    out = capsys.readouterr().out
+    lines = out.splitlines()
+    payloads = [ln.split(": ")[1] for ln in lines if ln.startswith("Payload:")]
+    assert bytes(payload.tolist()).hex() in payloads
+    # every decode also prints its unpacked text form (the golden payload
+    # decodes as an i3=2 standard message)
+    from ft8_demodulator_tpu.protocol import unpack_message
+    assert f"Message: {unpack_message(bytes(payload.tolist()))}" in lines
 
 
 def test_cli_stream_decode(wav_path, capsys):
