@@ -271,6 +271,8 @@ def main(argv=None) -> int:
         print(f"Time: {r.time_sec:.2f} seconds")
         print(f"Frequency: {r.freq_hz:.1f} Hz")
         print(f"Score: {r.score:.1f}")
+        if r.snr_db is not None:
+            print(f"SNR: {r.snr_db:+.1f} dB")
         print(f"Payload: {r.message.payload.hex()}")
         try:
             print(f"Message: {unpack_message(r.message.payload)}")

@@ -30,10 +30,12 @@ from ..ops.sync import SearchGrid, find_candidates, search_grid, sync_scores
 from ..ops.waterfall import WaterfallParams, waterfall_params, waterfall_real, \
     waterfall_complex
 from ..protocol import constants as C
+from ..protocol.encode import encode_tones
 from .types import FT8Decode, FT8DecodeStatus, FT8Message, SlotDecodeResult
 
 __all__ = ["decode_waterfall", "decode_waterfall_mf", "decode_slot",
-           "decode_ft8_message", "finish_decode", "mf_retry"]
+           "decode_ft8_message", "finish_decode", "mf_retry",
+           "estimate_snr"]
 
 _CRC_MATRIX_77_T = jnp.asarray(C.CRC_MATRIX_77.T, dtype=jnp.float32)
 _CRC_WEIGHTS = jnp.asarray(2 ** np.arange(C.CRC_BITS - 1, -1, -1),
@@ -307,11 +309,68 @@ def decode_slot(wave: jnp.ndarray, p: WaterfallParams, num_frames: int,
     return res
 
 
+@functools.partial(jax.jit, static_argnames=("time_osr", "freq_osr"))
+def estimate_snr(mag: jnp.ndarray, payload: jnp.ndarray,
+                 abs_time: jnp.ndarray, abs_freq: jnp.ndarray,
+                 time_osr: int, freq_osr: int) -> jnp.ndarray:
+    """(K,) per-decode SNR estimates in dB re 2500 Hz noise bandwidth.
+
+    Beyond the reference (which reports only the sync score): every FT8
+    tool reports decode SNR in the WSJT-X 2500-Hz convention, so decodes
+    are comparable across receivers.  The decoded payload is re-encoded to
+    its 79-tone track on-device; the estimate is the on-track mean cell
+    power against the mean of the 7 off-track tones per symbol:
+
+        r = mean(P_on) / noise_hat          (on-cell holds signal + noise)
+        SNR_2500 = (r - 1) * 6 * 6.25 / 1e4
+
+    The constant is exact for a Hann window: signal-vs-noise-per-bin gain
+    is (sum w)^2 / (4 sum w^2) = nperseg/6 for real input, and converting
+    noise-per-bin to N0*2500 multiplies by fs/(2*2500) — the fs factors
+    cancel, leaving 6/(0.16*1e4) = 3.75e-3.  The complex case (noise over
+    fs, signal gain nperseg/1.5) lands on the SAME constant.
+
+    noise_hat is NOT the off-tone mean near the signal: GFSK spectral
+    spill raises every cell in the 8-tone block with the signal, capping
+    a local contrast near 11 dB (measured — even the off-tone median
+    reads 1.4-1.8x high).  Instead the noise floor comes from the WHOLE
+    waterfall: the global median cell power /ln2 (exact mean estimator
+    for exponential cell powers, sparse-signal robust — the same idea as
+    WSJT-X's spectrum-baseline percentile), measured within 0.2 dB of
+    the true sigma^2 across SNRs.  Accuracy: ~±1 dB against injected
+    SNRs (tests/test_decode.py::test_snr_estimate_calibration); crowded
+    bands raise the baseline slightly, reading every decode a little
+    low.
+    """
+    num_freqs, num_frames = mag.shape
+    tones = encode_tones(payload).astype(jnp.int32)       # (K, 79)
+    sym = jnp.arange(C.NUM_SYMBOLS)
+    f_idx = abs_freq[:, None, None] + jnp.arange(8)[None, None, :] * freq_osr
+    t_idx = abs_time[:, None, None] + sym[None, :, None] * time_osr
+    valid = (t_idx[..., 0] >= 0) & (t_idx[..., 0] < num_frames) \
+        & (f_idx[:, 0, 7] < num_freqs)[:, None]           # (K, 79)
+    fc = jnp.clip(f_idx, 0, num_freqs - 1)
+    tc = jnp.clip(t_idx, 0, num_frames - 1)
+    win = mag[fc, tc]                                     # (K, 79, 8) dB
+    on_db = jnp.take_along_axis(win, tones[:, :, None], axis=2)[..., 0]
+    on = 10.0 ** (on_db / 10.0)
+    w = valid.astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(w, axis=-1), 1.0)
+    s_hat = jnp.sum(on * w, axis=-1) / n                  # (K,)
+    # global noise floor: median over the dB grid == dB of the median
+    # cell power (monotone map), /ln2 for the exponential distribution
+    noise_hat = 10.0 ** (jnp.median(mag) / 10.0) / float(np.log(2.0))
+    r = s_hat / jnp.maximum(noise_hat, 1e-30)
+    return 10.0 * jnp.log10(jnp.maximum(r - 1.0, 1e-6) * 3.75e-3)
+
+
 def _format_results(res: SlotDecodeResult, hop_seconds: float,
                     freq_step_hz: float, time_base: float, freq_base: float,
-                    deduplicate: bool) -> list[FT8Decode]:
+                    deduplicate: bool, snr_db=None) -> list[FT8Decode]:
     """Convert the fixed-shape device result into host FT8Decode rows."""
     res = jax.tree_util.tree_map(np.asarray, res)
+    if snr_db is not None:
+        snr_db = np.asarray(snr_db)
     out: list[FT8Decode] = []
     seen: set[bytes] = set()
     for k in range(res.success.shape[0]):
@@ -336,6 +395,7 @@ def _format_results(res: SlotDecodeResult, hop_seconds: float,
             time_sec=time_base + float(res.abs_time[k]) * hop_seconds,
             freq_hz=freq_base + float(res.abs_freq[k]) * freq_step_hz,
             score=float(res.score[k]),
+            snr_db=None if snr_db is None else round(float(snr_db[k]), 1),
         ))
     return out
 
@@ -478,10 +538,12 @@ def decode_ft8_message(wave_data, sample_rate: float,
                                use_osd, is_complex, mf_refine)
         if first_res is None:
             first_res = res
+        snr = estimate_snr(mag, res.payload, res.abs_time, res.abs_freq,
+                           p.time_osr, p.freq_osr)
         new_rows = _format_results(
             res, hop_seconds, freq_step,
             time_base=t_lo * hop_seconds, freq_base=f_lo * freq_step,
-            deduplicate=deduplicate,
+            deduplicate=deduplicate, snr_db=snr,
         )
         # later passes always dedup against everything already reported
         for r in new_rows:

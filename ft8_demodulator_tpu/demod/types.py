@@ -54,6 +54,8 @@ class FT8Decode:
     time_sec: float             # signal time of the frame start (seconds)
     freq_hz: float              # base tone frequency (Hz)
     score: float                # sync score
+    snr_db: float | None = None  # est. SNR re 2500 Hz noise bandwidth
+                                 # (WSJT-X convention); None if not computed
 
     def astuple(self):
         """(message, status, time, freq, score) — the reference's row shape."""

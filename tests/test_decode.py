@@ -177,3 +177,42 @@ def test_decode_at_48khz_fft_backend(rng):
     assert any(r.message.payload == _expected(PAYLOAD) for r in results)
     hit = next(r for r in results if r.message.payload == _expected(PAYLOAD))
     assert abs(hit.freq_hz - f0) < 7.0
+
+
+def test_snr_estimate_calibration():
+    """Reported snr_db tracks the injected SNR in the WSJT-X 2500-Hz
+    convention to ~±1 dB (estimate_snr: on-track cell power against the
+    global waterfall noise floor).  Full-band SNR x over fs/2 = x +
+    10*log10((fs/2)/2500) in the 2500-Hz convention."""
+    fs, f0 = 2000.0, 400.0
+    to_2500 = 10.0 * np.log10((fs / 2) / 2500.0)
+    for snr_fb in (0.0, -10.0):
+        est = []
+        for seed in (0, 1, 2):
+            rng = np.random.default_rng(seed)
+            wave = _noisy_signal(PAYLOAD, fs, f0, snr_fb, rng)
+            for r in decode_ft8_message(wave, fs, min_score=1.0):
+                if r.message.payload == _expected(PAYLOAD):
+                    est.append(r.snr_db)
+        assert est, f"no decodes at {snr_fb} dB"
+        assert abs(np.mean(est) - (snr_fb + to_2500)) < 1.5, (snr_fb, est)
+
+
+def test_snr_estimate_complex_input():
+    """Complex (baseband) captures share the same constant — the noise
+    bandwidth doubles and so does the per-bin signal gain."""
+    from ft8_demodulator_tpu.ops.gfsk import ft8_baseband
+
+    fs, f0, snr_fb = 2000.0, 350.0, -5.0
+    bb = np.asarray(ft8_baseband(PAYLOAD, fs, f0))
+    sig = np.zeros(int(fs * 15), np.complex64)
+    sig[500: 500 + len(bb)] = bb
+    sp = float(np.mean(np.abs(bb) ** 2))
+    rng = np.random.default_rng(3)
+    nz = rng.standard_normal(len(sig)) + 1j * rng.standard_normal(len(sig))
+    sig += (nz * np.sqrt(sp / 10 ** (snr_fb / 10) / 2)).astype(np.complex64)
+    rows = [r for r in decode_ft8_message(sig, fs, min_score=1.0)
+            if r.message.payload == _expected(PAYLOAD)]
+    assert rows
+    expect = snr_fb + 10.0 * np.log10(fs / 2500.0)
+    assert abs(rows[0].snr_db - expect) < 2.0
