@@ -85,7 +85,58 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans: fail loudly at the first "
                         "NaN produced inside any jitted decode stage")
+    tx = p.add_argument_group("transmit (generate a WAV instead of decoding)")
+    tx.add_argument("--tx", metavar="MESSAGE", default=None,
+                    help='generate: pack MESSAGE ("CQ K1ABC FN42", free '
+                         "text, ...) into an FT8 transmission and write a "
+                         "15-s WAV to wave_file (which becomes the OUTPUT "
+                         "path)")
+    tx.add_argument("--fs", type=float, default=12000.0,
+                    help="(--tx) sample rate in Hz")
+    tx.add_argument("--f0", type=float, default=1000.0,
+                    help="(--tx) base tone frequency in Hz")
+    tx.add_argument("--tx-start", type=float, default=0.5,
+                    help="(--tx) transmission start time within the slot (s)")
+    tx.add_argument("--tx-snr", type=float, default=None, metavar="DB",
+                    help="(--tx) add white noise at this full-band SNR; "
+                         "omit for a clean waveform")
     return p
+
+
+def _generate(args) -> int:
+    import numpy as np
+
+    from .io import write_wave_file
+    from .ops.gfsk import ft8_passband
+    from .protocol import pack_message, unpack_message
+
+    try:
+        payload = pack_message(args.tx)
+    except ValueError as e:
+        print(f"Error: cannot pack message: {e}", file=sys.stderr)
+        return 1
+    wave = np.asarray(ft8_passband(payload, args.fs, args.f0, 0.0))
+    n = int(args.fs * 15)
+    start = int(args.tx_start * args.fs)
+    if start + len(wave) > n:
+        print(f"Error: transmission ({len(wave) / args.fs:.2f} s at "
+              f"{args.tx_start:.2f} s) does not fit a 15-s slot",
+              file=sys.stderr)
+        return 1
+    sig = np.zeros(n, np.float32)
+    sig[start: start + len(wave)] = wave
+    if args.tx_snr is not None:
+        sp = float(np.mean(wave ** 2))
+        sig += np.random.default_rng(0).standard_normal(n).astype(np.float32) \
+            * np.sqrt(sp / 10 ** (args.tx_snr / 10))
+    sig *= 0.8 / np.max(np.abs(sig))
+    write_wave_file(args.wave_file, sig, args.fs)
+    print(f"Wrote {args.wave_file}: 15.00 s @ {args.fs:.0f} Hz, "
+          f"f0 {args.f0:.1f} Hz"
+          + ("" if args.tx_snr is None else f", SNR {args.tx_snr:+.1f} dB"))
+    print(f"Message: {unpack_message(payload)}")
+    print(f"Payload: {payload.tobytes().hex()}")
+    return 0
 
 
 def main(argv=None) -> int:
@@ -99,6 +150,11 @@ def main(argv=None) -> int:
         if any(tok == opt or tok.startswith(opt + "=")
                for tok in argv_list for opt in a.option_strings)
     }
+    if args.tx is not None:
+        if args.stream or args.stack > 1:
+            parser.error("--tx generates a WAV; it does not combine with "
+                         "--stream/--stack")
+        return _generate(args)
     if args.stream:
         unsupported = [name for name, val in [
             ("--freq-min", args.freq_min), ("--freq-max", args.freq_max),

@@ -138,3 +138,22 @@ def test_cli_deep_preset_keeps_explicit_flags(wav_path, capsys, monkeypatch):
     assert seen["bins_per_tone"] == 2        # explicit flag kept
     assert seen["min_score"] == 1.0          # preset filled in
     assert seen["use_osd"] is True           # preset filled in
+
+
+def test_cli_tx_generates_decodable_wav(tmp_path, capsys):
+    """--tx packs message text, writes a WAV, and the decode side reads the
+    same text back (the full TX -> RX loop through the CLI alone)."""
+    out = str(tmp_path / "tx.wav")
+    assert main(["--tx", "CQ K1ABC FN42", "--fs", "2000", "--f0", "500",
+                 "--tx-snr", "0", out]) == 0
+    capsys.readouterr()
+    assert main([out, "--min-score", "5"]) == 0
+    lines = capsys.readouterr().out.splitlines()
+    assert "Message: CQ K1ABC FN42" in lines
+
+
+def test_cli_tx_rejects_stream_and_bad_message(tmp_path):
+    out = str(tmp_path / "tx.wav")
+    with pytest.raises(SystemExit):
+        main(["--tx", "CQ K1ABC FN42", "--stream", out])
+    assert main(["--tx", "THIS ONE IS FAR TOO LONG TO PACK", out]) == 1
