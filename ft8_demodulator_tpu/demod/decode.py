@@ -309,10 +309,12 @@ def decode_slot(wave: jnp.ndarray, p: WaterfallParams, num_frames: int,
     return res
 
 
-@functools.partial(jax.jit, static_argnames=("time_osr", "freq_osr"))
+@functools.partial(jax.jit, static_argnames=("time_osr", "freq_osr",
+                                             "stack_r"))
 def estimate_snr(mag: jnp.ndarray, payload: jnp.ndarray,
                  abs_time: jnp.ndarray, abs_freq: jnp.ndarray,
-                 time_osr: int, freq_osr: int) -> jnp.ndarray:
+                 time_osr: int, freq_osr: int,
+                 stack_r: int = 1) -> jnp.ndarray:
     """(K,) per-decode SNR estimates in dB re 2500 Hz noise bandwidth.
 
     Beyond the reference (which reports only the sync score): every FT8
@@ -341,6 +343,12 @@ def estimate_snr(mag: jnp.ndarray, payload: jnp.ndarray,
     SNRs (tests/test_decode.py::test_snr_estimate_calibration); crowded
     bands raise the baseline slightly, reading every decode a little
     low.
+
+    stack_r: when mag is the MEAN linear power over R stacked repeats
+    (demod/stack.py), its cells follow Gamma(R)/R and the median-to-mean
+    correction becomes the Wilson-Hilferty (1 - 1/(9R))^3 (R=1 gives
+    0.702 ~= ln2); the reported SNR is then the PER-REPEAT SNR (linear
+    averaging changes cell variance, not cell means).
     """
     num_freqs, num_frames = mag.shape
     tones = encode_tones(payload).astype(jnp.int32)       # (K, 79)
@@ -358,8 +366,10 @@ def estimate_snr(mag: jnp.ndarray, payload: jnp.ndarray,
     n = jnp.maximum(jnp.sum(w, axis=-1), 1.0)
     s_hat = jnp.sum(on * w, axis=-1) / n                  # (K,)
     # global noise floor: median over the dB grid == dB of the median
-    # cell power (monotone map), /ln2 for the exponential distribution
-    noise_hat = 10.0 ** (jnp.median(mag) / 10.0) / float(np.log(2.0))
+    # cell power (monotone map); Wilson-Hilferty median->mean correction
+    # for the mean-of-stack_r-exponentials cell distribution
+    med_over_mean = (1.0 - 1.0 / (9.0 * stack_r)) ** 3
+    noise_hat = 10.0 ** (jnp.median(mag) / 10.0) / med_over_mean
     r = s_hat / jnp.maximum(noise_hat, 1e-30)
     return 10.0 * jnp.log10(jnp.maximum(r - 1.0, 1e-6) * 3.75e-3)
 

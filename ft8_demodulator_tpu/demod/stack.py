@@ -34,7 +34,7 @@ from ..ops.llr import (extract_llrs, extract_llrs_matched_blocks_stacked,
 from ..ops.sync import find_candidates, search_grid, sync_scores
 from ..ops.waterfall import WaterfallParams, waterfall_params
 from ..protocol import constants as C
-from .decode import _format_results, finish_decode
+from .decode import _format_results, estimate_snr, finish_decode
 from .types import FT8Decode, SlotDecodeResult
 
 __all__ = ["decode_slot_stacked", "decode_ft8_stacked", "as_device_stack"]
@@ -129,6 +129,11 @@ def decode_slot_stacked(waves: jnp.ndarray, p: WaterfallParams,
                          max_iterations, use_osd)
 
 
+_stacked_mag_jit = functools.partial(
+    jax.jit, static_argnames=("p", "num_frames", "is_complex")
+)(_stacked_mag_and_spec)
+
+
 def as_device_stack(waves) -> tuple[jnp.ndarray, bool]:
     """Host repeats -> (device (R, n[, 2]) float32 array, is_complex).
 
@@ -181,7 +186,11 @@ def decode_ft8_stacked(waves, sample_rate: float,
     res = decode_slot_stacked(wave_d, p, num_frames, max_candidates,
                               float(min_score), max_iterations, is_complex,
                               use_osd, use_mf)
+    mag, _ = _stacked_mag_jit(wave_d, p, num_frames, is_complex)
+    snr = estimate_snr(mag, res.payload, res.abs_time, res.abs_freq,
+                       p.time_osr, p.freq_osr,
+                       stack_r=int(wave_d.shape[0]))
     hop_seconds = C.SYMBOL_PERIOD_S / p.time_osr
     freq_step = C.TONE_SPACING_HZ / p.freq_osr
     return _format_results(res, hop_seconds, freq_step, 0.0, 0.0,
-                           deduplicate)
+                           deduplicate, snr_db=snr)

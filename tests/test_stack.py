@@ -181,3 +181,16 @@ def test_stack_after_per_repeat_drift_correction():
     res = decode_ft8_stacked(np.stack(corrected), fs, min_score=4.0,
                              use_osd=True)
     assert any(r.message.payload == _expected(PAYLOAD) for r in res)
+
+
+def test_stack_snr_estimate_per_repeat():
+    """Stacked decodes report the PER-REPEAT SNR: linear averaging leaves
+    cell means unchanged, and the Wilson-Hilferty median correction keeps
+    the noise floor calibrated for the Gamma(R)/R cell distribution."""
+    sig = _repeats(6, -17.0, 4)
+    rows = [r for r in decode_ft8_stacked(sig, FS, min_score=1.0,
+                                          use_osd=True)
+            if r.message.payload == _expected(PAYLOAD)]
+    assert rows and rows[0].snr_db is not None
+    expect = -17.0 + 10.0 * np.log10((FS / 2) / 2500.0)   # 2500-Hz conv.
+    assert abs(rows[0].snr_db - expect) < 2.0
