@@ -100,6 +100,11 @@ def build_parser() -> argparse.ArgumentParser:
     tx.add_argument("--tx-snr", type=float, default=None, metavar="DB",
                     help="(--tx) add white noise at this full-band SNR; "
                          "omit for a clean waveform")
+    tx.add_argument("--tx-seed", type=int, default=None,
+                    help="(--tx) noise seed for reproducible files; "
+                         "default: fresh entropy per invocation (so R "
+                         "generated repeats carry independent noise, as "
+                         "the --stack workflow requires)")
     return p
 
 
@@ -118,7 +123,7 @@ def _generate(args) -> int:
     wave = np.asarray(ft8_passband(payload, args.fs, args.f0, 0.0))
     n = int(args.fs * 15)
     start = int(args.tx_start * args.fs)
-    if start + len(wave) > n:
+    if start < 0 or start + len(wave) > n:
         print(f"Error: transmission ({len(wave) / args.fs:.2f} s at "
               f"{args.tx_start:.2f} s) does not fit a 15-s slot",
               file=sys.stderr)
@@ -127,7 +132,8 @@ def _generate(args) -> int:
     sig[start: start + len(wave)] = wave
     if args.tx_snr is not None:
         sp = float(np.mean(wave ** 2))
-        sig += np.random.default_rng(0).standard_normal(n).astype(np.float32) \
+        rng = np.random.default_rng(args.tx_seed)
+        sig += rng.standard_normal(n).astype(np.float32) \
             * np.sqrt(sp / 10 ** (args.tx_snr / 10))
     sig *= 0.8 / np.max(np.abs(sig))
     write_wave_file(args.wave_file, sig, args.fs)

@@ -321,7 +321,7 @@ def estimate_snr(mag: jnp.ndarray, payload: jnp.ndarray,
     tool reports decode SNR in the WSJT-X 2500-Hz convention, so decodes
     are comparable across receivers.  The decoded payload is re-encoded to
     its 79-tone track on-device; the estimate is the on-track mean cell
-    power against the mean of the 7 off-track tones per symbol:
+    power against the GLOBAL waterfall noise floor:
 
         r = mean(P_on) / noise_hat          (on-cell holds signal + noise)
         SNR_2500 = (r - 1) * 6 * 6.25 / 1e4

@@ -91,23 +91,13 @@ def _stacked_mag_and_spec(waves: jnp.ndarray, p: WaterfallParams,
 @functools.partial(jax.jit, static_argnames=(
     "p", "num_frames", "max_candidates", "max_iterations", "is_complex",
     "use_osd", "use_mf"))
-def decode_slot_stacked(waves: jnp.ndarray, p: WaterfallParams,
-                        num_frames: int, max_candidates: int = 20,
-                        min_score: float = 10.0, max_iterations: int = 20,
-                        is_complex: bool = False,
-                        use_osd: bool = False,
-                        use_mf: bool = True) -> SlotDecodeResult:
-    """R slot-aligned repeats (R, n[, 2]) of ONE transmission -> decode.
-
-    One jit: per-repeat STFT, linear-power averaging, sync stencil +
-    top-K candidates on the stacked grid, repeat-averaged matched-filter
-    LLRs (use_mf, the default — the single-slot MF-first path's combiner)
-    or Hann LLRs read from the stacked dB grid, BP(+OSD), CRC.
-
-    With R == 1 and use_mf this is exactly decode_slot(mf_first=True):
-    the mean over one repeat is the identity, so results match
-    bit-for-bit (tested).
-    """
+def _decode_slot_stacked_with_mag(waves: jnp.ndarray, p: WaterfallParams,
+                                  num_frames: int, max_candidates: int,
+                                  min_score: float, max_iterations: int,
+                                  is_complex: bool, use_osd: bool,
+                                  use_mf: bool):
+    """decode_slot_stacked core; also returns the stacked dB grid so the
+    host API can estimate SNRs without recomputing the waterfall."""
     g = search_grid(p.num_freq_bins, num_frames, p.time_osr, p.freq_osr)
     mag, spec = _stacked_mag_and_spec(waves, p, num_frames, is_complex)
     scores = sync_scores(mag, g)
@@ -126,12 +116,30 @@ def decode_slot_stacked(waves: jnp.ndarray, p: WaterfallParams,
         llrs = extract_llrs(mag, abs_time, abs_freq, p.time_osr,
                             p.freq_osr, g.num_blocks)
     return finish_decode(llrs, abs_time, abs_freq, score, cand_valid,
-                         max_iterations, use_osd)
+                         max_iterations, use_osd), mag
 
 
-_stacked_mag_jit = functools.partial(
-    jax.jit, static_argnames=("p", "num_frames", "is_complex")
-)(_stacked_mag_and_spec)
+def decode_slot_stacked(waves: jnp.ndarray, p: WaterfallParams,
+                        num_frames: int, max_candidates: int = 20,
+                        min_score: float = 10.0, max_iterations: int = 20,
+                        is_complex: bool = False,
+                        use_osd: bool = False,
+                        use_mf: bool = True) -> SlotDecodeResult:
+    """R slot-aligned repeats (R, n[, 2]) of ONE transmission -> decode.
+
+    One jit: per-repeat STFT, linear-power averaging, sync stencil +
+    top-K candidates on the stacked grid, repeat-averaged matched-filter
+    LLRs (use_mf, the default — the single-slot MF-first path's combiner)
+    or Hann LLRs read from the stacked dB grid, BP(+OSD), CRC.
+
+    With R == 1 and use_mf this is exactly decode_slot(mf_first=True):
+    the mean over one repeat is the identity, so results match
+    bit-for-bit (tested).
+    """
+    res, _ = _decode_slot_stacked_with_mag(
+        waves, p, num_frames, max_candidates, min_score, max_iterations,
+        is_complex, use_osd, use_mf)
+    return res
 
 
 def as_device_stack(waves) -> tuple[jnp.ndarray, bool]:
@@ -183,10 +191,9 @@ def decode_ft8_stacked(waves, sample_rate: float,
     if wave_d.shape[1] < p.nperseg:
         return []
     num_frames = p.num_frames(wave_d.shape[1])
-    res = decode_slot_stacked(wave_d, p, num_frames, max_candidates,
-                              float(min_score), max_iterations, is_complex,
-                              use_osd, use_mf)
-    mag, _ = _stacked_mag_jit(wave_d, p, num_frames, is_complex)
+    res, mag = _decode_slot_stacked_with_mag(
+        wave_d, p, num_frames, max_candidates, float(min_score),
+        max_iterations, is_complex, use_osd, use_mf)
     snr = estimate_snr(mag, res.payload, res.abs_time, res.abs_freq,
                        p.time_osr, p.freq_osr,
                        stack_r=int(wave_d.shape[0]))

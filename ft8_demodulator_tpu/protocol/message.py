@@ -116,9 +116,16 @@ def hash_callsign(call: str, bits: int = 22) -> int:
     """
     if bits not in (10, 12, 22):
         raise ValueError("hash width must be 10, 12, or 22 bits")
-    c = call.strip().upper().ljust(11)
+    c = call.strip().upper()
+    if not 1 <= len(c) <= 11:
+        raise ValueError(f"hashable callsign must be 1-11 chars: {call!r}")
+    bad = [ch for ch in c if ch not in _B38]
+    if bad:
+        raise ValueError(f"callsign {call!r} has unsupported character(s) "
+                         f"{''.join(sorted(set(bad)))!r} (allowed: A-Z, "
+                         "0-9, /, space)")
     n58 = 0
-    for ch in c:
+    for ch in c.ljust(11):
         n58 = n58 * 38 + _B38.index(ch)
     return ((_HASH_MULT * n58) & ((1 << 64) - 1)) >> (64 - bits)
 
@@ -147,7 +154,11 @@ def _align6(call: str) -> str | None:
         return None
     c6 = c6.ljust(6)
     if (c6[0] in _A1 and c6[1] in _A2 and c6[2] in _A3
-            and all(ch in _A4 for ch in c6[3:])):
+            and all(ch in _A4 for ch in c6[3:])
+            # the 28-bit field admits digit-only values like "73"/"599",
+            # but real callsigns contain a letter — without this check a
+            # sign-off ("PJ4/K1ABC 73") parses as a second callsign
+            and any(ch.isalpha() for ch in c6)):
         return c6
     return None
 
@@ -197,8 +208,12 @@ def _pack28(tok: str) -> int | None:
     if tok.startswith("<") and tok.endswith(">"):
         inner = tok[1:-1]
         if inner and inner != "...":
+            try:
+                h = hash_callsign(inner, 22)
+            except ValueError:
+                return None        # unhashable chars -> not a call token
             _HASHES.add(inner)
-            return _NTOKENS + hash_callsign(inner, 22)
+            return _NTOKENS + h
         return None
     c6 = _align6(tok)
     if c6 is not None:
@@ -363,7 +378,13 @@ def _try_pack_nonstandard(tokens: list[str]) -> int | None:
         r2 = {"RRR": 1, "RR73": 2, "73": 3}[rest[0]]
     else:
         return None
-    h12 = 0 if (c1 or other in ("", "...")) else hash_callsign(other, 12)
+    if c1 or other in ("", "..."):
+        h12 = 0
+    else:
+        try:
+            h12 = hash_callsign(other, 12)
+        except ValueError:
+            return None
     if other and other != "...":
         _HASHES.add(other)
     _HASHES.add(full)

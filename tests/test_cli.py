@@ -157,3 +157,21 @@ def test_cli_tx_rejects_stream_and_bad_message(tmp_path):
     with pytest.raises(SystemExit):
         main(["--tx", "CQ K1ABC FN42", "--stream", out])
     assert main(["--tx", "THIS ONE IS FAR TOO LONG TO PACK", out]) == 1
+
+
+def test_cli_tx_negative_start_is_a_clean_error(tmp_path, capsys):
+    out = str(tmp_path / "tx.wav")
+    assert main(["--tx", "CQ K1ABC FN42", "--tx-start", "-1", out]) == 1
+    assert "does not fit" in capsys.readouterr().err
+
+
+def test_cli_tx_seed_controls_noise(tmp_path):
+    """Same seed -> identical file; different seeds -> different noise
+    (required for generating independent repeats for --stack)."""
+    a, b, c = (str(tmp_path / f"{n}.wav") for n in "abc")
+    base = ["--tx", "CQ K1ABC FN42", "--fs", "2000", "--tx-snr", "0"]
+    assert main(base + ["--tx-seed", "7", a]) == 0
+    assert main(base + ["--tx-seed", "7", b]) == 0
+    assert main(base + ["--tx-seed", "8", c]) == 0
+    pa, pb, pc = (open(p, "rb").read() for p in (a, b, c))
+    assert pa == pb and pa != pc

@@ -190,3 +190,24 @@ def test_text_to_rf_to_text():
     results = decode_ft8_message(sig, fs, min_score=1.0)
     texts = [unpack_message(r.message.payload) for r in results]
     assert "CQ K1ABC FN42" in texts
+
+
+def test_digit_only_tokens_are_not_callsigns():
+    """"73"/"599" fit the 28-bit field's degenerate space but are not
+    callsigns: sign-offs after a nonstandard call must fall through to
+    free text, not pack as a hashed second call (review regression)."""
+    assert not is_standard_callsign("73")
+    assert not is_standard_callsign("599")
+    assert unpack_message(pack_message("PJ4/K1ABC 73")) == "PJ4/K1ABC 73"
+    assert unpack_message(pack_message("K1ABC 73")) == "K1ABC 73"
+
+
+def test_hash_callsign_validates_input():
+    with pytest.raises(ValueError, match="unsupported character"):
+        hash_callsign("K1ABC-1")
+    with pytest.raises(ValueError, match="1-11 chars"):
+        hash_callsign("LONGCALLSIGN1")
+    # a bad bracketed call degrades to a clean ValueError, not a cryptic
+    # str.index failure
+    with pytest.raises(ValueError):
+        pack_message("<K1ABC-1> K9XYZ FN42")
