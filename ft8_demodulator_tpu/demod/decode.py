@@ -310,11 +310,12 @@ def decode_slot(wave: jnp.ndarray, p: WaterfallParams, num_frames: int,
 
 
 @functools.partial(jax.jit, static_argnames=("time_osr", "freq_osr",
-                                             "stack_r"))
+                                             "stack_r", "valid_frames"))
 def estimate_snr(mag: jnp.ndarray, payload: jnp.ndarray,
                  abs_time: jnp.ndarray, abs_freq: jnp.ndarray,
                  time_osr: int, freq_osr: int,
-                 stack_r: int = 1) -> jnp.ndarray:
+                 stack_r: int = 1,
+                 valid_frames: int | None = None) -> jnp.ndarray:
     """(K,) per-decode SNR estimates in dB re 2500 Hz noise bandwidth.
 
     Beyond the reference (which reports only the sync score): every FT8
@@ -349,13 +350,21 @@ def estimate_snr(mag: jnp.ndarray, payload: jnp.ndarray,
     correction becomes the Wilson-Hilferty (1 - 1/(9R))^3 (R=1 gives
     0.702 ~= ln2); the reported SNR is then the PER-REPEAT SNR (linear
     averaging changes cell variance, not cell means).
+
+    valid_frames: frames past this bound are zero padding, not capture
+    (StreamSession's flush block) — they are excluded from both the
+    noise-floor median and the on-track mean, else the padded zeros
+    drag the floor down and the SNR reads several dB high (measured
+    +8.7 dB on a 45 %-padded flush block).
     """
     num_freqs, num_frames = mag.shape
+    if valid_frames is None:
+        valid_frames = num_frames
     tones = encode_tones(payload).astype(jnp.int32)       # (K, 79)
     sym = jnp.arange(C.NUM_SYMBOLS)
     f_idx = abs_freq[:, None, None] + jnp.arange(8)[None, None, :] * freq_osr
     t_idx = abs_time[:, None, None] + sym[None, :, None] * time_osr
-    valid = (t_idx[..., 0] >= 0) & (t_idx[..., 0] < num_frames) \
+    valid = (t_idx[..., 0] >= 0) & (t_idx[..., 0] < valid_frames) \
         & (f_idx[:, 0, 7] < num_freqs)[:, None]           # (K, 79)
     fc = jnp.clip(f_idx, 0, num_freqs - 1)
     tc = jnp.clip(t_idx, 0, num_frames - 1)
@@ -369,7 +378,8 @@ def estimate_snr(mag: jnp.ndarray, payload: jnp.ndarray,
     # cell power (monotone map); Wilson-Hilferty median->mean correction
     # for the mean-of-stack_r-exponentials cell distribution
     med_over_mean = (1.0 - 1.0 / (9.0 * stack_r)) ** 3
-    noise_hat = 10.0 ** (jnp.median(mag) / 10.0) / med_over_mean
+    noise_hat = 10.0 ** (jnp.median(mag[:, :valid_frames]) / 10.0) \
+        / med_over_mean
     r = s_hat / jnp.maximum(noise_hat, 1e-30)
     return 10.0 * jnp.log10(jnp.maximum(r - 1.0, 1e-6) * 3.75e-3)
 

@@ -104,6 +104,10 @@ class StreamSession:
                 res = mf_retry(jnp.asarray(chunk), self.p, res, 0, 0,
                                cfg.max_iterations, cfg.use_osd,
                                mf_refine=refine)
+        from .decode import estimate_snr
+        snr = np.asarray(estimate_snr(
+            mag, res.payload, res.abs_time, res.abs_freq, self.p.time_osr,
+            self.p.freq_osr, valid_frames=self.p.num_frames(take)))
         res = {k: np.asarray(v) for k, v in res._asdict().items()}
 
         hop_seconds = C.SYMBOL_PERIOD_S / self.p.time_osr
@@ -131,6 +135,7 @@ class StreamSession:
                 time_sec=t_abs * hop_seconds,
                 freq_hz=float(res["abs_freq"][k]) * freq_step,
                 score=float(res["score"][k]),
+                snr_db=round(float(snr[k]), 1),
             ))
         consumed = take if final else self.block_len
         self._buffer = self._buffer[consumed:]

@@ -132,3 +132,23 @@ def test_stream_session_mf_first_and_checkpoint_roundtrip(tmp_path):
     restored = StreamSession.load(path)
     assert restored.config.mf_first is True
     assert restored.config.use_osd is True
+
+
+def test_stream_rows_carry_snr():
+    """StreamSession rows report snr_db like the batch API (the sharded
+    decode_stream bank deliberately leaves it None — hot path)."""
+    fs = 2000.0
+    wave = np.asarray(ft8_passband(PAYLOAD_A, fs, 400.0, 0.0))
+    sig = np.zeros(int(fs * 30), np.float32)
+    sig[1000: 1000 + len(wave)] = wave
+    sp = float(np.mean(wave ** 2))
+    rng = np.random.default_rng(7)
+    sig += rng.standard_normal(len(sig)).astype(np.float32) \
+        * np.sqrt(sp / 10 ** (-5.0 / 10))
+    sess = StreamSession(fs, config=DecoderConfig(min_score=1.0))
+    rows = sess.feed(sig) + sess.flush()
+    hit = [r for r in rows
+           if r.message.payload == bytes(PAYLOAD_A.tolist())]
+    assert hit and hit[0].snr_db is not None
+    expect = -5.0 + 10.0 * np.log10((fs / 2) / 2500.0)
+    assert abs(hit[0].snr_db - expect) < 2.0
