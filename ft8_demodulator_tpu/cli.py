@@ -82,6 +82,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "min-score 1, OSD (only fills in options you did "
                         "not set explicitly — e.g. --deep --max-candidates "
                         "100 keeps 100)")
+    p.add_argument("--format", choices=("plain", "json", "alltxt"),
+                   default="plain",
+                   help="decode output format: plain (default, one block "
+                        "per decode), json (one JSON object per line — "
+                        "machine readable), alltxt (WSJT-X ALL.TXT-style "
+                        "single-line rows)")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans: fail loudly at the first "
                         "NaN produced inside any jitted decode stage")
@@ -214,8 +220,10 @@ def main(argv=None) -> int:
                 setattr(args, name, preset)
 
     wave_data, sample_rate = read_wave_file(args.wave_file)
+    # machine-readable formats keep stdout for decode rows only
+    info = sys.stdout if args.format == "plain" else sys.stderr
     print(f"Read {args.wave_file}: {len(wave_data)} samples @ {sample_rate} Hz "
-          f"({len(wave_data) / sample_rate:.2f} s)")
+          f"({len(wave_data) / sample_rate:.2f} s)", file=info)
 
     if args.stack > 1:
         from .demod.stack import decode_ft8_stacked
@@ -240,7 +248,7 @@ def main(argv=None) -> int:
                         "steps_per_symbol": args.steps_per_symbol,
                     })
                 print(f"Cycle {i}: estimated drift rate "
-                      f"{drift_rate * sample_rate:.2f} Hz/s")
+                      f"{drift_rate * sample_rate:.2f} Hz/s", file=info)
                 corrected.append(c)
             segs = np.stack(corrected)
         results = decode_ft8_stacked(
@@ -253,7 +261,7 @@ def main(argv=None) -> int:
             use_osd=args.osd,
             deduplicate=not args.no_dedup,
         )
-        print(f"Stacked {r} cycles")
+        print(f"Stacked {r} cycles", file=info)
 
     if args.correction and args.stack <= 1:
         import scipy.signal
@@ -265,7 +273,8 @@ def main(argv=None) -> int:
                 "bins_per_tone": args.bins_per_tone,
                 "steps_per_symbol": args.steps_per_symbol,
             })
-        print(f"Estimated drift rate: {drift_rate * sample_rate:.2f} Hz/s")
+        print(f"Estimated drift rate: {drift_rate * sample_rate:.2f} Hz/s",
+              file=info)
         if args.stream:
             # the streaming session consumes real audio; the real part of
             # the corrected analytic signal carries the full positive band
@@ -322,10 +331,42 @@ def main(argv=None) -> int:
             results = out
 
     if not results:
-        print("No FT8 messages decoded")
+        if args.format == "plain":
+            print("No FT8 messages decoded")
         return 0
+    import json
 
     from .protocol.message import UnsupportedMessageError, unpack_message
+
+    def text_of(r):
+        try:
+            return unpack_message(r.message.payload)
+        except UnsupportedMessageError:
+            return None
+
+    if args.format == "json":
+        for r in results:
+            print(json.dumps({
+                "time_sec": round(r.time_sec, 3),
+                "freq_hz": round(r.freq_hz, 2),
+                "score": round(r.score, 2),
+                "snr_db": r.snr_db,
+                "payload": r.message.payload.hex(),
+                "message": text_of(r),
+                "crc": r.status.crc_calculated,
+                "ldpc_errors": r.status.ldpc_errors,
+            }))
+        return 0
+    if args.format == "alltxt":
+        # WSJT-X ALL.TXT-style: time snr dt freq ~ message (the leading
+        # HHMMSS column becomes the in-capture offset — captures have no
+        # wall-clock)
+        for r in results:
+            snr = 0 if r.snr_db is None else int(round(r.snr_db))
+            msg = text_of(r) or r.message.payload.hex().upper()
+            print(f"{r.time_sec:8.1f} {snr:3d} {r.time_sec % 15.0:4.1f} "
+                  f"{r.freq_hz:7.1f} ~  {msg}")
+        return 0
 
     print(f"\nDecoded {len(results)} FT8 message(s):")
     print("-" * 50)
@@ -336,10 +377,9 @@ def main(argv=None) -> int:
         if r.snr_db is not None:
             print(f"SNR: {r.snr_db:+.1f} dB")
         print(f"Payload: {r.message.payload.hex()}")
-        try:
-            print(f"Message: {unpack_message(r.message.payload)}")
-        except UnsupportedMessageError:
-            pass              # unimplemented i3/n3 type: hex above suffices
+        msg = text_of(r)
+        if msg is not None:
+            print(f"Message: {msg}")
         print(f"CRC check: {r.status.crc_calculated}")
         print(f"LDPC errors: {r.status.ldpc_errors}")
         print("-" * 50)

@@ -175,3 +175,26 @@ def test_cli_tx_seed_controls_noise(tmp_path):
     assert main(base + ["--tx-seed", "8", c]) == 0
     pa, pb, pc = (open(p, "rb").read() for p in (a, b, c))
     assert pa == pb and pa != pc
+
+
+def test_cli_format_json_and_alltxt(wav_path, capsys):
+    """--format json emits one parseable object per decode on stdout (the
+    info banner moves to stderr); --format alltxt emits single-line rows."""
+    import json as _json
+
+    path, payload = wav_path
+    assert main([path, "--min-score", "5", "--format", "json"]) == 0
+    cap = capsys.readouterr()
+    rows = [_json.loads(ln) for ln in cap.out.splitlines()]
+    assert any(r["payload"] == bytes(payload.tolist()).hex() for r in rows)
+    assert all({"time_sec", "freq_hz", "snr_db", "message"} <= set(r)
+               for r in rows)
+    assert "Read " in cap.err and "Read " not in cap.out
+
+    assert main([path, "--min-score", "5", "--format", "alltxt"]) == 0
+    cap = capsys.readouterr()
+    assert any("~" in ln for ln in cap.out.splitlines())
+
+    # empty result in a machine format prints nothing to stdout
+    assert main([path, "--min-score", "99", "--format", "json"]) == 0
+    assert capsys.readouterr().out == ""
