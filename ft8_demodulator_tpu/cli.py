@@ -82,6 +82,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "min-score 1, OSD (only fills in options you did "
                         "not set explicitly — e.g. --deep --max-candidates "
                         "100 keeps 100)")
+    p.add_argument("--ap", nargs="?", const=True, default=False,
+                   metavar="'MYCALL [DXCALL]'",
+                   help="a-priori decoding: retry failed candidates with "
+                        "known payload bits clamped in the LDPC decoder "
+                        "(WSJT-X-style).  Bare --ap tries the 'CQ ? ?' "
+                        "hypothesis; --ap MYCALL adds 'MYCALL ? ?'; "
+                        "--ap 'MYCALL DXCALL' adds the full-QSO and "
+                        "RRR/RR73/73 hypotheses (~+1-2 dB, zero false "
+                        "accepts measured)")
     p.add_argument("--format", choices=("plain", "json", "alltxt"),
                    default="plain",
                    help="decode output format: plain (default, one block "
@@ -178,13 +187,15 @@ def main(argv=None) -> int:
             unsupported.append("--metrics")
         if args.no_dedup:
             unsupported.append("--no-dedup")
+        if args.ap:
+            unsupported.append("--ap")
         if unsupported:
             parser.error("--stream does not support: "
                          + ", ".join(unsupported))
     if args.stack > 1:
         unsupported = [name for name, bad in [
             ("--stream", args.stream), ("--metrics", args.metrics),
-            ("--mf-refine", args.mf_refine),
+            ("--mf-refine", args.mf_refine), ("--ap", bool(args.ap)),
             ("--freq-min", args.freq_min is not None),
             ("--freq-max", args.freq_max is not None),
             ("--time-min", args.time_min is not None),
@@ -322,6 +333,7 @@ def main(argv=None) -> int:
             use_mf=args.mf,
             mf_first=args.mf_first,
             mf_refine=args.mf_refine,
+            ap=args.ap,
         )
         if args.metrics:
             import json

@@ -35,7 +35,7 @@ from .types import FT8Decode, FT8DecodeStatus, FT8Message, SlotDecodeResult
 
 __all__ = ["decode_waterfall", "decode_waterfall_mf", "decode_slot",
            "decode_ft8_message", "finish_decode", "mf_retry",
-           "estimate_snr"]
+           "ap_retry", "estimate_snr"]
 
 _CRC_MATRIX_77_T = jnp.asarray(C.CRC_MATRIX_77.T, dtype=jnp.float32)
 _CRC_WEIGHTS = jnp.asarray(2 ** np.arange(C.CRC_BITS - 1, -1, -1),
@@ -309,6 +309,53 @@ def decode_slot(wave: jnp.ndarray, p: WaterfallParams, num_frames: int,
     return res
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "p", "max_iterations", "use_osd", "is_complex"))
+def ap_retry(wave: jnp.ndarray, p: WaterfallParams, res: SlotDecodeResult,
+             t0_hops, f0_rows, ap_values: jnp.ndarray, ap_mask: jnp.ndarray,
+             max_iterations: int = 20, use_osd: bool = False,
+             is_complex: bool = False) -> SlotDecodeResult:
+    """A-priori retry (beyond the reference, WSJT-X-style AP decoding).
+
+    For candidates the normal decode could not crack, re-extract
+    matched-filter LLRs and clamp the payload bits each hypothesis fixes
+    (protocol.message.ap_hypotheses: CQ / MyCall / MyCall+DxCall /
+    exchange variants) to +-AP_BIG, then re-run BP(+OSD) + CRC.  All V
+    hypotheses decode as one (V*K) batch; each candidate takes its FIRST
+    successful variant (most-general-first order).  Decodes are a strict
+    superset of the input result; the CRC still covers all 77 bits, so a
+    wrong hypothesis cannot validate (measured 0 false accepts over 1000
+    noise slots, tests/test_ap.py).
+    """
+    k = res.abs_time.shape[0]
+    v = ap_values.shape[0]
+    llrs = _mf_llrs(wave, p, res.abs_time + jnp.int32(t0_hops),
+                    res.abs_freq + jnp.int32(f0_rows), is_complex)
+    clamp = (2.0 * ap_values.astype(jnp.float32) - 1.0) * 100.0   # (V, 77)
+    pad = ((0, 0), (0, C.LDPC_N - C.PAYLOAD_BITS))
+    clamp = jnp.pad(clamp, pad)
+    mask = jnp.pad(ap_mask.astype(bool), pad)
+    clamped = jnp.where(mask[:, None, :], clamp[:, None, :], llrs[None])
+    rep = lambda a: jnp.tile(a, (v,) + (1,) * (a.ndim - 1)) \
+        if a.ndim > 1 else jnp.tile(a, v)
+    sub = finish_decode(clamped.reshape(v * k, C.LDPC_N),
+                        rep(res.abs_time), rep(res.abs_freq),
+                        rep(res.score), rep(res.candidate_valid),
+                        max_iterations, use_osd)
+    succ = sub.success.reshape(v, k)
+    pick = jnp.argmax(succ, axis=0)               # first successful variant
+    idx = pick * k + jnp.arange(k)
+    picked = SlotDecodeResult(
+        success=jnp.any(succ, axis=0),
+        payload=sub.payload[idx], crc=sub.crc[idx],
+        crc_extracted=sub.crc_extracted[idx],
+        ldpc_errors=sub.ldpc_errors[idx],
+        abs_time=res.abs_time, abs_freq=res.abs_freq, score=res.score,
+        candidate_valid=res.candidate_valid,
+    )
+    return _merge_results(res, picked)
+
+
 @functools.partial(jax.jit, static_argnames=("time_osr", "freq_osr",
                                              "stack_r", "valid_frames"))
 def estimate_snr(mag: jnp.ndarray, payload: jnp.ndarray,
@@ -444,7 +491,8 @@ def decode_ft8_message(wave_data, sample_rate: float,
                        use_osd: bool = False,
                        use_mf: bool = False,
                        mf_first: bool = False,
-                       mf_refine: bool = False):
+                       mf_refine: bool = False,
+                       ap: bool | str = False):
     """Decode all FT8 messages in an audio capture (host API).
 
     Mirrors the reference decode_ft8_message (ft8_decode.py:288) with two
@@ -475,6 +523,15 @@ def decode_ft8_message(wave_data, sample_rate: float,
     ~1/4 symbol and frequency to half a bin, costing off-grid signals up
     to ~3 dB of boxcar detection SNR at the cell corners.
 
+    ap enables a-priori decoding (beyond the reference, WSJT-X-style):
+    candidates the normal decode cannot crack are retried with known
+    payload bits clamped in the LDPC decoder.  ap=True tries the
+    "CQ ? ?" hypothesis; ap="MYCALL" adds "MYCALL ? ?"; ap="MYCALL
+    DXCALL" adds the full-QSO and RRR/RR73/73 exchange hypotheses
+    (protocol.message.ap_hypotheses).  Decodes are a strict superset;
+    the CRC still covers every payload bit, so a wrong hypothesis
+    cannot validate.
+
     passes > 1 enables subtraction decoding (beyond the reference): after
     each pass, every decoded transmission is re-synthesised, frequency-
     refined, amplitude/phase-fitted and subtracted from the audio, and the
@@ -502,6 +559,15 @@ def decode_ft8_message(wave_data, sample_rate: float,
         wave_d = jnp.asarray(wave.astype(np.float32))
     hop_seconds = C.SYMBOL_PERIOD_S / p.time_osr
     freq_step = C.TONE_SPACING_HZ / p.freq_osr
+
+    ap_arrays = None
+    if ap:
+        from ..protocol.message import ap_hypotheses
+        calls = ([] if ap is True else str(ap).upper().split())
+        if len(calls) > 2:
+            raise ValueError("ap accepts at most 'MYCALL DXCALL'")
+        vals, msk = ap_hypotheses(*calls)
+        ap_arrays = (jnp.asarray(vals), jnp.asarray(msk))
 
     rows: list[FT8Decode] = []
     seen_payloads: set[bytes] = set()
@@ -556,6 +622,10 @@ def decode_ft8_message(wave_data, sample_rate: float,
             if use_mf:
                 res = mf_retry(wave_d, p, res, t_lo, f_lo, max_iterations,
                                use_osd, is_complex, mf_refine)
+        if ap_arrays is not None:
+            res = ap_retry(wave_d, p, res, t_lo, f_lo, ap_arrays[0],
+                           ap_arrays[1], max_iterations, use_osd,
+                           is_complex)
         if first_res is None:
             first_res = res
         snr = estimate_snr(mag, res.payload, res.abs_time, res.abs_freq,

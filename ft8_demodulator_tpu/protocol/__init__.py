@@ -3,6 +3,7 @@
 from . import constants
 from .message import (
     UnsupportedMessageError,
+    ap_hypotheses,
     hash_callsign,
     is_standard_callsign,
     pack_free_text,
@@ -26,6 +27,7 @@ from .encode import (
 __all__ = [
     "constants",
     "UnsupportedMessageError",
+    "ap_hypotheses",
     "hash_callsign",
     "is_standard_callsign",
     "pack_free_text",

@@ -35,6 +35,7 @@ import numpy as np
 
 __all__ = [
     "UnsupportedMessageError",
+    "ap_hypotheses",
     "pack_message",
     "pack_free_text",
     "pack_telemetry",
@@ -509,3 +510,63 @@ def unpack_message(payload) -> str:
             return f"{f71:X}"
         raise UnsupportedMessageError(f"message type 0.{n3} not supported")
     raise UnsupportedMessageError(f"message type i3={i3} not supported")
+
+
+def ap_hypotheses(my_call: str | None = None,
+                  dx_call: str | None = None):
+    """A-priori decoding hypotheses -> (values (V, 77) uint8, mask (V, 77)).
+
+    WSJT-X-style AP decoding: during a QSO (or while monitoring) parts of
+    the next message are known a priori, and clamping those payload bits
+    in the LDPC decoder buys sensitivity the waveform alone cannot.
+    Variants, in decreasing generality (the retry takes the FIRST variant
+    that yields a CRC-valid codeword per candidate):
+
+    - "CQ ? ?"                       (always included)
+    - "MyCall ? ?"                   (my_call given)
+    - "MyCall DxCall ?"              (both given)
+    - "MyCall DxCall RRR/RR73/73"    (both given; exchange field fixed too)
+
+    Every variant fixes i3 = 1 (standard message) and the fixed calls'
+    suffix bits to 0.  Bit positions follow the type-1 layout
+    c28a|r1a|c28b|r1b|R|g15|i3 (pack_message).
+    """
+    def bits_of(val, width):
+        return [(val >> (width - 1 - i)) & 1 for i in range(width)]
+
+    def call_c28(tok):
+        c28 = _pack28(tok.strip().upper())
+        if c28 is None:
+            raise ValueError(f"cannot express {tok!r} in the 28-bit "
+                             "callsign field (standard or <hashed> calls "
+                             "only)")
+        return c28
+
+    variants: list[tuple[np.ndarray, np.ndarray]] = []
+
+    def add(c28a=None, c28b=None, g15=None):
+        v = np.zeros(77, np.uint8)
+        m = np.zeros(77, bool)
+        if c28a is not None:
+            v[0:28] = bits_of(c28a, 28); m[0:28] = True
+            m[28] = True                        # r1a = 0
+        if c28b is not None:
+            v[29:57] = bits_of(c28b, 28); m[29:57] = True
+            m[57] = True                        # r1b = 0
+        if g15 is not None:
+            m[58] = True                        # R = 0
+            v[59:74] = bits_of(g15, 15); m[59:74] = True
+        v[76] = 1; m[74:77] = True              # i3 = 1
+        variants.append((v, m))
+
+    add(c28a=2)                                 # CQ ? ?
+    if my_call is not None:
+        a = call_c28(my_call)
+        add(c28a=a)
+        if dx_call is not None:
+            b = call_c28(dx_call)
+            add(c28a=a, c28b=b)
+            for irpt in (2, 3, 4):              # RRR, RR73, 73
+                add(c28a=a, c28b=b, g15=_MAXGRID4 + irpt)
+    return (np.stack([v for v, _ in variants]),
+            np.stack([m for _, m in variants]))
