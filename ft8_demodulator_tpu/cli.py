@@ -195,7 +195,7 @@ def main(argv=None) -> int:
     if args.stack > 1:
         unsupported = [name for name, bad in [
             ("--stream", args.stream), ("--metrics", args.metrics),
-            ("--mf-refine", args.mf_refine), ("--ap", bool(args.ap)),
+            ("--mf-refine", args.mf_refine),
             ("--freq-min", args.freq_min is not None),
             ("--freq-max", args.freq_max is not None),
             ("--time-min", args.time_min is not None),
@@ -271,6 +271,7 @@ def main(argv=None) -> int:
             max_iterations=args.max_iterations,
             use_osd=args.osd,
             deduplicate=not args.no_dedup,
+            ap=args.ap,
         )
         print(f"Stacked {r} cycles", file=info)
 

@@ -327,10 +327,24 @@ def ap_retry(wave: jnp.ndarray, p: WaterfallParams, res: SlotDecodeResult,
     wrong hypothesis cannot validate (measured 0 false accepts over 1000
     noise slots, tests/test_ap.py).
     """
-    k = res.abs_time.shape[0]
-    v = ap_values.shape[0]
     llrs = _mf_llrs(wave, p, res.abs_time + jnp.int32(t0_hops),
                     res.abs_freq + jnp.int32(f0_rows), is_complex)
+    return _merge_results(res, ap_retry_llrs(llrs, res, ap_values, ap_mask,
+                                             max_iterations, use_osd))
+
+
+def ap_retry_llrs(llrs: jnp.ndarray, res: SlotDecodeResult,
+                  ap_values: jnp.ndarray, ap_mask: jnp.ndarray,
+                  max_iterations: int, use_osd: bool) -> SlotDecodeResult:
+    """(K, 174) LLRs + V hypotheses -> per-candidate best AP decode.
+
+    Trace-level core shared by ap_retry and the stacked decoder: clamp
+    each hypothesis's payload bits to +-100, decode all V*K rows in one
+    BP(+OSD) batch, and take each candidate's FIRST validating variant.
+    Merge into an existing result with _merge_results.
+    """
+    k = res.abs_time.shape[0]
+    v = ap_values.shape[0]
     clamp = (2.0 * ap_values.astype(jnp.float32) - 1.0) * 100.0   # (V, 77)
     pad = ((0, 0), (0, C.LDPC_N - C.PAYLOAD_BITS))
     clamp = jnp.pad(clamp, pad)
@@ -345,7 +359,7 @@ def ap_retry(wave: jnp.ndarray, p: WaterfallParams, res: SlotDecodeResult,
     succ = sub.success.reshape(v, k)
     pick = jnp.argmax(succ, axis=0)               # first successful variant
     idx = pick * k + jnp.arange(k)
-    picked = SlotDecodeResult(
+    return SlotDecodeResult(
         success=jnp.any(succ, axis=0),
         payload=sub.payload[idx], crc=sub.crc[idx],
         crc_extracted=sub.crc_extracted[idx],
@@ -353,7 +367,6 @@ def ap_retry(wave: jnp.ndarray, p: WaterfallParams, res: SlotDecodeResult,
         abs_time=res.abs_time, abs_freq=res.abs_freq, score=res.score,
         candidate_valid=res.candidate_valid,
     )
-    return _merge_results(res, picked)
 
 
 @functools.partial(jax.jit, static_argnames=("time_osr", "freq_osr",

@@ -95,9 +95,16 @@ def _decode_slot_stacked_with_mag(waves: jnp.ndarray, p: WaterfallParams,
                                   num_frames: int, max_candidates: int,
                                   min_score: float, max_iterations: int,
                                   is_complex: bool, use_osd: bool,
-                                  use_mf: bool):
+                                  use_mf: bool,
+                                  ap_values=None, ap_mask=None):
     """decode_slot_stacked core; also returns the stacked dB grid so the
-    host API can estimate SNRs without recomputing the waterfall."""
+    host API can estimate SNRs without recomputing the waterfall.
+
+    ap_values/ap_mask (V, 77): optional a-priori hypotheses
+    (protocol.message.ap_hypotheses) — a beacon's callsign is usually
+    known, and clamping it stacks on top of the noncoherent combining
+    gain (demod.decode.ap_retry has the algorithm notes).
+    """
     g = search_grid(p.num_freq_bins, num_frames, p.time_osr, p.freq_osr)
     mag, spec = _stacked_mag_and_spec(waves, p, num_frames, is_complex)
     scores = sync_scores(mag, g)
@@ -115,8 +122,13 @@ def _decode_slot_stacked_with_mag(waves: jnp.ndarray, p: WaterfallParams,
     else:
         llrs = extract_llrs(mag, abs_time, abs_freq, p.time_osr,
                             p.freq_osr, g.num_blocks)
-    return finish_decode(llrs, abs_time, abs_freq, score, cand_valid,
-                         max_iterations, use_osd), mag
+    res = finish_decode(llrs, abs_time, abs_freq, score, cand_valid,
+                        max_iterations, use_osd)
+    if ap_values is not None:
+        from .decode import _merge_results, ap_retry_llrs
+        res = _merge_results(res, ap_retry_llrs(
+            llrs, res, ap_values, ap_mask, max_iterations, use_osd))
+    return res, mag
 
 
 def decode_slot_stacked(waves: jnp.ndarray, p: WaterfallParams,
@@ -175,7 +187,8 @@ def decode_ft8_stacked(waves, sample_rate: float,
                        max_iterations: int = 20,
                        use_osd: bool = False,
                        use_mf: bool = True,
-                       deduplicate: bool = True) -> list[FT8Decode]:
+                       deduplicate: bool = True,
+                       ap: bool | str = False) -> list[FT8Decode]:
     """Decode one repeated transmission from R stacked slots (host API).
 
     waves: (R, n) real, (R, n) complex, or (R, n, 2) [re, im] — R captures
@@ -185,15 +198,28 @@ def decode_ft8_stacked(waves, sample_rate: float,
     Measured gain over the best single-slot path (OSD + MF) at fs 2 kHz:
     see benchmarks/results/stacking_snr_fs2k.json and
     docs/DESIGN_NOTES.md ("Cross-transmission stacking").
+
+    ap: a-priori hypotheses exactly as in decode_ft8_message — a beacon's
+    callsign is usually KNOWN, and clamping it stacks on top of the
+    noncoherent combining gain (measured ~+1 dB at the R=4 stacked
+    cliff, tests/test_ap.py).
     """
     wave_d, is_complex = as_device_stack(waves)
     p = waterfall_params(sample_rate, bins_per_tone, steps_per_symbol)
     if wave_d.shape[1] < p.nperseg:
         return []
+    ap_values = ap_mask = None
+    if ap:
+        from ..protocol.message import ap_hypotheses
+        calls = ([] if ap is True else str(ap).upper().split())
+        if len(calls) > 2:
+            raise ValueError("ap accepts at most 'MYCALL DXCALL'")
+        vals, msk = ap_hypotheses(*calls)
+        ap_values, ap_mask = jnp.asarray(vals), jnp.asarray(msk)
     num_frames = p.num_frames(wave_d.shape[1])
     res, mag = _decode_slot_stacked_with_mag(
         wave_d, p, num_frames, max_candidates, float(min_score),
-        max_iterations, is_complex, use_osd, use_mf)
+        max_iterations, is_complex, use_osd, use_mf, ap_values, ap_mask)
     snr = estimate_snr(mag, res.payload, res.abs_time, res.abs_freq,
                        p.time_osr, p.freq_osr,
                        stack_r=int(wave_d.shape[0]))
