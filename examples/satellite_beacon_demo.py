@@ -1,0 +1,177 @@
+"""End-to-end satellite FT8 beacon demo — every subsystem in one flow.
+
+A ground station receives a LEO cubesat's FT8 beacon (one fixed message,
+repeated every 15-s cycle) through the real pass geometry:
+
+    message text --> payload --> GFSK baseband           (protocol, ops.gfsk)
+    TLE --> pass prediction --> per-sample Doppler       (channel)
+    Doppler + AWGN applied on-device                     (channel.doppler)
+    RX: model-based linear compensation + decimation     (channel.doppler)
+        per-cycle residual drift correction              (beacon.drift)
+        R-cycle noncoherent stack + known-call AP decode (demod.stack)
+        below decode reach: known-payload detection      (beacon.detect)
+
+Run:  python examples/satellite_beacon_demo.py [--esn0 -14] [--cycles 4]
+
+The default SNR sits between the single-cycle and stacked decode cliffs,
+so the output shows blind single-cycle decoding failing while the
+model-compensated stack with the known-call AP hypothesis succeeds
+(reported SNR ~-17 dB re 2500 Hz).  Raise --esn0 to ~0 to watch the
+blind path succeed too.
+
+Every stage is the library's real API — this file is documentation that
+executes.  Reference equivalents: the four-script channel pipeline
+(src/tests/channel/test_doppler_shift.py .. test_decode_after_channel.py)
+chained through .npy files, single-slot decode only.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+if not os.environ.get("FT8_DEMO_TPU"):
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+
+from ft8_demodulator_tpu.beacon import (correct_frequency_drift,  # noqa: E402
+                                        detect_known_payload)
+from ft8_demodulator_tpu.channel import (Channel, add_complex_awgn,  # noqa: E402
+                                         apply_doppler,
+                                         compensate_linear_doppler, decimate)
+from ft8_demodulator_tpu.channel import geodesy as geo  # noqa: E402
+from ft8_demodulator_tpu.demod import decode_ft8_stacked  # noqa: E402
+from ft8_demodulator_tpu.demod.decode import decode_ft8_message  # noqa: E402
+from ft8_demodulator_tpu.ops.gfsk import ft8_baseband  # noqa: E402
+from ft8_demodulator_tpu.protocol import (pack_message,  # noqa: E402
+                                          unpack_message)
+
+STATION = {"name": "Delft", "latitude_deg": 51.9989,
+           "longitude_deg": 4.3736, "altitude_m": 0.0}
+TLE = {
+    "name": "STARLINK-1030",
+    "TLE_line1": "1 44735U 19074Y   24151.67073227  .00005623  00000+0"
+                 "  39580-3 0  9994",
+    "TLE_line2": "2 44735  53.0540 235.6876 0001395  85.6354 274.4795"
+                 " 15.06429209250797",
+}
+BEACON_CALL = "PI4THD"
+MESSAGE = f"CQ {BEACON_CALL} JO22"
+FC_HZ = 437e6                 # UHF cubesat beacon
+FS_RF = 10000.0               # capture rate
+DECIM = 5                     # -> 2 kHz decode rate
+CYCLE_S = 15.0
+
+
+def main() -> int:
+    argp = argparse.ArgumentParser()
+    argp.add_argument("--esn0", type=float, default=-14.0,
+                      help="signal-to-noise (dB, signal power over total "
+                           "complex noise power at the capture rate); the "
+                           "default sits between the single-cycle and "
+                           "stacked decode cliffs")
+    argp.add_argument("--cycles", type=int, default=4)
+    argp.add_argument("--seed", type=int, default=0)
+    args = argp.parse_args()
+    t_start = time.perf_counter()
+
+    # ---- TX side: message text -> payload -> baseband ---------------------
+    payload = pack_message(MESSAGE)
+    print(f"beacon message : {MESSAGE!r} -> payload "
+          f"{payload.tobytes().hex()}")
+    f0 = 500.0      # mid-band: residual Doppler never nears DC
+    bb = np.asarray(ft8_baseband(payload, FS_RF, f0)).astype(np.complex128)
+
+    # ---- channel: predict a real pass from the TLE ------------------------
+    channel = Channel(STATION, TLE)
+    import datetime
+    epoch = datetime.datetime(2024, 5, 31, 0, 0, 0)
+    passes = channel.satellite_overhead_time_prediction(
+        epoch, epoch + datetime.timedelta(days=1), 30.0)
+    t_enter, duration, max_elev = passes[0]
+    t0 = t_enter + duration / 2 - datetime.timedelta(
+        seconds=args.cycles * CYCLE_S / 2)       # centre of the best pass
+    print(f"pass predicted : {t_enter} UTC for {duration} "
+          f"(max elevation {max_elev:.0f} deg); capture at {t0}")
+
+    n_cycle = int(CYCLE_S * FS_RF)
+    n = args.cycles * n_cycle
+    jd0 = float(geo.datetime_to_jd(t0))
+    jd = jd0 + np.arange(n) / FS_RF / 86400.0
+    doppler = channel.normalized_doppler_by_ecef_jd(jd) * FC_HZ
+    print(f"doppler        : {doppler[0]:+.0f} -> {doppler[-1]:+.0f} Hz "
+          f"over {args.cycles} cycles "
+          f"({(doppler[-1] - doppler[0]) / (n / FS_RF):+.1f} Hz/s mean)")
+
+    # the beacon transmits at the start of every 15-s cycle
+    tx = np.zeros(n, np.complex128)
+    for c in range(args.cycles):
+        tx[c * n_cycle: c * n_cycle + len(bb)] = bb
+
+    ri = jnp.asarray(np.stack([tx.real, tx.imag], -1).astype(np.float32))
+    shifted = apply_doppler(ri, jnp.asarray(doppler.astype(np.float32)),
+                            FS_RF)
+    noisy = add_complex_awgn(shifted, jax.random.PRNGKey(args.seed),
+                             args.esn0)
+
+    # ---- RX path A (no TLE): linear compensation + blind drift correction -
+    # without the orbit model the receiver can only take out a linear
+    # Doppler estimate and re-fit the residual per cycle (beacon.drift)
+    k = np.arange(n)
+    slope, intercept = np.polyfit(k, doppler, 1)
+    comp_a = compensate_linear_doppler(noisy, float(slope),
+                                       float(intercept), FS_RF)
+    down_a = np.asarray(decimate(comp_a, DECIM))
+    fs = FS_RF / DECIM
+    m_cycle = int(CYCLE_S * fs)
+    seg0 = down_a[:m_cycle]
+    z0 = seg0[..., 0].astype(np.complex128) + 1j * seg0[..., 1]
+    zc0, rate = correct_frequency_drift(z0, fs)
+    single = decode_ft8_message(zc0.astype(np.complex64), fs, min_score=1.0,
+                                use_osd=True, mf_first=True, ap=BEACON_CALL)
+    print(f"path A (blind) : cycle-0 residual drift {rate * fs:+.2f} Hz/s "
+          f"corrected, {len(single)} decode(s) single-cycle"
+          + ("" if single else
+             " (blind correction + one cycle cannot reach this SNR)"))
+
+    # ---- RX path B (TLE known): full model compensation + stack + AP ------
+    # the receiver predicted the Doppler curve above, so it removes ALL of
+    # it — every cycle lands at the same frequency and the R-cycle
+    # noncoherent stack + known-call AP hypothesis reaches several dB
+    # deeper than any single-cycle decode
+    comp_b = apply_doppler(noisy, jnp.asarray(-doppler.astype(np.float32)),
+                           FS_RF)
+    down_b = np.asarray(decimate(comp_b, DECIM))
+    stack = np.stack([down_b[c * m_cycle: (c + 1) * m_cycle]
+                      for c in range(args.cycles)])
+    rows = decode_ft8_stacked(stack, fs, min_score=1.0, use_osd=True,
+                              ap=BEACON_CALL)
+    for r in rows:
+        print(f"stacked decode : {unpack_message(r.message.payload)!r}  "
+              f"t={r.time_sec:.2f}s f={r.freq_hz:.1f}Hz "
+              f"snr={r.snr_db:+.1f}dB")
+
+    # ---- below decode reach: detection-only tracking ----------------------
+    dets = detect_known_payload(stack, fs, payload)
+    for t, f, z in dets[:1]:
+        print(f"known-payload  : track detected at t={t:.2f}s f={f:.1f}Hz "
+              f"z={z:.1f} (works ~4 dB past the stacked decode floor)")
+
+    ok = any(bytes(r.message.payload) == payload.tobytes() for r in rows)
+    print(f"[{time.perf_counter() - t_start:.1f}s] "
+          + ("beacon decoded through the satellite channel"
+             if ok else "no decode at this Es/N0 — try a higher --esn0"))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
