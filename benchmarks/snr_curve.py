@@ -30,7 +30,8 @@ def run_curve(fs: float, snrs, trials: int, f0: float = None,
               seed: int = 0, bins_per_tone: int = 2,
               steps_per_symbol: int = 2, use_osd: bool = False,
               use_mf: bool = False, mf_first: bool = False,
-              mf_refine: bool = False, offgrid: bool = False):
+              mf_refine: bool = False, offgrid: bool = False,
+              use_ap: bool = False):
     """Returns (snr_list, success_rate_list, wall_seconds).
 
     offgrid places each trial's transmission at a RANDOM sub-grid offset —
@@ -39,6 +40,11 @@ def run_curve(fs: float, snrs, trials: int, f0: float = None,
     (f0 = fs/8 = 40 tone spacings, start on a hop boundary) is the
     best case for the quantised candidate grid; off-grid measures the
     realistic sensitivity (and what mf_refine recovers).
+
+    use_ap: trials become random "CQ <CALL> <GRID>" messages and failed
+    candidates retry with the CQ a-priori hypothesis clamped
+    (demod.decode.ap_retry) — the monitoring scenario every FT8 receiver
+    is in by default.
     """
     import jax
     import jax.numpy as jnp
@@ -56,8 +62,21 @@ def run_curve(fs: float, snrs, trials: int, f0: float = None,
     p = waterfall_params(fs, bins_per_tone, steps_per_symbol)
     num_frames = p.num_frames(n)
 
-    payloads = rng.integers(0, 256, size=(trials, 10), dtype=np.uint8)
-    payloads[:, 9] &= 0xF8
+    if use_ap:
+        from ft8_demodulator_tpu.protocol import pack_message
+        letters = np.array(list("ABCDEFGHIJKLMNOPQRSTUVWXYZ"))
+        digits = np.array(list("0123456789"))
+        grid_a = np.array(list("ABCDEFGHIJKLMNOPQR"))
+        payloads = np.stack([pack_message(
+            "CQ "
+            + "".join(rng.choice(letters, 2)) + rng.choice(digits)
+            + "".join(rng.choice(letters, 3))
+            + " " + "".join(rng.choice(grid_a, 2))
+            + "".join(rng.choice(digits, 2)))
+            for _ in range(trials)])
+    else:
+        payloads = rng.integers(0, 256, size=(trials, 10), dtype=np.uint8)
+        payloads[:, 9] &= 0xF8
     if offgrid:
         grid_step = C.TONE_SPACING_HZ / p.freq_osr
         f0s = f0 + rng.uniform(-0.5, 0.5, trials) * grid_step
@@ -81,12 +100,23 @@ def run_curve(fs: float, snrs, trials: int, f0: float = None,
         scale = jnp.sqrt(power / 10.0 ** (snr_db / 10.0))
         return sig + noise * scale
 
+    if use_ap:
+        from ft8_demodulator_tpu.demod.decode import ap_retry
+        from ft8_demodulator_tpu.protocol import ap_hypotheses
+        vals, msk = ap_hypotheses()
+        ap_v, ap_m = jnp.asarray(vals), jnp.asarray(msk)
+
     @jax.jit
     def decode_batch(waves):
-        return jax.vmap(lambda w: decode_slot(
-            w, p, num_frames, max_candidates=max_candidates,
-            min_score=min_score, max_iterations=20, use_osd=use_osd,
-            use_mf=use_mf, mf_first=mf_first, mf_refine=mf_refine))(waves)
+        def one(w):
+            res = decode_slot(
+                w, p, num_frames, max_candidates=max_candidates,
+                min_score=min_score, max_iterations=20, use_osd=use_osd,
+                use_mf=use_mf, mf_first=mf_first, mf_refine=mf_refine)
+            if use_ap:
+                res = ap_retry(w, p, res, 0, 0, ap_v, ap_m, 20, use_osd)
+            return res
+        return jax.vmap(one)(waves)
 
     payloads_d = jnp.asarray(payloads)
     expected = payloads.copy()
@@ -129,6 +159,9 @@ def main():
     ap.add_argument("--mf-refine", action="store_true",
                     help="sub-grid (dt, df) offset search before MF "
                          "extraction (recovers off-grid quantisation loss)")
+    ap.add_argument("--ap", action="store_true",
+                    help="random CQ messages + a-priori CQ-hypothesis "
+                         "retry for failed candidates (~+1 dB)")
     ap.add_argument("--offgrid", action="store_true",
                     help="place each trial at a random sub-grid time/"
                          "frequency offset (realistic signals) instead of "
@@ -144,7 +177,8 @@ def main():
                                       use_osd=args.osd, use_mf=args.mf,
                                       mf_first=args.mf_first,
                                       mf_refine=args.mf_refine,
-                                      offgrid=args.offgrid)
+                                      offgrid=args.offgrid,
+                                      use_ap=args.ap)
     passing = [s for s, r in zip(snr_list, rates) if r >= 0.5]
     print(json.dumps({
         "fs": args.fs,
@@ -155,6 +189,7 @@ def main():
         "mf_first": args.mf_first,
         "mf_refine": args.mf_refine,
         "offgrid": args.offgrid,
+        "ap": args.ap,
         "trials_per_point": args.trials,
         "snr_db": snr_list,
         "success_rate": rates,

@@ -82,15 +82,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "min-score 1, OSD (only fills in options you did "
                         "not set explicitly — e.g. --deep --max-candidates "
                         "100 keeps 100)")
-    p.add_argument("--ap", nargs="?", const=True, default=False,
-                   metavar="'MYCALL [DXCALL]'",
+    p.add_argument("--ap", action="store_true",
                    help="a-priori decoding: retry failed candidates with "
                         "known payload bits clamped in the LDPC decoder "
-                        "(WSJT-X-style).  Bare --ap tries the 'CQ ? ?' "
-                        "hypothesis; --ap MYCALL adds 'MYCALL ? ?'; "
-                        "--ap 'MYCALL DXCALL' adds the full-QSO and "
-                        "RRR/RR73/73 hypotheses (~+1-2 dB, zero false "
-                        "accepts measured)")
+                        "(WSJT-X-style 'CQ ? ?' hypothesis, ~+1 dB, zero "
+                        "false accepts measured)")
+    p.add_argument("--ap-calls", metavar="'MYCALL [DXCALL]'", default=None,
+                   help="implies --ap and adds the 'MYCALL ? ?' (and with "
+                        "a second call the full-QSO and RRR/RR73/73) "
+                        "hypotheses (~+2 dB with both calls known)")
     p.add_argument("--format", choices=("plain", "json", "alltxt"),
                    default="plain",
                    help="decode output format: plain (default, one block "
@@ -176,6 +176,8 @@ def main(argv=None) -> int:
             parser.error("--tx generates a WAV; it does not combine with "
                          "--stream/--stack")
         return _generate(args)
+    # --ap-calls implies --ap; the combined value feeds decode ap= directly
+    args.ap = args.ap_calls if args.ap_calls else args.ap
     if args.stream:
         unsupported = [name for name, val in [
             ("--freq-min", args.freq_min), ("--freq-max", args.freq_max),
@@ -339,7 +341,8 @@ def main(argv=None) -> int:
         if args.metrics:
             import json
             results, metrics = out
-            print("Metrics: " + json.dumps(metrics.asdict()))
+            # info stream: machine formats keep stdout for decode rows only
+            print("Metrics: " + json.dumps(metrics.asdict()), file=info)
         else:
             results = out
 

@@ -309,6 +309,19 @@ def decode_slot(wave: jnp.ndarray, p: WaterfallParams, num_frames: int,
     return res
 
 
+def ap_arrays(ap) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Host `ap` argument (True / "MYCALL" / "MYCALL DXCALL") -> device
+    (values, mask) hypothesis arrays.  Shared by decode_ft8_message and
+    decode_ft8_stacked so the string syntax cannot diverge."""
+    from ..protocol.message import ap_hypotheses
+
+    calls = [] if ap is True else str(ap).upper().split()
+    if len(calls) > 2:
+        raise ValueError("ap accepts at most 'MYCALL DXCALL'")
+    vals, msk = ap_hypotheses(*calls)
+    return jnp.asarray(vals), jnp.asarray(msk)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "p", "max_iterations", "use_osd", "is_complex"))
 def ap_retry(wave: jnp.ndarray, p: WaterfallParams, res: SlotDecodeResult,
@@ -573,14 +586,7 @@ def decode_ft8_message(wave_data, sample_rate: float,
     hop_seconds = C.SYMBOL_PERIOD_S / p.time_osr
     freq_step = C.TONE_SPACING_HZ / p.freq_osr
 
-    ap_arrays = None
-    if ap:
-        from ..protocol.message import ap_hypotheses
-        calls = ([] if ap is True else str(ap).upper().split())
-        if len(calls) > 2:
-            raise ValueError("ap accepts at most 'MYCALL DXCALL'")
-        vals, msk = ap_hypotheses(*calls)
-        ap_arrays = (jnp.asarray(vals), jnp.asarray(msk))
+    ap_vm = ap_arrays(ap) if ap else None
 
     rows: list[FT8Decode] = []
     seen_payloads: set[bytes] = set()
@@ -635,10 +641,13 @@ def decode_ft8_message(wave_data, sample_rate: float,
             if use_mf:
                 res = mf_retry(wave_d, p, res, t_lo, f_lo, max_iterations,
                                use_osd, is_complex, mf_refine)
-        if ap_arrays is not None:
-            res = ap_retry(wave_d, p, res, t_lo, f_lo, ap_arrays[0],
-                           ap_arrays[1], max_iterations, use_osd,
-                           is_complex)
+        if ap_vm is not None:
+            # NOTE: re-extracts MF LLRs the mf_first path already computed
+            # for these candidates — accepted redundancy: threading llrs
+            # out of decode_waterfall_mf would change three jit signatures,
+            # and ap is a host-API sensitivity feature, not the hot path
+            res = ap_retry(wave_d, p, res, t_lo, f_lo, ap_vm[0], ap_vm[1],
+                           max_iterations, use_osd, is_complex)
         if first_res is None:
             first_res = res
         snr = estimate_snr(mag, res.payload, res.abs_time, res.abs_freq,

@@ -208,14 +208,8 @@ def decode_ft8_stacked(waves, sample_rate: float,
     p = waterfall_params(sample_rate, bins_per_tone, steps_per_symbol)
     if wave_d.shape[1] < p.nperseg:
         return []
-    ap_values = ap_mask = None
-    if ap:
-        from ..protocol.message import ap_hypotheses
-        calls = ([] if ap is True else str(ap).upper().split())
-        if len(calls) > 2:
-            raise ValueError("ap accepts at most 'MYCALL DXCALL'")
-        vals, msk = ap_hypotheses(*calls)
-        ap_values, ap_mask = jnp.asarray(vals), jnp.asarray(msk)
+    from .decode import ap_arrays
+    ap_values, ap_mask = ap_arrays(ap) if ap else (None, None)
     num_frames = p.num_frames(wave_d.shape[1])
     res, mag = _decode_slot_stacked_with_mag(
         wave_d, p, num_frames, max_candidates, float(min_score),

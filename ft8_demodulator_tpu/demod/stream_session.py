@@ -104,11 +104,17 @@ class StreamSession:
                 res = mf_retry(jnp.asarray(chunk), self.p, res, 0, 0,
                                cfg.max_iterations, cfg.use_osd,
                                mf_refine=refine)
-        from .decode import estimate_snr
-        snr = np.asarray(estimate_snr(
-            mag, res.payload, res.abs_time, res.abs_freq, self.p.time_osr,
-            self.p.freq_osr, valid_frames=self.p.num_frames(take)))
+        res_d = res
         res = {k: np.asarray(v) for k, v in res._asdict().items()}
+        snr = None
+        if res["success"].any():
+            # idle blocks (the common monitoring case) skip the SNR kernel
+            # and its host sync entirely
+            from .decode import estimate_snr
+            snr = np.asarray(estimate_snr(
+                mag, res_d.payload, res_d.abs_time, res_d.abs_freq,
+                self.p.time_osr, self.p.freq_osr,
+                valid_frames=self.p.num_frames(take)))
 
         hop_seconds = C.SYMBOL_PERIOD_S / self.p.time_osr
         freq_step = C.TONE_SPACING_HZ / self.p.freq_osr

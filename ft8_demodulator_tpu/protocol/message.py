@@ -534,6 +534,11 @@ def ap_hypotheses(my_call: str | None = None,
     def bits_of(val, width):
         return [(val >> (width - 1 - i)) & 1 for i in range(width)]
 
+    if dx_call is not None and my_call is None:
+        raise ValueError("dx_call hypotheses need my_call too (the dx "
+                         "call occupies the second field only in a "
+                         "directed reply)")
+
     def call_c28(tok):
         c28 = _pack28(tok.strip().upper())
         if c28 is None:

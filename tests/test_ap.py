@@ -116,3 +116,8 @@ def test_ap_composes_with_stacking():
     rs = decode_ft8_stacked(sig, FS, min_score=1.0, use_osd=True,
                             ap="K1ABC")
     assert any(r.message.payload == want for r in rs)
+
+
+def test_ap_hypotheses_dx_requires_my():
+    with pytest.raises(ValueError, match="my_call"):
+        ap_hypotheses(None, "W9XYZ")
