@@ -21,6 +21,15 @@ import time
 
 import numpy as np
 
+def _cache():
+    import os, sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ft8_demodulator_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+
+_cache()
+
 REFERENCE_SECONDS_PER_SLOT = 11.71  # measured; see module docstring
 
 FS = 12000.0

@@ -27,6 +27,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from ft8_demodulator_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+enable_compilation_cache()
+
 FS = 32768.0
 F0 = 1000.0
 DRIFT = 568.0

@@ -24,6 +24,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from ft8_demodulator_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+enable_compilation_cache()
+
 
 def run_curve(fs: float, snrs, trials: int, f0: float = None,
               min_score: float = 1.0, max_candidates: int = 20,
@@ -108,15 +111,21 @@ def run_curve(fs: float, snrs, trials: int, f0: float = None,
 
     @jax.jit
     def decode_batch(waves):
-        def one(w):
-            res = decode_slot(
-                w, p, num_frames, max_candidates=max_candidates,
-                min_score=min_score, max_iterations=20, use_osd=use_osd,
-                use_mf=use_mf, mf_first=mf_first, mf_refine=mf_refine)
-            if use_ap:
-                res = ap_retry(w, p, res, 0, 0, ap_v, ap_m, 20, use_osd)
-            return res
-        return jax.vmap(one)(waves)
+        return jax.vmap(lambda w: decode_slot(
+            w, p, num_frames, max_candidates=max_candidates,
+            min_score=min_score, max_iterations=20, use_osd=use_osd,
+            use_mf=use_mf, mf_first=mf_first, mf_refine=mf_refine))(waves)
+
+    def ap_pass(waves, res):
+        # per-trial jitted AP retry (compiled once, reused): vmapping the
+        # retry's MF re-extraction blows up XLA:CPU compile times
+        rows = []
+        for i in range(trials):
+            rows.append(ap_retry(
+                waves[i], p,
+                jax.tree_util.tree_map(lambda a: a[i], res),
+                0, 0, ap_v, ap_m, 20, use_osd))
+        return jax.tree_util.tree_map(lambda *a: jnp.stack(a), *rows)
 
     payloads_d = jnp.asarray(payloads)
     expected = payloads.copy()
@@ -127,7 +136,10 @@ def run_curve(fs: float, snrs, trials: int, f0: float = None,
     for snr in snrs:
         noise = jnp.asarray(
             rng.standard_normal((trials, n)).astype(np.float32))
-        res = decode_batch(synth(payloads_d, noise, jnp.float32(snr)))
+        waves = synth(payloads_d, noise, jnp.float32(snr))
+        res = decode_batch(waves)
+        if use_ap:
+            res = ap_pass(waves, res)
         ok = 0
         pl = np.asarray(res.payload)
         su = np.asarray(res.success)

@@ -24,6 +24,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from ft8_demodulator_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+enable_compilation_cache()
+
 
 def run_stack_curve(fs: float, snrs, trials: int, repeats: int,
                     min_score: float = 1.0, max_candidates: int = 20,

@@ -82,6 +82,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "min-score 1, OSD (only fills in options you did "
                         "not set explicitly — e.g. --deep --max-candidates "
                         "100 keeps 100)")
+    p.add_argument("--coherent", action="store_true",
+                   help="coherent matched-filter retry: project complex "
+                        "symbol correlations onto the transmission's "
+                        "common carrier-phase track (FT8's modulation "
+                        "index is exactly 1) — the deepest single-"
+                        "transmission decoder here (~+1.5 dB past "
+                        "--mf-refine at the off-grid cliff; includes its "
+                        "own time/frequency offset search)")
     p.add_argument("--ap", action="store_true",
                    help="a-priori decoding: retry failed candidates with "
                         "known payload bits clamped in the LDPC decoder "
@@ -191,6 +199,8 @@ def main(argv=None) -> int:
             unsupported.append("--no-dedup")
         if args.ap:
             unsupported.append("--ap")
+        if args.coherent:
+            unsupported.append("--coherent")
         if unsupported:
             parser.error("--stream does not support: "
                          + ", ".join(unsupported))
@@ -198,6 +208,7 @@ def main(argv=None) -> int:
         unsupported = [name for name, bad in [
             ("--stream", args.stream), ("--metrics", args.metrics),
             ("--mf-refine", args.mf_refine),
+            ("--coherent", args.coherent),
             ("--freq-min", args.freq_min is not None),
             ("--freq-max", args.freq_max is not None),
             ("--time-min", args.time_min is not None),
@@ -337,6 +348,7 @@ def main(argv=None) -> int:
             mf_first=args.mf_first,
             mf_refine=args.mf_refine,
             ap=args.ap,
+            coherent=args.coherent,
         )
         if args.metrics:
             import json

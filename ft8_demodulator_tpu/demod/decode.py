@@ -22,7 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.ldpc_decode import bp_decode_batch
-from ..ops.llr import (extract_llrs, extract_llrs_matched,
+from ..ops.llr import (extract_llrs, extract_llrs_coherent,
+                       extract_llrs_matched,
                        extract_llrs_matched_blocks,
                        extract_llrs_matched_refined)
 from ..ops.osd import osd_decode_batch
@@ -35,7 +36,7 @@ from .types import FT8Decode, FT8DecodeStatus, FT8Message, SlotDecodeResult
 
 __all__ = ["decode_waterfall", "decode_waterfall_mf", "decode_slot",
            "decode_ft8_message", "finish_decode", "mf_retry",
-           "ap_retry", "estimate_snr"]
+           "ap_retry", "coherent_retry", "estimate_snr"]
 
 _CRC_MATRIX_77_T = jnp.asarray(C.CRC_MATRIX_77.T, dtype=jnp.float32)
 _CRC_WEIGHTS = jnp.asarray(2 ** np.arange(C.CRC_BITS - 1, -1, -1),
@@ -309,6 +310,52 @@ def decode_slot(wave: jnp.ndarray, p: WaterfallParams, num_frames: int,
     return res
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "p", "max_iterations", "use_osd", "is_complex", "num_branches"))
+def coherent_retry(wave: jnp.ndarray, p: WaterfallParams,
+                   res: SlotDecodeResult, t0_hops, f0_rows,
+                   max_iterations: int = 20, use_osd: bool = False,
+                   is_complex: bool = False,
+                   num_branches: int = 5) -> SlotDecodeResult:
+    """Coherent matched-filter retry (beyond the reference).
+
+    FT8's integer modulation index makes the whole transmission's complex
+    symbol correlations share one carrier phase track; projecting onto
+    the track estimated from the 21 Costas cells halves the detection
+    noise (ops/llr.py extract_llrs_coherent).  The track's frequency has
+    a 1/(36 T) branch ambiguity, so B branch variants decode as one
+    (B*K) batch and BP + CRC pick each candidate's first valid branch —
+    the same arbitration pattern as ap_retry.  The built-in (dt, df)
+    search covers the full candidate-grid quantisation cell, so this
+    retry needs no mf_refine before it.  Measured (random off-grid
+    placement, fs 2 kHz): 50 %-yield ~-17.2 dB vs -15.5 for the refined
+    noncoherent path (docs/DESIGN_NOTES.md); 0 false accepts over noise.
+    """
+    llrs = extract_llrs_coherent(
+        wave, res.abs_time + jnp.int32(t0_hops),
+        res.abs_freq + jnp.int32(f0_rows), p.nperseg, p.hop, p.freq_osr,
+        is_complex, num_branches)
+    b, k = llrs.shape[0], llrs.shape[1]
+    rep = lambda a: jnp.tile(a, (b,) + (1,) * (a.ndim - 1)) \
+        if a.ndim > 1 else jnp.tile(a, b)
+    sub = finish_decode(llrs.reshape(b * k, C.LDPC_N),
+                        rep(res.abs_time), rep(res.abs_freq),
+                        rep(res.score), rep(res.candidate_valid),
+                        max_iterations, use_osd)
+    succ = sub.success.reshape(b, k)
+    pick = jnp.argmax(succ, axis=0)
+    idx = pick * k + jnp.arange(k)
+    picked = SlotDecodeResult(
+        success=jnp.any(succ, axis=0),
+        payload=sub.payload[idx], crc=sub.crc[idx],
+        crc_extracted=sub.crc_extracted[idx],
+        ldpc_errors=sub.ldpc_errors[idx],
+        abs_time=res.abs_time, abs_freq=res.abs_freq, score=res.score,
+        candidate_valid=res.candidate_valid,
+    )
+    return _merge_results(res, picked)
+
+
 def ap_arrays(ap) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Host `ap` argument (True / "MYCALL" / "MYCALL DXCALL") -> device
     (values, mask) hypothesis arrays.  Shared by decode_ft8_message and
@@ -518,7 +565,8 @@ def decode_ft8_message(wave_data, sample_rate: float,
                        use_mf: bool = False,
                        mf_first: bool = False,
                        mf_refine: bool = False,
-                       ap: bool | str = False):
+                       ap: bool | str = False,
+                       coherent: bool = False):
     """Decode all FT8 messages in an audio capture (host API).
 
     Mirrors the reference decode_ft8_message (ft8_decode.py:288) with two
@@ -548,6 +596,15 @@ def decode_ft8_message(wave_data, sample_rate: float,
     extract_llrs_matched_refined): the candidate grid quantises time to
     ~1/4 symbol and frequency to half a bin, costing off-grid signals up
     to ~3 dB of boxcar detection SNR at the cell corners.
+
+    coherent=True adds the coherent matched-filter retry (beyond the
+    reference; the deepest single-transmission decoder in the package):
+    failed candidates re-decode from complex symbol correlations
+    projected onto the transmission's common carrier-phase track (FT8's
+    modulation index is exactly 1), with BP+CRC arbitrating the track's
+    frequency-branch ambiguity.  ~+1.7 dB over the refined noncoherent
+    path at the off-grid 50 %-yield point; includes its own (dt, df)
+    search, so it does not need mf_refine.
 
     ap enables a-priori decoding (beyond the reference, WSJT-X-style):
     candidates the normal decode cannot crack are retried with known
@@ -641,6 +698,9 @@ def decode_ft8_message(wave_data, sample_rate: float,
             if use_mf:
                 res = mf_retry(wave_d, p, res, t_lo, f_lo, max_iterations,
                                use_osd, is_complex, mf_refine)
+        if coherent:
+            res = coherent_retry(wave_d, p, res, t_lo, f_lo,
+                                 max_iterations, use_osd, is_complex)
         if ap_vm is not None:
             # NOTE: re-extracts MF LLRs the mf_first path already computed
             # for these candidates — accepted redundancy: threading llrs

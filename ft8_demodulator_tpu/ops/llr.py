@@ -472,3 +472,218 @@ def _mf_direct_powers(wave: jnp.ndarray, abs_time: jnp.ndarray,
     re = mm(xr, tc) - mm(xi, ts)                          # (K, 58, 8)
     im = mm(xr, ts) + mm(xi, tc)
     return re * re + im * im
+
+
+# ---------------------------------------------------------------------------
+# coherent matched-filter extraction (beyond the reference)
+
+@functools.partial(jax.jit, static_argnames=("sps", "hop", "freq_osr",
+                                             "is_complex", "num_branches"))
+def extract_llrs_coherent(wave: jnp.ndarray, abs_time: jnp.ndarray,
+                          abs_freq: jnp.ndarray, sps: int, hop: int,
+                          freq_osr: int, is_complex: bool = False,
+                          num_branches: int = 5) -> jnp.ndarray:
+    """Coherent matched-filter LLR variants: (B, K, 174).
+
+    FT8's modulation index is exactly 1 (6.25 Hz x 0.16 s), so every tone
+    returns to the SAME carrier phase at each symbol boundary: the
+    complex one-symbol tone correlations C(s, k) of a whole transmission
+    share one phase track theta + 2pi*df*T*s (+ a tone term 2pi*k*dt/sps
+    for timing offset dt).  Projecting C onto that track keeps only the
+    in-phase noise component — coherent FSK detection, worth ~2 dB over
+    the noncoherent |C|^2 at the sensitivity cliff (docs/DESIGN_NOTES.md,
+    measured).
+
+    The track is estimated from the 21 known Costas cells.  Because the
+    Costas blocks sit 36 symbols apart, |sum| as a function of df has
+    near-equal sidelobes every 1/(36 T) Hz — at cliff SNR the argmax
+    lands on the wrong branch often at ANY SNR, so this returns B =
+    num_branches LLR variants (centre branch first) and the caller lets
+    BP + CRC arbitrate, exactly like the AP hypothesis decode
+    (demod.decode coherent_retry; measured 0 false accepts over 100
+    noise slots).
+
+    Estimation pipeline, all Costas-cells-only until the final extract:
+    1. dt slice grid over +-hop/2 (9 steps): re-sliced Costas
+       correlations, coarse-df coherence metric -> best dt per candidate.
+    2. coarse df grid (+-0.12 cycles/symbol) at dt* -> centre branch.
+    3. per branch: fine (df x fractional-dt phase) grid -> (theta, df,
+       dtf) track.
+    4. one full 79-symbol extraction at dt*, projected per branch.
+    """
+    phi = freq_osr
+    k = abs_freq.shape[0]
+    costas_pos = np.where(C.FRAME_IS_COSTAS)[0]                  # (21,)
+    costas_tone = C.FRAME_COSTAS_TONE[costas_pos]                # (21,)
+    cpos = jnp.asarray(costas_pos)
+    ctone = jnp.asarray(costas_tone)
+
+    if not is_complex:
+        # real input carries the negative-frequency image, and at FT8's
+        # geometry the image term of every tone is COHERENT across
+        # symbols (2 f0 T is an integer whenever f0 sits on the tone
+        # grid): it forms a counter-rotating second phase track of equal
+        # amplitude that bends/duplicates the coherence peaks.  One FFT
+        # to the analytic signal removes it exactly.
+        n = wave.shape[0]
+        spec = jnp.fft.fft(wave.astype(jnp.complex64))
+        weight = jnp.zeros(n, jnp.float32).at[0].set(1.0)
+        weight = weight.at[1:(n + 1) // 2].set(2.0)
+        if n % 2 == 0:
+            weight = weight.at[n // 2].set(1.0)
+        analytic = jnp.fft.ifft(spec * weight)
+        wave = jnp.stack([jnp.real(analytic), jnp.imag(analytic)], -1)
+        is_complex = True
+
+    n_sig = C.NUM_SYMBOLS * sps
+    pad_spec = [(n_sig, n_sig)] + [(0, 0)] * (wave.ndim - 1)
+    xp = jnp.pad(wave.astype(jnp.float32), pad_spec)
+
+    mixc_t, mixs_t = _mf_mix_tables(sps, phi)
+    q = jnp.mod(abs_freq.astype(jnp.int32), sps * phi)
+    tab = jnp.mod(q[:, None] * jnp.arange(sps)[None, :], sps * phi)
+    mc_all = jnp.asarray(mixc_t)[tab]                            # (K, sps)
+    ms_all = jnp.asarray(mixs_t)[tab]
+    tc, ts = _mf_tone_matrices(sps)
+    tc, ts = jnp.asarray(tc), jnp.asarray(ts)
+    hp = jax.lax.Precision.HIGH
+
+    def complex_syms(dt_samples, positions):
+        """(K, P, 8) complex tone correlations at slice offset dt."""
+        def windows(s0):
+            start = jnp.clip(s0 + n_sig + dt_samples, 0,
+                             xp.shape[0] - n_sig)
+            w = jax.lax.dynamic_slice_in_dim(xp, start, n_sig, axis=0)
+            w = w.reshape((C.NUM_SYMBOLS, sps) + wave.shape[1:])
+            return w[positions]
+
+        win = jax.vmap(windows)(abs_time * hop)         # (K, P, sps[, 2])
+        mc = mc_all[:, None, :]
+        ms = ms_all[:, None, :]
+        if is_complex:
+            wr, wi = win[..., 0], win[..., 1]
+            xr = wr * mc - wi * ms
+            xi = wr * ms + wi * mc
+        else:
+            xr, xi = win * mc, win * ms
+        re = jnp.matmul(xr, tc, precision=hp) \
+            - jnp.matmul(xi, ts, precision=hp)
+        im = jnp.matmul(xr, ts, precision=hp) \
+            + jnp.matmul(xi, tc, precision=hp)
+        return re, im                                   # (K, P, 8) each
+
+    def costas_z(re, im):
+        """On-track Costas complex values (K, 21)."""
+        sel = jax.nn.one_hot(ctone, 8, dtype=re.dtype)  # (21, 8)
+        zr = jnp.sum(re * sel[None], axis=-1)
+        zi = jnp.sum(im * sel[None], axis=-1)
+        return zr, zi
+
+    # -- stage 1: dt slice grid, coarse-df coherence metric ----------------
+    dts = np.round(np.linspace(-hop // 2, hop // 2, 9)).astype(np.int32)
+    # candidate frequency is quantised to +-half a waterfall row =
+    # +-1/(2 phi) cycles/symbol; cover it with margin.  The coherence
+    # main lobe is only ~1/NUM_SYMBOLS wide, so the grid must sample it
+    # ~4x per lobe or on-grid sidelobes beat an off-grid main peak
+    half_row = 0.5 / phi + 0.02
+    n_coarse = int(np.ceil(2 * half_row * 4 * C.NUM_SYMBOLS)) | 1
+    deltas = jnp.linspace(-half_row, half_row, n_coarse)  # cycles/symbol
+    ramp = -2.0 * jnp.pi * deltas[:, None] * cpos[None, :].astype(
+        jnp.float32)                                    # (D, 21)
+    rc, rs = jnp.cos(ramp), jnp.sin(ramp)
+
+    def coherence(zr, zi):
+        """max over coarse df of |sum_costas z e^{-j ramp}|^2: (K,)."""
+        sr = zr @ rc.T - zi @ rs.T                      # (K, D)
+        si = zr @ rs.T + zi @ rc.T
+        return jnp.max(sr * sr + si * si, axis=-1)
+
+    zs = []
+    mets = []
+    for dt in dts:                                      # static unroll (9)
+        re_c, im_c = complex_syms(int(dt), costas_pos)
+        zr, zi = costas_z(re_c, im_c)
+        zs.append((zr, zi))
+        mets.append(coherence(zr, zi))
+    met = jnp.stack(mets)                               # (9, K)
+    best_dt = jnp.argmax(met, axis=0)                   # (K,)
+    zr_all = jnp.stack([z[0] for z in zs])              # (9, K, 21)
+    zi_all = jnp.stack([z[1] for z in zs])
+    zr0 = jnp.take_along_axis(zr_all, best_dt[None, :, None], 0)[0]
+    zi0 = jnp.take_along_axis(zi_all, best_dt[None, :, None], 0)[0]
+
+    # -- stage 2: centre branch from the coarse grid ------------------------
+    sr = zr0 @ rc.T - zi0 @ rs.T                        # (K, D)
+    si = zr0 @ rs.T + zi0 @ rc.T
+    d_centre = deltas[jnp.argmax(sr * sr + si * si, axis=-1)]   # (K,)
+
+    # -- stage 3+4: per-branch fine track + projection ----------------------
+    # one full 79-symbol extraction per candidate at its best dt (the dt
+    # enters the slice start index)
+    def windows_dt(s0, dt_samples):
+        start = jnp.clip(s0 + n_sig + dt_samples, 0, xp.shape[0] - n_sig)
+        w = jax.lax.dynamic_slice_in_dim(xp, start, n_sig, axis=0)
+        return w.reshape((C.NUM_SYMBOLS, sps) + wave.shape[1:])
+
+    win = jax.vmap(windows_dt)(abs_time * hop,
+                               jnp.asarray(dts)[best_dt])
+    mc = mc_all[:, None, :]
+    ms = ms_all[:, None, :]
+    if is_complex:
+        wr, wi = win[..., 0], win[..., 1]
+        xr = wr * mc - wi * ms
+        xi = wr * ms + wi * mc
+    else:
+        xr, xi = win * mc, win * ms
+    re79 = jnp.matmul(xr, tc, precision=hp) - jnp.matmul(xi, ts,
+                                                         precision=hp)
+    im79 = jnp.matmul(xr, ts, precision=hp) + jnp.matmul(xi, tc,
+                                                         precision=hp)
+    zr79, zi79 = costas_z(re79[:, costas_pos], im79[:, costas_pos])
+
+    branch_step = 1.0 / 36.0                            # cycles/symbol
+    order = [0, 1, -1, 2, -2, 3, -3][:num_branches]
+    fine_d = jnp.linspace(-0.016, 0.016, 11)            # within-branch df
+    fine_t = jnp.linspace(-0.06, 0.06, 5)               # frac dt, symbols
+    s79 = jnp.arange(C.NUM_SYMBOLS).astype(jnp.float32)
+    tone8 = jnp.arange(8).astype(jnp.float32)
+
+    out = []
+    for m in order:
+        d_b = d_centre + m * branch_step                # (K,)
+        # fine grid: (K, F, T2) coherence over 21 cells
+        d_all = d_b[:, None] + fine_d[None, :]          # (K, F)
+        angf = -2.0 * jnp.pi * d_all[:, :, None, None] \
+            * cpos[None, None, None, :].astype(jnp.float32) \
+            - 2.0 * jnp.pi * fine_t[None, None, :, None] \
+            * ctone[None, None, None, :].astype(jnp.float32)
+        cf, sf = jnp.cos(angf), jnp.sin(angf)           # (K, F, T2, 21)
+        zrr = jnp.einsum("kc,kftc->kft", zr79, cf) \
+            - jnp.einsum("kc,kftc->kft", zi79, sf)
+        zii = jnp.einsum("kc,kftc->kft", zr79, sf) \
+            + jnp.einsum("kc,kftc->kft", zi79, cf)
+        mag = zrr * zrr + zii * zii
+        flat = mag.reshape(k, -1)
+        idx = jnp.argmax(flat, axis=-1)
+        fi, ti = idx // fine_t.shape[0], idx % fine_t.shape[0]
+        d_fin = jnp.take_along_axis(d_all, fi[:, None], 1)[:, 0]
+        t_fin = fine_t[ti]
+        th = jnp.arctan2(
+            jnp.take_along_axis(zii.reshape(k, -1), idx[:, None], 1)[:, 0],
+            jnp.take_along_axis(zrr.reshape(k, -1), idx[:, None], 1)[:, 0])
+        # project all (79, 8) cells onto the track
+        track = th[:, None, None] \
+            + 2.0 * jnp.pi * d_fin[:, None, None] * s79[None, :, None] \
+            + 2.0 * jnp.pi * t_fin[:, None, None] * tone8[None, None, :]
+        proj = re79 * jnp.cos(track) + im79 * jnp.sin(track)
+        proj = jnp.maximum(proj, 0.0)
+        powers = (proj * proj)[:, jnp.asarray(C.DATA_SYMBOL_POSITIONS)]
+        # LINEAR-domain max-diff LLRs: clamped projections are exactly 0,
+        # and the usual dB mapping would turn those into -120 dB outliers
+        # that dominate the variance normalisation (measured: dB-domain
+        # coherent LLRs decode WORSE than noncoherent; linear recovers
+        # the full coherent gain)
+        s2 = jnp.take(powers, _GRAY, axis=-1)
+        llr = _llr_from_powers(s2)
+        out.append(normalize_llrs(llr.reshape(k, C.LDPC_N)))
+    return jnp.stack(out)                               # (B, K, 174)

@@ -1,0 +1,36 @@
+"""Persistent XLA compilation cache.
+
+Every test session and benchmark run re-traces the same fixed-shape
+programs; without a persistent cache XLA recompiles them from scratch
+each time — minutes per program on this image's single CPU core, and
+multi-minute remote compiles for large programs on the tunneled TPU
+backend.  Pointing JAX's compilation cache at a directory makes the
+second run of ANY identical program load in milliseconds.
+
+Wired into tests/conftest.py, bench.py, and the benchmarks/ entry
+points.  The directory defaults to `.jax_cache/` at the repo root
+(gitignored) and can be moved with FT8_JAX_CACHE_DIR; FT8_JAX_CACHE=0
+disables it.
+"""
+
+from __future__ import annotations
+
+import os
+
+_DEFAULT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".jax_cache")
+
+
+def enable_compilation_cache() -> str | None:
+    """Turn on the persistent compile cache; returns the directory."""
+    if os.environ.get("FT8_JAX_CACHE", "1") == "0":
+        return None
+    import jax
+
+    path = os.environ.get("FT8_JAX_CACHE_DIR", _DEFAULT)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # cache everything that took meaningful compile time
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return path

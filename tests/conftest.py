@@ -26,6 +26,10 @@ if not TPU_LANE:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
 
+from ft8_demodulator_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 
 def pytest_collection_modifyitems(config, items):
     if TPU_LANE:

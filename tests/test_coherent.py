@@ -1,0 +1,79 @@
+"""Coherent matched-filter decoding tests (beyond-reference layer).
+
+FT8's modulation index is exactly 1, so all tones share one carrier
+phase at every symbol boundary; projecting the complex symbol
+correlations onto a Costas-estimated phase track halves the detection
+noise (ops/llr.py extract_llrs_coherent, demod.decode coherent_retry).
+BP + CRC arbitrate the track's 1/(36 T) frequency-branch ambiguity.
+"""
+
+import numpy as np
+
+from ft8_demodulator_tpu.demod import decode_ft8_message
+from ft8_demodulator_tpu.ops.gfsk import ft8_baseband, ft8_passband
+
+PAYLOAD = np.array([0x1C, 0x3F, 0x8A, 0x6A, 0xE2, 0x07, 0xA1, 0xE3, 0x94, 0x51],
+                   dtype=np.uint8)
+FS = 2000.0
+WANT = bytes(PAYLOAD.tolist()[:9]) + bytes([PAYLOAD[9] & 0xF8])
+KW = dict(min_score=1.0, use_osd=True, mf_first=True)
+
+
+def _signal(seed, snr_db, f0=400.7, start=530):
+    """Off-grid placement: fractional-row frequency, off-hop start."""
+    w = np.asarray(ft8_passband(PAYLOAD, FS, f0, 0.0))
+    sig = np.zeros(int(FS * 15), np.float32)
+    sig[start: start + len(w)] = w
+    sp = float(np.mean(w ** 2))
+    rng = np.random.default_rng(seed)
+    sig += rng.standard_normal(len(sig)).astype(np.float32) \
+        * np.sqrt(sp / 10 ** (snr_db / 10))
+    return sig
+
+
+def test_coherent_decodes_below_the_refined_cliff():
+    """-16.5 dB off-grid: the refined noncoherent path fails, the
+    coherent retry decodes (measured 6/8 seeds coherent-only; two
+    committed)."""
+    for seed in (0, 1):
+        sig = _signal(seed, -16.5)
+        refined = decode_ft8_message(sig, FS, mf_refine=True, **KW)
+        assert not any(r.message.payload == WANT for r in refined)
+        rows = decode_ft8_message(sig, FS, coherent=True, **KW)
+        assert any(r.message.payload == WANT for r in rows)
+
+
+def test_coherent_rejects_pure_noise():
+    """B branch variants x K candidates through BP+OSD+CRC accept
+    nothing on noise-only slots."""
+    for seed in range(4):
+        rng = np.random.default_rng(800 + seed)
+        noise = rng.standard_normal(int(FS * 15)).astype(np.float32)
+        assert decode_ft8_message(noise, FS, coherent=True, **KW) == []
+
+
+def test_coherent_complex_input():
+    """Complex baseband input skips the analytic conversion and decodes
+    through the same path."""
+    bb = np.asarray(ft8_baseband(PAYLOAD, FS, 350.4))
+    sig = np.zeros(int(FS * 15), np.complex64)
+    sig[530: 530 + len(bb)] = bb
+    sp = float(np.mean(np.abs(bb) ** 2))
+    rng = np.random.default_rng(2)
+    nz = rng.standard_normal(len(sig)) + 1j * rng.standard_normal(len(sig))
+    sig += (nz * np.sqrt(sp / 10 ** (-19.0 / 10) / 2)).astype(np.complex64)
+    plain = decode_ft8_message(sig, FS, mf_refine=True, **KW)
+    assert not any(r.message.payload == WANT for r in plain)
+    rows = decode_ft8_message(sig, FS, coherent=True, **KW)
+    assert any(r.message.payload == WANT for r in rows)
+
+
+def test_coherent_is_a_strict_superset():
+    """At an easy SNR both paths decode the same message; coherent never
+    loses a decode the base path had."""
+    sig = _signal(5, -10.0)
+    base = decode_ft8_message(sig, FS, **KW)
+    rows = decode_ft8_message(sig, FS, coherent=True, **KW)
+    assert {r.message.payload for r in base} \
+        <= {r.message.payload for r in rows}
+    assert any(r.message.payload == WANT for r in rows)
