@@ -208,7 +208,6 @@ def main(argv=None) -> int:
         unsupported = [name for name, bad in [
             ("--stream", args.stream), ("--metrics", args.metrics),
             ("--mf-refine", args.mf_refine),
-            ("--coherent", args.coherent),
             ("--freq-min", args.freq_min is not None),
             ("--freq-max", args.freq_max is not None),
             ("--time-min", args.time_min is not None),
@@ -285,6 +284,7 @@ def main(argv=None) -> int:
             use_osd=args.osd,
             deduplicate=not args.no_dedup,
             ap=args.ap,
+            coherent=args.coherent,
         )
         print(f"Stacked {r} cycles", file=info)
 

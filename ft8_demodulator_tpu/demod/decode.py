@@ -335,6 +335,19 @@ def coherent_retry(wave: jnp.ndarray, p: WaterfallParams,
         wave, res.abs_time + jnp.int32(t0_hops),
         res.abs_freq + jnp.int32(f0_rows), p.nperseg, p.hop, p.freq_osr,
         is_complex, num_branches)
+    return _merge_results(res, variant_retry(llrs, res, max_iterations,
+                                             use_osd))
+
+
+def variant_retry(llrs: jnp.ndarray, res: SlotDecodeResult,
+                  max_iterations: int, use_osd: bool) -> SlotDecodeResult:
+    """(B, K, 174) LLR variants -> per-candidate first valid decode.
+
+    Shared trace-level core of the CRC-arbitrated retries (coherent df
+    branches, stacked coherent): all B*K rows run one BP(+OSD) batch and
+    each candidate takes its FIRST validating variant.  Merge into an
+    existing result with _merge_results.
+    """
     b, k = llrs.shape[0], llrs.shape[1]
     rep = lambda a: jnp.tile(a, (b,) + (1,) * (a.ndim - 1)) \
         if a.ndim > 1 else jnp.tile(a, b)
@@ -345,7 +358,7 @@ def coherent_retry(wave: jnp.ndarray, p: WaterfallParams,
     succ = sub.success.reshape(b, k)
     pick = jnp.argmax(succ, axis=0)
     idx = pick * k + jnp.arange(k)
-    picked = SlotDecodeResult(
+    return SlotDecodeResult(
         success=jnp.any(succ, axis=0),
         payload=sub.payload[idx], crc=sub.crc[idx],
         crc_extracted=sub.crc_extracted[idx],
@@ -353,7 +366,6 @@ def coherent_retry(wave: jnp.ndarray, p: WaterfallParams,
         abs_time=res.abs_time, abs_freq=res.abs_freq, score=res.score,
         candidate_valid=res.candidate_valid,
     )
-    return _merge_results(res, picked)
 
 
 def ap_arrays(ap) -> tuple[jnp.ndarray, jnp.ndarray]:

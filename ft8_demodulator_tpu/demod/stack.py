@@ -90,13 +90,14 @@ def _stacked_mag_and_spec(waves: jnp.ndarray, p: WaterfallParams,
 
 @functools.partial(jax.jit, static_argnames=(
     "p", "num_frames", "max_candidates", "max_iterations", "is_complex",
-    "use_osd", "use_mf"))
+    "use_osd", "use_mf", "coherent"))
 def _decode_slot_stacked_with_mag(waves: jnp.ndarray, p: WaterfallParams,
                                   num_frames: int, max_candidates: int,
                                   min_score: float, max_iterations: int,
                                   is_complex: bool, use_osd: bool,
                                   use_mf: bool,
-                                  ap_values=None, ap_mask=None):
+                                  ap_values=None, ap_mask=None,
+                                  coherent: bool = False):
     """decode_slot_stacked core; also returns the stacked dB grid so the
     host API can estimate SNRs without recomputing the waterfall.
 
@@ -124,6 +125,16 @@ def _decode_slot_stacked_with_mag(waves: jnp.ndarray, p: WaterfallParams,
                             p.freq_osr, g.num_blocks)
     res = finish_decode(llrs, abs_time, abs_freq, score, cand_valid,
                         max_iterations, use_osd)
+    if coherent:
+        from ..ops.llr import extract_llrs_coherent_stacked
+        from .decode import _merge_results, variant_retry
+        # per-repeat carrier phases, shared (dt, df) search across
+        # repeats, projected powers summed noncoherently (ops/llr.py)
+        cllrs = extract_llrs_coherent_stacked(
+            waves, abs_time, abs_freq, p.nperseg, p.hop, p.freq_osr,
+            is_complex)
+        res = _merge_results(res, variant_retry(cllrs, res,
+                                                max_iterations, use_osd))
     if ap_values is not None:
         from .decode import _merge_results, ap_retry_llrs
         res = _merge_results(res, ap_retry_llrs(
@@ -188,7 +199,8 @@ def decode_ft8_stacked(waves, sample_rate: float,
                        use_osd: bool = False,
                        use_mf: bool = True,
                        deduplicate: bool = True,
-                       ap: bool | str = False) -> list[FT8Decode]:
+                       ap: bool | str = False,
+                       coherent: bool = False) -> list[FT8Decode]:
     """Decode one repeated transmission from R stacked slots (host API).
 
     waves: (R, n) real, (R, n) complex, or (R, n, 2) [re, im] — R captures
@@ -213,7 +225,8 @@ def decode_ft8_stacked(waves, sample_rate: float,
     num_frames = p.num_frames(wave_d.shape[1])
     res, mag = _decode_slot_stacked_with_mag(
         wave_d, p, num_frames, max_candidates, float(min_score),
-        max_iterations, is_complex, use_osd, use_mf, ap_values, ap_mask)
+        max_iterations, is_complex, use_osd, use_mf, ap_values, ap_mask,
+        coherent)
     snr = estimate_snr(mag, res.payload, res.abs_time, res.abs_freq,
                        p.time_osr, p.freq_osr,
                        stack_r=int(wave_d.shape[0]))

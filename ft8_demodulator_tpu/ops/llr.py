@@ -21,7 +21,8 @@ from ..protocol import constants as C
 __all__ = ["extract_llrs", "extract_llrs_matched",
            "extract_llrs_matched_blocks", "extract_llrs_matched_refined",
            "extract_llrs_matched_blocks_stacked",
-           "extract_llrs_matched_stacked", "normalize_llrs"]
+           "extract_llrs_matched_stacked", "extract_llrs_coherent",
+           "extract_llrs_coherent_stacked", "normalize_llrs"]
 
 # Tone order after Gray reordering: s2[j] = powers[GRAY_MAP[j]].
 _GRAY = jnp.asarray(C.GRAY_MAP)
@@ -477,8 +478,6 @@ def _mf_direct_powers(wave: jnp.ndarray, abs_time: jnp.ndarray,
 # ---------------------------------------------------------------------------
 # coherent matched-filter extraction (beyond the reference)
 
-@functools.partial(jax.jit, static_argnames=("sps", "hop", "freq_osr",
-                                             "is_complex", "num_branches"))
 def extract_llrs_coherent(wave: jnp.ndarray, abs_time: jnp.ndarray,
                           abs_freq: jnp.ndarray, sps: int, hop: int,
                           freq_osr: int, is_complex: bool = False,
@@ -500,16 +499,41 @@ def extract_llrs_coherent(wave: jnp.ndarray, abs_time: jnp.ndarray,
     lands on the wrong branch often at ANY SNR, so this returns B =
     num_branches LLR variants (centre branch first) and the caller lets
     BP + CRC arbitrate, exactly like the AP hypothesis decode
-    (demod.decode coherent_retry; measured 0 false accepts over 100
-    noise slots).
+    (demod.decode coherent_retry; measured 0 false accepts over noise
+    controls).
 
     Estimation pipeline, all Costas-cells-only until the final extract:
     1. dt slice grid over +-hop/2 (9 steps): re-sliced Costas
        correlations, coarse-df coherence metric -> best dt per candidate.
-    2. coarse df grid (+-0.12 cycles/symbol) at dt* -> centre branch.
+    2. coarse df grid (dense: the coherence main lobe is 1/79 c/s wide)
+       at dt* -> centre branch.
     3. per branch: fine (df x fractional-dt phase) grid -> (theta, df,
        dtf) track.
-    4. one full 79-symbol extraction at dt*, projected per branch.
+    4. one full 79-symbol extraction at dt*, projected per branch;
+       LLRs formed in the LINEAR power domain (clamped projections are
+       exactly 0 — the dB mapping would turn them into -120 dB outliers
+       that dominate the variance normalisation).
+    """
+    return extract_llrs_coherent_stacked(
+        wave[None], abs_time, abs_freq, sps, hop, freq_osr, is_complex,
+        num_branches)
+
+
+@functools.partial(jax.jit, static_argnames=("sps", "hop", "freq_osr",
+                                             "is_complex", "num_branches"))
+def extract_llrs_coherent_stacked(waves: jnp.ndarray, abs_time: jnp.ndarray,
+                                  abs_freq: jnp.ndarray, sps: int, hop: int,
+                                  freq_osr: int, is_complex: bool = False,
+                                  num_branches: int = 5) -> jnp.ndarray:
+    """Repeat-stacked coherent LLR variants from (R, n[, 2]) audio.
+
+    Each repeat of a beacon has its OWN carrier phase (no cross-cycle
+    coherence over 15-s gaps), but all repeats share the candidate's
+    (dt, df): the track search combines the per-repeat coherence
+    metrics |z_r|^2 noncoherently — 3x the branch-resolution evidence at
+    R = 3 — then fits one theta_r per repeat at the winning point, and
+    sums the PROJECTED powers across repeats before LLR formation.
+    R = 1 reduces exactly to extract_llrs_coherent.
     """
     phi = freq_osr
     k = abs_freq.shape[0]
@@ -524,165 +548,140 @@ def extract_llrs_coherent(wave: jnp.ndarray, abs_time: jnp.ndarray,
         # symbols (2 f0 T is an integer whenever f0 sits on the tone
         # grid): it forms a counter-rotating second phase track of equal
         # amplitude that bends/duplicates the coherence peaks.  One FFT
-        # to the analytic signal removes it exactly.
-        n = wave.shape[0]
-        spec = jnp.fft.fft(wave.astype(jnp.complex64))
+        # per repeat to the analytic signal removes it exactly.
+        n = waves.shape[1]
+        spec = jnp.fft.fft(waves.astype(jnp.complex64), axis=1)
         weight = jnp.zeros(n, jnp.float32).at[0].set(1.0)
         weight = weight.at[1:(n + 1) // 2].set(2.0)
         if n % 2 == 0:
             weight = weight.at[n // 2].set(1.0)
-        analytic = jnp.fft.ifft(spec * weight)
-        wave = jnp.stack([jnp.real(analytic), jnp.imag(analytic)], -1)
-        is_complex = True
+        analytic = jnp.fft.ifft(spec * weight[None, :], axis=1)
+        waves = jnp.stack([jnp.real(analytic), jnp.imag(analytic)], -1)
 
     n_sig = C.NUM_SYMBOLS * sps
-    pad_spec = [(n_sig, n_sig)] + [(0, 0)] * (wave.ndim - 1)
-    xp = jnp.pad(wave.astype(jnp.float32), pad_spec)
+    pad_spec = [(0, 0), (n_sig, n_sig), (0, 0)]
+    xp = jnp.pad(waves.astype(jnp.float32), pad_spec)    # (R, n+2p, 2)
 
     mixc_t, mixs_t = _mf_mix_tables(sps, phi)
     q = jnp.mod(abs_freq.astype(jnp.int32), sps * phi)
     tab = jnp.mod(q[:, None] * jnp.arange(sps)[None, :], sps * phi)
-    mc_all = jnp.asarray(mixc_t)[tab]                            # (K, sps)
+    mc_all = jnp.asarray(mixc_t)[tab]                    # (K, sps)
     ms_all = jnp.asarray(mixs_t)[tab]
     tc, ts = _mf_tone_matrices(sps)
     tc, ts = jnp.asarray(tc), jnp.asarray(ts)
     hp = jax.lax.Precision.HIGH
 
-    def complex_syms(dt_samples, positions):
-        """(K, P, 8) complex tone correlations at slice offset dt."""
-        def windows(s0):
-            start = jnp.clip(s0 + n_sig + dt_samples, 0,
-                             xp.shape[0] - n_sig)
-            w = jax.lax.dynamic_slice_in_dim(xp, start, n_sig, axis=0)
-            w = w.reshape((C.NUM_SYMBOLS, sps) + wave.shape[1:])
+    def complex_syms(xp_r, dt_samples, positions):
+        """One repeat (n+2p, 2) -> (K, P, 8) complex tone correlations."""
+        def windows(s0, dt):
+            start = jnp.clip(s0 + n_sig + dt, 0, xp_r.shape[0] - n_sig)
+            w = jax.lax.dynamic_slice_in_dim(xp_r, start, n_sig, axis=0)
+            w = w.reshape((C.NUM_SYMBOLS, sps, 2))
             return w[positions]
 
-        win = jax.vmap(windows)(abs_time * hop)         # (K, P, sps[, 2])
+        dt_b = jnp.broadcast_to(jnp.asarray(dt_samples), abs_time.shape)
+        win = jax.vmap(windows)(abs_time * hop, dt_b)   # (K, P, sps, 2)
         mc = mc_all[:, None, :]
         ms = ms_all[:, None, :]
-        if is_complex:
-            wr, wi = win[..., 0], win[..., 1]
-            xr = wr * mc - wi * ms
-            xi = wr * ms + wi * mc
-        else:
-            xr, xi = win * mc, win * ms
+        wr, wi = win[..., 0], win[..., 1]
+        xr = wr * mc - wi * ms
+        xi = wr * ms + wi * mc
         re = jnp.matmul(xr, tc, precision=hp) \
             - jnp.matmul(xi, ts, precision=hp)
         im = jnp.matmul(xr, ts, precision=hp) \
             + jnp.matmul(xi, tc, precision=hp)
-        return re, im                                   # (K, P, 8) each
+        return re, im                                   # (K, P, 8)
 
     def costas_z(re, im):
-        """On-track Costas complex values (K, 21)."""
+        """On-track Costas complex values (..., 21)."""
         sel = jax.nn.one_hot(ctone, 8, dtype=re.dtype)  # (21, 8)
-        zr = jnp.sum(re * sel[None], axis=-1)
-        zi = jnp.sum(im * sel[None], axis=-1)
+        zr = jnp.sum(re * sel, axis=-1)
+        zi = jnp.sum(im * sel, axis=-1)
         return zr, zi
 
     # -- stage 1: dt slice grid, coarse-df coherence metric ----------------
     dts = np.round(np.linspace(-hop // 2, hop // 2, 9)).astype(np.int32)
     # candidate frequency is quantised to +-half a waterfall row =
-    # +-1/(2 phi) cycles/symbol; cover it with margin.  The coherence
-    # main lobe is only ~1/NUM_SYMBOLS wide, so the grid must sample it
-    # ~4x per lobe or on-grid sidelobes beat an off-grid main peak
+    # +-1/(2 phi) cycles/symbol; cover with margin.  The coherence main
+    # lobe is only ~1/NUM_SYMBOLS wide, so sample it ~4x per lobe or
+    # on-grid sidelobes beat an off-grid main peak (measured)
     half_row = 0.5 / phi + 0.02
     n_coarse = int(np.ceil(2 * half_row * 4 * C.NUM_SYMBOLS)) | 1
-    deltas = jnp.linspace(-half_row, half_row, n_coarse)  # cycles/symbol
+    deltas = jnp.linspace(-half_row, half_row, n_coarse)
     ramp = -2.0 * jnp.pi * deltas[:, None] * cpos[None, :].astype(
         jnp.float32)                                    # (D, 21)
     rc, rs = jnp.cos(ramp), jnp.sin(ramp)
 
-    def coherence(zr, zi):
-        """max over coarse df of |sum_costas z e^{-j ramp}|^2: (K,)."""
-        sr = zr @ rc.T - zi @ rs.T                      # (K, D)
-        si = zr @ rs.T + zi @ rc.T
-        return jnp.max(sr * sr + si * si, axis=-1)
+    def rep_costas(dt):
+        """All repeats' Costas values at slice dt: (R, K, 21) x2."""
+        re, im = jax.vmap(lambda x: complex_syms(x, dt, costas_pos))(xp)
+        return costas_z(re, im)
 
-    zs = []
+    def spectrum(zr, zi):
+        """Summed-over-repeats coherence spectrum (K, D)."""
+        sr = zr @ rc.T - zi @ rs.T                      # (R, K, D)
+        si = zr @ rs.T + zi @ rc.T
+        return jnp.sum(sr * sr + si * si, axis=0)
+
     mets = []
     for dt in dts:                                      # static unroll (9)
-        re_c, im_c = complex_syms(int(dt), costas_pos)
-        zr, zi = costas_z(re_c, im_c)
-        zs.append((zr, zi))
-        mets.append(coherence(zr, zi))
-    met = jnp.stack(mets)                               # (9, K)
-    best_dt = jnp.argmax(met, axis=0)                   # (K,)
-    zr_all = jnp.stack([z[0] for z in zs])              # (9, K, 21)
-    zi_all = jnp.stack([z[1] for z in zs])
-    zr0 = jnp.take_along_axis(zr_all, best_dt[None, :, None], 0)[0]
-    zi0 = jnp.take_along_axis(zi_all, best_dt[None, :, None], 0)[0]
+        zr, zi = rep_costas(int(dt))
+        mets.append(jnp.max(spectrum(zr, zi), axis=-1))
+    best_dt = jnp.argmax(jnp.stack(mets), axis=0)       # (K,)
+
+    # -- full extraction per repeat at each candidate's best dt ------------
+    dt_sel = jnp.asarray(dts)[best_dt]                  # (K,)
+    re79, im79 = jax.vmap(
+        lambda x: complex_syms(x, dt_sel, np.arange(C.NUM_SYMBOLS)))(xp)
+    zr79, zi79 = costas_z(re79[:, :, costas_pos], im79[:, :, costas_pos])
 
     # -- stage 2: centre branch from the coarse grid ------------------------
-    sr = zr0 @ rc.T - zi0 @ rs.T                        # (K, D)
-    si = zr0 @ rs.T + zi0 @ rc.T
-    d_centre = deltas[jnp.argmax(sr * sr + si * si, axis=-1)]   # (K,)
+    spec_c = spectrum(zr79, zi79)                       # (K, D)
+    d_centre = deltas[jnp.argmax(spec_c, axis=-1)]      # (K,)
 
     # -- stage 3+4: per-branch fine track + projection ----------------------
-    # one full 79-symbol extraction per candidate at its best dt (the dt
-    # enters the slice start index)
-    def windows_dt(s0, dt_samples):
-        start = jnp.clip(s0 + n_sig + dt_samples, 0, xp.shape[0] - n_sig)
-        w = jax.lax.dynamic_slice_in_dim(xp, start, n_sig, axis=0)
-        return w.reshape((C.NUM_SYMBOLS, sps) + wave.shape[1:])
-
-    win = jax.vmap(windows_dt)(abs_time * hop,
-                               jnp.asarray(dts)[best_dt])
-    mc = mc_all[:, None, :]
-    ms = ms_all[:, None, :]
-    if is_complex:
-        wr, wi = win[..., 0], win[..., 1]
-        xr = wr * mc - wi * ms
-        xi = wr * ms + wi * mc
-    else:
-        xr, xi = win * mc, win * ms
-    re79 = jnp.matmul(xr, tc, precision=hp) - jnp.matmul(xi, ts,
-                                                         precision=hp)
-    im79 = jnp.matmul(xr, ts, precision=hp) + jnp.matmul(xi, tc,
-                                                         precision=hp)
-    zr79, zi79 = costas_z(re79[:, costas_pos], im79[:, costas_pos])
-
     branch_step = 1.0 / 36.0                            # cycles/symbol
     order = [0, 1, -1, 2, -2, 3, -3][:num_branches]
     fine_d = jnp.linspace(-0.016, 0.016, 11)            # within-branch df
     fine_t = jnp.linspace(-0.06, 0.06, 5)               # frac dt, symbols
     s79 = jnp.arange(C.NUM_SYMBOLS).astype(jnp.float32)
     tone8 = jnp.arange(8).astype(jnp.float32)
+    t2 = fine_t.shape[0]
 
     out = []
     for m in order:
         d_b = d_centre + m * branch_step                # (K,)
-        # fine grid: (K, F, T2) coherence over 21 cells
         d_all = d_b[:, None] + fine_d[None, :]          # (K, F)
         angf = -2.0 * jnp.pi * d_all[:, :, None, None] \
             * cpos[None, None, None, :].astype(jnp.float32) \
             - 2.0 * jnp.pi * fine_t[None, None, :, None] \
             * ctone[None, None, None, :].astype(jnp.float32)
         cf, sf = jnp.cos(angf), jnp.sin(angf)           # (K, F, T2, 21)
-        zrr = jnp.einsum("kc,kftc->kft", zr79, cf) \
-            - jnp.einsum("kc,kftc->kft", zi79, sf)
-        zii = jnp.einsum("kc,kftc->kft", zr79, sf) \
-            + jnp.einsum("kc,kftc->kft", zi79, cf)
-        mag = zrr * zrr + zii * zii
+        zrr = jnp.einsum("rkc,kftc->rkft", zr79, cf) \
+            - jnp.einsum("rkc,kftc->rkft", zi79, sf)
+        zii = jnp.einsum("rkc,kftc->rkft", zr79, sf) \
+            + jnp.einsum("rkc,kftc->rkft", zi79, cf)
+        mag = jnp.sum(zrr * zrr + zii * zii, axis=0)    # (K, F, T2)
         flat = mag.reshape(k, -1)
         idx = jnp.argmax(flat, axis=-1)
-        fi, ti = idx // fine_t.shape[0], idx % fine_t.shape[0]
+        fi, ti = idx // t2, idx % t2
         d_fin = jnp.take_along_axis(d_all, fi[:, None], 1)[:, 0]
         t_fin = fine_t[ti]
-        th = jnp.arctan2(
-            jnp.take_along_axis(zii.reshape(k, -1), idx[:, None], 1)[:, 0],
-            jnp.take_along_axis(zrr.reshape(k, -1), idx[:, None], 1)[:, 0])
-        # project all (79, 8) cells onto the track
-        track = th[:, None, None] \
-            + 2.0 * jnp.pi * d_fin[:, None, None] * s79[None, :, None] \
-            + 2.0 * jnp.pi * t_fin[:, None, None] * tone8[None, None, :]
+        # one theta per REPEAT at the winning (df, dtf) point
+        zrr_w = jnp.take_along_axis(
+            zrr.reshape(zrr.shape[0], k, -1), idx[None, :, None], 2)[..., 0]
+        zii_w = jnp.take_along_axis(
+            zii.reshape(zii.shape[0], k, -1), idx[None, :, None], 2)[..., 0]
+        th = jnp.arctan2(zii_w, zrr_w)                  # (R, K)
+        track = th[:, :, None, None] \
+            + 2.0 * jnp.pi * d_fin[None, :, None, None] \
+            * s79[None, None, :, None] \
+            + 2.0 * jnp.pi * t_fin[None, :, None, None] \
+            * tone8[None, None, None, :]
         proj = re79 * jnp.cos(track) + im79 * jnp.sin(track)
-        proj = jnp.maximum(proj, 0.0)
-        powers = (proj * proj)[:, jnp.asarray(C.DATA_SYMBOL_POSITIONS)]
-        # LINEAR-domain max-diff LLRs: clamped projections are exactly 0,
-        # and the usual dB mapping would turn those into -120 dB outliers
-        # that dominate the variance normalisation (measured: dB-domain
-        # coherent LLRs decode WORSE than noncoherent; linear recovers
-        # the full coherent gain)
+        proj = jnp.maximum(proj, 0.0)                   # (R, K, 79, 8)
+        powers = jnp.sum(proj * proj, axis=0)[
+            :, jnp.asarray(C.DATA_SYMBOL_POSITIONS)]    # (K, 58, 8)
         s2 = jnp.take(powers, _GRAY, axis=-1)
         llr = _llr_from_powers(s2)
         out.append(normalize_llrs(llr.reshape(k, C.LDPC_N)))
