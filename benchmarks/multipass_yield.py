@@ -74,6 +74,10 @@ def main():
                     help="sub-grid (dt, df) offset search before MF "
                          "extraction — the crowded band places every "
                          "signal off-grid")
+    ap.add_argument("--coherent", action="store_true",
+                    help="coherent matched-filter retry (phase-projected "
+                         "LLRs; co-channel interference is phase-random "
+                         "relative to the track, so it halves too)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -94,7 +98,8 @@ def main():
                                       min_score=3.0, passes=passes,
                                       use_osd=args.osd, use_mf=args.mf,
                                       mf_first=args.mf_first,
-                                      mf_refine=args.mf_refine)
+                                      mf_refine=args.mf_refine,
+                                      coherent=args.coherent)
             got = {r.message.payload.hex() for r in rows}
             found += sum(p.tobytes().hex() in got for p in payloads)
         yields[f"passes={passes}"] = round(found / total, 4)
@@ -109,6 +114,7 @@ def main():
         "mf": args.mf,
         "mf_first": args.mf_first,
         "mf_refine": args.mf_refine,
+        "coherent": args.coherent,
         "yield": yields,
         "device": str(jax.devices()[0]),
         "wall_seconds": round(time.perf_counter() - t0, 1),

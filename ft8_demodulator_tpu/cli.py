@@ -199,8 +199,6 @@ def main(argv=None) -> int:
             unsupported.append("--no-dedup")
         if args.ap:
             unsupported.append("--ap")
-        if args.coherent:
-            unsupported.append("--coherent")
         if unsupported:
             parser.error("--stream does not support: "
                          + ", ".join(unsupported))
@@ -322,7 +320,8 @@ def main(argv=None) -> int:
                           max_iterations=args.max_iterations,
                           use_osd=args.osd, use_mf=args.mf,
                           mf_first=args.mf_first,
-                          mf_refine=args.mf_refine),
+                          mf_refine=args.mf_refine,
+                          coherent=args.coherent),
             block_seconds=args.block_seconds)
         results = []
         chunk = max(session.block_len, int(sample_rate))

@@ -33,6 +33,9 @@ class DecoderConfig(NamedTuple):
                                  # extraction: recovers up to ~3 dB of
                                  # off-grid quantisation loss (strict
                                  # superset; see ops/llr.py)
+    coherent: bool = False       # coherent MF retry: phase-track projection
+                                 # (~+1.5 dB past mf_refine off-grid; the
+                                 # deepest single-transmission decoder)
 
     def waterfall(self, fs: float) -> WaterfallParams:
         return waterfall_params(fs, self.bins_per_tone,

@@ -250,7 +250,7 @@ def mf_retry(wave: jnp.ndarray, p: WaterfallParams, res: SlotDecodeResult,
 
 @functools.partial(jax.jit, static_argnames=(
     "p", "num_frames", "max_candidates", "max_iterations", "is_complex",
-    "use_osd", "use_mf", "mf_first", "mf_refine"))
+    "use_osd", "use_mf", "mf_first", "mf_refine", "coherent"))
 def decode_slot(wave: jnp.ndarray, p: WaterfallParams, num_frames: int,
                 max_candidates: int = 20, min_score: float = 10.0,
                 max_iterations: int = 20,
@@ -258,7 +258,8 @@ def decode_slot(wave: jnp.ndarray, p: WaterfallParams, num_frames: int,
                 use_osd: bool = False,
                 use_mf: bool = False,
                 mf_first: bool = False,
-                mf_refine: bool = False) -> SlotDecodeResult:
+                mf_refine: bool = False,
+                coherent: bool = False) -> SlotDecodeResult:
     """Audio (n,) real — or (n, 2) [re, im] — -> SlotDecodeResult.
 
     The single-chip flagship entry point: one jit containing STFT, search
@@ -282,6 +283,7 @@ def decode_slot(wave: jnp.ndarray, p: WaterfallParams, num_frames: int,
                                  _pick_backend)
 
     g = search_grid(p.num_freq_bins, num_frames, p.time_osr, p.freq_osr)
+    res = None
     if mf_first and not mf_refine and not is_complex \
             and _pick_backend(p, None) == "block":
         spec = _block_spectrum(wave, p, num_frames)
@@ -291,22 +293,27 @@ def decode_slot(wave: jnp.ndarray, p: WaterfallParams, num_frames: int,
             scores, g, max_candidates, min_score)
         llrs = extract_llrs_matched_blocks(
             spec[0], spec[1], abs_time, abs_freq, g.time_osr, g.freq_osr)
-        return finish_decode(llrs, abs_time, abs_freq, score, cand_valid,
-                             max_iterations, use_osd)
-
-    if is_complex:
-        mag = waterfall_complex(wave, p, num_frames)
+        res = finish_decode(llrs, abs_time, abs_freq, score, cand_valid,
+                            max_iterations, use_osd)
     else:
-        mag = waterfall_real(wave, p, num_frames)
-    if mf_first:
-        return decode_waterfall_mf(mag, wave, p, g, 0, 0, max_candidates,
-                                   min_score, max_iterations, use_osd,
-                                   is_complex, mf_refine=mf_refine)
-    res = decode_waterfall(mag, g, max_candidates, min_score,
-                           max_iterations, use_osd)
-    if use_mf:
-        res = mf_retry(wave, p, res, 0, 0, max_iterations, use_osd,
-                       is_complex, mf_refine)
+        if is_complex:
+            mag = waterfall_complex(wave, p, num_frames)
+        else:
+            mag = waterfall_real(wave, p, num_frames)
+        if mf_first:
+            res = decode_waterfall_mf(mag, wave, p, g, 0, 0,
+                                      max_candidates, min_score,
+                                      max_iterations, use_osd, is_complex,
+                                      mf_refine=mf_refine)
+        else:
+            res = decode_waterfall(mag, g, max_candidates, min_score,
+                                   max_iterations, use_osd)
+            if use_mf:
+                res = mf_retry(wave, p, res, 0, 0, max_iterations,
+                               use_osd, is_complex, mf_refine)
+    if coherent:
+        res = coherent_retry(wave, p, res, 0, 0, max_iterations, use_osd,
+                             is_complex)
     return res
 
 

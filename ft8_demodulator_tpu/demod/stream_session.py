@@ -104,6 +104,10 @@ class StreamSession:
                 res = mf_retry(jnp.asarray(chunk), self.p, res, 0, 0,
                                cfg.max_iterations, cfg.use_osd,
                                mf_refine=refine)
+        if getattr(cfg, "coherent", False):
+            from .decode import coherent_retry
+            res = coherent_retry(jnp.asarray(chunk), self.p, res, 0, 0,
+                                 cfg.max_iterations, cfg.use_osd)
         res_d = res
         res = {k: np.asarray(v) for k, v in res._asdict().items()}
         snr = None

@@ -106,3 +106,27 @@ def test_stacked_coherent_rejects_noise():
     noise = rng.standard_normal((4, int(FS * 15))).astype(np.float32)
     assert decode_ft8_stacked(noise, FS, min_score=1.0, use_osd=True,
                               coherent=True) == []
+
+
+def test_coherent_in_decode_slot_and_stream():
+    """The jitted decode_slot flag and the StreamSession config path both
+    reach the coherent retry."""
+    import jax.numpy as jnp
+
+    from ft8_demodulator_tpu.config import DecoderConfig
+    from ft8_demodulator_tpu.demod.decode import decode_slot
+    from ft8_demodulator_tpu.demod.stream_session import StreamSession
+    from ft8_demodulator_tpu.ops.waterfall import waterfall_params
+
+    sig = _signal(0, -16.5)
+    p = waterfall_params(FS, 2, 2)
+    res = decode_slot(jnp.asarray(sig), p, p.num_frames(len(sig)),
+                      min_score=1.0, use_osd=True, mf_first=True,
+                      coherent=True)
+    pl = np.asarray(res.payload)[np.asarray(res.success)]
+    assert any(bytes(row.tolist()) == WANT for row in pl)
+
+    sess = StreamSession(FS, DecoderConfig(min_score=1.0, use_osd=True,
+                                           mf_first=True, coherent=True))
+    rows = sess.feed(sig) + sess.flush()
+    assert any(r.message.payload == WANT for r in rows)
