@@ -48,7 +48,8 @@ from ..ops.waterfall import waterfall_params
 from ..protocol import constants as C
 from ..protocol.encode import encode_tones
 
-__all__ = ["KnownDetection", "known_track_scores", "detect_known_payload"]
+__all__ = ["KnownDetection", "TrackFix", "known_track_scores",
+           "detect_known_payload", "track_known_payload"]
 
 
 class KnownDetection(NamedTuple):
@@ -167,3 +168,118 @@ def detect_known_payload(waves, sample_rate: float, payload,
                 freq_hz=float(f) * freq_step,
                 z=float(z)))
     return out
+
+
+# ---------------------------------------------------------------------------
+# coherent tracking with a position prior
+
+class TrackFix(NamedTuple):
+    """One coherent verification of the known track at a predicted spot."""
+
+    detected: bool
+    stat: float       # normalised coherent energy (noise-only mean ~6.5,
+                      # measured 30-slot noise max ~10; threshold def. 18)
+    time_sec: float   # refined start time
+    freq_hz: float    # refined base-tone frequency (incl. sub-bin df)
+
+
+@functools.partial(jax.jit, static_argnames=("sps", "is_complex",
+                                             "df_half_cps"))
+def _track_stat(wave: jnp.ndarray, track: jnp.ndarray, start0, f0_cps,
+                sps: int, is_complex: bool, df_half_cps: float = 0.096):
+    """Max over (dt, df) of the normalised coherent track energy.
+
+    wave: (n[, 2]); track (79,) tone ids; start0: sample index of symbol
+    0; f0_cps: base tone frequency in cycles/sample.  Fully coherent
+    integration of all 79 symbols — ~5 log10(79) dB more detection reach
+    than noncoherent energy summing, usable when a PRIOR localises the
+    search (satellite model prediction, previous cycle's fix).
+    """
+    if not is_complex:
+        n = wave.shape[0]
+        spec = jnp.fft.fft(wave.astype(jnp.complex64))
+        weight = jnp.zeros(n, jnp.float32).at[0].set(1.0)
+        weight = weight.at[1:(n + 1) // 2].set(2.0)
+        if n % 2 == 0:
+            weight = weight.at[n // 2].set(1.0)
+        a = jnp.fft.ifft(spec * weight)
+        wave = jnp.stack([jnp.real(a), jnp.imag(a)], -1)
+
+    n_sig = C.NUM_SYMBOLS * sps
+    xp = jnp.pad(wave.astype(jnp.float32), ((n_sig, n_sig), (0, 0)))
+    # per-symbol on-track mix e^{-2pi i (f0 + track_s * 1/sps) n}
+    ns = jnp.arange(sps).astype(jnp.float32)
+    freqs = f0_cps + track.astype(jnp.float32) / sps         # (79,)
+    ang = -2.0 * jnp.pi * freqs[:, None] * ns[None, :]       # (79, sps)
+    mxc, mxs = jnp.cos(ang), jnp.sin(ang)
+
+    dts = jnp.arange(-(sps // 8) * 4, (sps // 8) * 4 + 1, sps // 16)
+    T_sym = jnp.arange(C.NUM_SYMBOLS).astype(jnp.float32)
+    # df grid at ~4 samples per coherence lobe; the range is the caller's
+    # frequency tolerance — a tight prior keeps the noise-max small
+    n_df = int(np.ceil(2 * df_half_cps * 4 * C.NUM_SYMBOLS)) | 1
+    dfs = jnp.linspace(-df_half_cps, df_half_cps, n_df)
+    ramp = -2.0 * jnp.pi * dfs[:, None] * T_sym[None, :]     # (D, 79)
+    rc, rs = jnp.cos(ramp), jnp.sin(ramp)
+
+    def per_dt(dt):
+        start = jnp.clip(start0 + n_sig + dt, 0, xp.shape[0] - n_sig)
+        win = jax.lax.dynamic_slice_in_dim(xp, start, n_sig, 0)
+        win = win.reshape(C.NUM_SYMBOLS, sps, 2)
+        zr = jnp.sum(win[..., 0] * mxc - win[..., 1] * mxs, axis=-1)
+        zi = jnp.sum(win[..., 0] * mxs + win[..., 1] * mxc, axis=-1)
+        noise = jnp.median(zr * zr + zi * zi) / 0.6931
+        sr = zr @ rc.T - zi @ rs.T                           # (D,)
+        si = zr @ rs.T + zi @ rc.T
+        e = sr * sr + si * si
+        i = jnp.argmax(e)
+        return e[i] / (C.NUM_SYMBOLS * jnp.maximum(noise, 1e-30)), dfs[i]
+
+    stats, best_df = jax.vmap(per_dt)(dts)
+    j = jnp.argmax(stats)
+    return stats[j], dts[j], best_df[j]
+
+
+def track_known_payload(wave, sample_rate: float, payload,
+                        time_hint_s: float, freq_hint_hz: float,
+                        threshold: float = 15.0,
+                        freq_tolerance_hz: float = 0.6) -> TrackFix:
+    """Coherent beacon tracking at a PREDICTED position (host API).
+
+    With the payload known AND a position prior — the satellite model's
+    predicted frequency and the slot timing, or the previous cycle's fix
+    — all 79 track symbols integrate fully coherently over the local
+    (+-half symbol, +-1.75 Hz) search box: 50 %-detection at ~-30 dB
+    single-slot at fs 2 kHz (measured; the global noncoherent scan
+    reaches -21).  Returns the refined (time, frequency) fix.
+
+    threshold: normalised coherent energy; noise-only measures mean ~6.5,
+    max ~10 over the default search box in 30 slots — 15 leaves a solid
+    false-alarm margin.  freq_tolerance_hz sizes the df search box (a
+    tight prior keeps the noise maximum small; widen it if the model
+    frequency is rougher).  A wrong payload shares only the Costas
+    cells (~(21/79)^2 of the coherent energy) and stays silent.
+    """
+    wave = np.asarray(wave)
+    is_complex = bool(np.iscomplexobj(wave))
+    if is_complex:
+        wave_d = jnp.asarray(
+            np.stack([wave.real, wave.imag], -1).astype(np.float32))
+    elif wave.ndim == 2 and wave.shape[-1] == 2:
+        wave_d, is_complex = jnp.asarray(wave.astype(np.float32)), True
+    else:
+        wave_d = jnp.asarray(wave.astype(np.float32))   # (n,) real
+    p = waterfall_params(sample_rate, 2, 2)
+    sps = p.nperseg
+    track = encode_tones(jnp.asarray(np.asarray(payload, np.uint8)))
+    start0 = int(round(time_hint_s * sample_rate))
+    f0_cps = float(freq_hint_hz) / sample_rate
+    stat, dt, df = _track_stat(
+        wave_d, track.astype(jnp.int32), jnp.int32(start0),
+        jnp.float32(f0_cps), sps, is_complex,
+        df_half_cps=float(freq_tolerance_hz) * C.SYMBOL_PERIOD_S)
+    stat = float(stat)
+    t_fix = (start0 + int(dt)) / sample_rate
+    f_fix = freq_hint_hz + float(df) / C.SYMBOL_PERIOD_S
+    return TrackFix(detected=stat >= threshold, stat=round(stat, 2),
+                    time_sec=round(t_fix, 4), freq_hz=round(f_fix, 2))
