@@ -34,3 +34,19 @@ def enable_compilation_cache() -> str | None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     return path
+
+
+def select_platform() -> None:
+    """Honour FT8_PLATFORM before any backend initialisation.
+
+    The axon TPU plugin ignores the JAX_PLATFORMS env var, and a wedged
+    tunnel makes device init hang indefinitely — a benchmark that meant
+    to run on CPU instead blocks forever.  FT8_PLATFORM=cpu routes the
+    process to the host backend via jax.config (the only override the
+    plugin respects); unset keeps the default (TPU when healthy).
+    """
+    plat = os.environ.get("FT8_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
