@@ -36,7 +36,7 @@ def run_curve(fs: float, snrs, trials: int, f0: float = None,
               steps_per_symbol: int = 2, use_osd: bool = False,
               use_mf: bool = False, mf_first: bool = False,
               mf_refine: bool = False, offgrid: bool = False,
-              use_ap: bool = False):
+              use_ap: bool = False, coherent: bool = False):
     """Returns (snr_list, success_rate_list, wall_seconds).
 
     offgrid places each trial's transmission at a RANDOM sub-grid offset —
@@ -173,6 +173,10 @@ def main():
     ap.add_argument("--mf-refine", action="store_true",
                     help="sub-grid (dt, df) offset search before MF "
                          "extraction (recovers off-grid quantisation loss)")
+    ap.add_argument("--coherent", action="store_true",
+                    help="coherent matched-filter retry (phase-track "
+                         "projection; the deepest single-transmission "
+                         "decoder)")
     ap.add_argument("--ap", action="store_true",
                     help="random CQ messages + a-priori CQ-hypothesis "
                          "retry for failed candidates (~+1 dB)")
@@ -192,7 +196,8 @@ def main():
                                       mf_first=args.mf_first,
                                       mf_refine=args.mf_refine,
                                       offgrid=args.offgrid,
-                                      use_ap=args.ap)
+                                      use_ap=args.ap,
+                                      coherent=args.coherent)
     passing = [s for s, r in zip(snr_list, rates) if r >= 0.5]
     print(json.dumps({
         "fs": args.fs,
@@ -204,6 +209,7 @@ def main():
         "mf_refine": args.mf_refine,
         "offgrid": args.offgrid,
         "ap": args.ap,
+        "coherent": args.coherent,
         "trials_per_point": args.trials,
         "snr_db": snr_list,
         "success_rate": rates,
