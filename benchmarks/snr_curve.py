@@ -116,7 +116,8 @@ def run_curve(fs: float, snrs, trials: int, f0: float = None,
         return jax.vmap(lambda w: decode_slot(
             w, p, num_frames, max_candidates=max_candidates,
             min_score=min_score, max_iterations=20, use_osd=use_osd,
-            use_mf=use_mf, mf_first=mf_first, mf_refine=mf_refine))(waves)
+            use_mf=use_mf, mf_first=mf_first, mf_refine=mf_refine,
+            coherent=coherent))(waves)
 
     def ap_pass(waves, res):
         # per-trial jitted AP retry (compiled once, reused): vmapping the

@@ -32,7 +32,9 @@ enable_compilation_cache()
 
 def run_stack_curve(fs: float, snrs, trials: int, repeats: int,
                     min_score: float = 1.0, max_candidates: int = 20,
-                    seed: int = 0, use_osd: bool = True):
+                    seed: int = 0, use_osd: bool = True,
+                    coherent: bool = False,
+                    offgrid: bool = False):
     """Returns (snr_list, success_rate_list, wall_seconds)."""
     import jax
     import jax.numpy as jnp
@@ -53,14 +55,24 @@ def run_stack_curve(fs: float, snrs, trials: int, repeats: int,
     payloads = rng.integers(0, 256, size=(trials, 10), dtype=np.uint8)
     payloads[:, 9] &= 0xF8
     start = sps // 2
+    if offgrid:
+        grid_step = C.TONE_SPACING_HZ / p.freq_osr
+        f0s = f0 + rng.uniform(-0.5, 0.5, trials) * grid_step
+        starts = start + rng.integers(-(p.hop // 2), p.hop // 2 + 1, trials)
+    else:
+        f0s = np.full(trials, f0)
+        starts = np.full(trials, start)
+    f0s_d = jnp.asarray(f0s.astype(np.float32))
+    starts_d = jnp.asarray(starts.astype(np.int32))
 
     @jax.jit
     def synth(payloads_d, noise, snr_db):
         tones = encode_tones(payloads_d)
         waves = jax.vmap(
-            lambda t: jnp.real(_baseband_complex(t, sps, fs, f0)))(tones)
-        sig = jax.vmap(lambda w: jax.lax.dynamic_update_slice(
-            jnp.zeros(n, jnp.float32), w, (start,)))(waves)
+            lambda t, f: jnp.real(_baseband_complex(t, sps, fs, f))
+        )(tones, f0s_d)
+        sig = jax.vmap(lambda w, st: jax.lax.dynamic_update_slice(
+            jnp.zeros(n, jnp.float32), w, (st,)))(waves, starts_d)
         power = jnp.mean(waves ** 2, axis=1, keepdims=True)
         scale = jnp.sqrt(power / 10.0 ** (snr_db / 10.0))
         # (trials, R, n): one transmission per trial, R independent looks
@@ -70,7 +82,8 @@ def run_stack_curve(fs: float, snrs, trials: int, repeats: int,
     def decode_batch(stacks):
         return jax.vmap(lambda s: decode_slot_stacked(
             s, p, num_frames, max_candidates=max_candidates,
-            min_score=min_score, use_osd=use_osd))(stacks)
+            min_score=min_score, use_osd=use_osd,
+            coherent=coherent))(stacks)
 
     payloads_d = jnp.asarray(payloads)
     expected = payloads.copy()
@@ -101,6 +114,10 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--min-score", type=float, default=1.0)
     ap.add_argument("--osd", action="store_true", default=True)
+    ap.add_argument("--coherent", action="store_true",
+                    help="per-repeat coherent phase-track projection")
+    ap.add_argument("--offgrid", action="store_true",
+                    help="random sub-grid (dt, df) placement per trial")
     args = ap.parse_args()
 
     snrs = np.arange(args.snr_start, args.snr_stop + 1e-9, args.snr_step)

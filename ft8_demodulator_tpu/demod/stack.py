@@ -147,7 +147,8 @@ def decode_slot_stacked(waves: jnp.ndarray, p: WaterfallParams,
                         min_score: float = 10.0, max_iterations: int = 20,
                         is_complex: bool = False,
                         use_osd: bool = False,
-                        use_mf: bool = True) -> SlotDecodeResult:
+                        use_mf: bool = True,
+                        coherent: bool = False) -> SlotDecodeResult:
     """R slot-aligned repeats (R, n[, 2]) of ONE transmission -> decode.
 
     One jit: per-repeat STFT, linear-power averaging, sync stencil +
@@ -161,7 +162,7 @@ def decode_slot_stacked(waves: jnp.ndarray, p: WaterfallParams,
     """
     res, _ = _decode_slot_stacked_with_mag(
         waves, p, num_frames, max_candidates, min_score, max_iterations,
-        is_complex, use_osd, use_mf)
+        is_complex, use_osd, use_mf, coherent=coherent)
     return res
 
 
