@@ -125,10 +125,13 @@ def main():
     for r in args.repeats:
         snr_list, rates, wall = run_stack_curve(
             args.fs, snrs.tolist(), args.trials, r, seed=args.seed,
-            min_score=args.min_score, use_osd=args.osd)
+            min_score=args.min_score, use_osd=args.osd,
+            coherent=args.coherent, offgrid=args.offgrid)
         passing = [s for s, rate in zip(snr_list, rates) if rate >= 0.5]
         rows.append({
             "repeats": r,
+            "coherent": args.coherent,
+            "offgrid": args.offgrid,
             "snr_db": snr_list,
             "success_rate": rates,
             "min_snr_50pct": min(passing) if passing else None,
