@@ -375,6 +375,39 @@ def variant_retry(llrs: jnp.ndarray, res: SlotDecodeResult,
     )
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "p", "max_iterations", "use_osd", "is_complex", "num_branches"))
+def ap_coherent_retry(wave: jnp.ndarray, p: WaterfallParams,
+                      res: SlotDecodeResult, t0_hops, f0_rows,
+                      ap_values: jnp.ndarray, ap_mask: jnp.ndarray,
+                      max_iterations: int = 20, use_osd: bool = False,
+                      is_complex: bool = False,
+                      num_branches: int = 5) -> SlotDecodeResult:
+    """The two deepest decoders composed: a-priori bit clamping applied
+    to every coherent phase-track branch variant.
+
+    (B branches x V hypotheses x K candidates) decode as one batch;
+    the CRC still covers every payload bit, so the composition keeps the
+    zero-false-accept property of both parents.  Measured ~+1 dB past
+    coherent alone at the off-grid cliff for CQ traffic
+    (docs/DESIGN_NOTES.md).
+    """
+    cllrs = extract_llrs_coherent(
+        wave, res.abs_time + jnp.int32(t0_hops),
+        res.abs_freq + jnp.int32(f0_rows), p.nperseg, p.hop, p.freq_osr,
+        is_complex, num_branches)                       # (B, K, 174)
+    b, k = cllrs.shape[0], cllrs.shape[1]
+    v = ap_values.shape[0]
+    clamp = (2.0 * ap_values.astype(jnp.float32) - 1.0) * 100.0
+    pad = ((0, 0), (0, C.LDPC_N - C.PAYLOAD_BITS))
+    clamp = jnp.pad(clamp, pad)
+    mask = jnp.pad(ap_mask.astype(bool), pad)
+    clamped = jnp.where(mask[None, :, None, :], clamp[None, :, None, :],
+                        cllrs[:, None, :, :])           # (B, V, K, 174)
+    return _merge_results(res, variant_retry(
+        clamped.reshape(b * v, k, C.LDPC_N), res, max_iterations, use_osd))
+
+
 def ap_arrays(ap) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Host `ap` argument (True / "MYCALL" / "MYCALL DXCALL") -> device
     (values, mask) hypothesis arrays.  Shared by decode_ft8_message and
@@ -727,6 +760,13 @@ def decode_ft8_message(wave_data, sample_rate: float,
             # and ap is a host-API sensitivity feature, not the hot path
             res = ap_retry(wave_d, p, res, t_lo, f_lo, ap_vm[0], ap_vm[1],
                            max_iterations, use_osd, is_complex)
+            if coherent:
+                # compose the two deepest decoders: hypothesis bits
+                # clamped inside every coherent branch variant
+                res = ap_coherent_retry(wave_d, p, res, t_lo, f_lo,
+                                        ap_vm[0], ap_vm[1],
+                                        max_iterations, use_osd,
+                                        is_complex)
         if first_res is None:
             first_res = res
         snr = estimate_snr(mag, res.payload, res.abs_time, res.abs_freq,
