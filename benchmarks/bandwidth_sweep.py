@@ -54,6 +54,8 @@ def main():
     ap.add_argument("--offgrid", action="store_true",
                     help="random sub-grid signal placement (realistic) "
                          "instead of grid-aligned")
+    ap.add_argument("--coherent", action="store_true",
+                    help="coherent matched-filter retry")
     args = ap.parse_args()
 
     import jax
@@ -73,7 +75,8 @@ def main():
                                           use_mf=args.mf,
                                           mf_first=args.mf_first,
                                           mf_refine=args.mf_refine,
-                                          offgrid=args.offgrid)
+                                          offgrid=args.offgrid,
+                                          coherent=args.coherent)
         passing = [s for s, r in zip(snr_list, rates) if r >= 0.5]
         rows.append({
             "fs": fs,
