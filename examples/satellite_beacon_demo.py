@@ -154,7 +154,7 @@ def main() -> int:
     stack = np.stack([down_b[c * m_cycle: (c + 1) * m_cycle]
                       for c in range(args.cycles)])
     rows = decode_ft8_stacked(stack, fs, min_score=1.0, use_osd=True,
-                              ap=BEACON_CALL)
+                              ap=BEACON_CALL, coherent=True)
     for r in rows:
         print(f"stacked decode : {unpack_message(r.message.payload)!r}  "
               f"t={r.time_sec:.2f}s f={r.freq_hz:.1f}Hz "
