@@ -7,7 +7,7 @@ frequency-drift correction — built as fixed-shape jitted kernels that batch
 and shard over TPU meshes.
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 # opt-in NaN sanitizer (SURVEY §5): FT8_DEBUG_NANS=1 makes every jitted
 # stage raise at the first NaN it produces
