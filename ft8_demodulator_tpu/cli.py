@@ -76,7 +76,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "(with --correction: each cycle is drift-corrected "
                         "independently first).  Stacked decoding always "
                         "uses matched-filter LLRs (--mf/--mf-first are "
-                        "implied); --mf-refine is not supported")
+                        "implied); combine with --coherent (~-24 dB at "
+                        "R=8) and/or --ap; --mf-refine is not supported")
     p.add_argument("--deep", action="store_true",
                    help="high-sensitivity preset: osr 4x4, 40 candidates, "
                         "min-score 1, OSD (only fills in options you did "
