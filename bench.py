@@ -24,10 +24,8 @@ import numpy as np
 def _cache():
     import os, sys
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from ft8_demodulator_tpu.utils.cache import (enable_compilation_cache,
-                                                 select_platform)
-    select_platform()
-    enable_compilation_cache()
+    from ft8_demodulator_tpu.utils.cache import setup
+    setup()
 
 
 _cache()

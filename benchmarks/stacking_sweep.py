@@ -24,10 +24,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from ft8_demodulator_tpu.utils.cache import (enable_compilation_cache,  # noqa: E402
-                                              select_platform)
-select_platform()
-enable_compilation_cache()
+from ft8_demodulator_tpu.utils.cache import setup as _cache_setup  # noqa: E402
+
+_cache_setup()
 
 
 def run_stack_curve(fs: float, snrs, trials: int, repeats: int,

@@ -178,7 +178,7 @@ class TrackFix(NamedTuple):
 
     detected: bool
     stat: float       # normalised coherent energy (noise-only mean ~6.5,
-                      # measured 30-slot noise max ~10; threshold def. 18)
+                      # measured 30-slot noise max ~10; threshold def. 15)
     time_sec: float   # refined start time
     freq_hz: float    # refined base-tone frequency (incl. sub-bin df)
 
@@ -215,6 +215,15 @@ def _track_stat(wave: jnp.ndarray, track: jnp.ndarray, start0, f0_cps,
 
     dts = jnp.arange(-(sps // 8) * 4, (sps // 8) * 4 + 1, sps // 16)
     T_sym = jnp.arange(C.NUM_SYMBOLS).astype(jnp.float32)
+    # the mix restarts phase at each window, so the HINT frequency
+    # leaves a deterministic residual step of frac(f0 * sps) cycles per
+    # symbol — remove it up front so the df search is centred on the
+    # hint, not on the absolute 6.25-Hz tone grid (a Doppler-shifted
+    # beacon lands off that grid ~80% of the time, and without this the
+    # tracker only locked for hints at exact tone multiples)
+    step0 = jnp.mod(f0_cps * sps, 1.0)
+    ang_hint = -2.0 * jnp.pi * step0 * T_sym                 # (79,)
+    hc, hs = jnp.cos(ang_hint), jnp.sin(ang_hint)
     # df grid at ~4 samples per coherence lobe; the range is the caller's
     # frequency tolerance — a tight prior keeps the noise-max small
     n_df = int(np.ceil(2 * df_half_cps * 4 * C.NUM_SYMBOLS)) | 1
@@ -226,8 +235,10 @@ def _track_stat(wave: jnp.ndarray, track: jnp.ndarray, start0, f0_cps,
         start = jnp.clip(start0 + n_sig + dt, 0, xp.shape[0] - n_sig)
         win = jax.lax.dynamic_slice_in_dim(xp, start, n_sig, 0)
         win = win.reshape(C.NUM_SYMBOLS, sps, 2)
-        zr = jnp.sum(win[..., 0] * mxc - win[..., 1] * mxs, axis=-1)
-        zi = jnp.sum(win[..., 0] * mxs + win[..., 1] * mxc, axis=-1)
+        zr0 = jnp.sum(win[..., 0] * mxc - win[..., 1] * mxs, axis=-1)
+        zi0 = jnp.sum(win[..., 0] * mxs + win[..., 1] * mxc, axis=-1)
+        zr = zr0 * hc - zi0 * hs       # remove the hint's phase step
+        zi = zr0 * hs + zi0 * hc
         noise = jnp.median(zr * zr + zi * zi) / 0.6931
         sr = zr @ rc.T - zi @ rs.T                           # (D,)
         si = zr @ rs.T + zi @ rc.T
@@ -249,7 +260,8 @@ def track_known_payload(wave, sample_rate: float, payload,
     With the payload known AND a position prior — the satellite model's
     predicted frequency and the slot timing, or the previous cycle's fix
     — all 79 track symbols integrate fully coherently over the local
-    (+-half symbol, +-1.75 Hz) search box: 50 %-detection at ~-30 dB
+    (+-half symbol, +-freq_tolerance_hz, default 0.6 Hz) search box:
+    50 %-detection at ~-29 dB
     single-slot at fs 2 kHz (measured; the global noncoherent scan
     reaches -21).  Returns the refined (time, frequency) fix.
 

@@ -750,7 +750,7 @@ def decode_ft8_message(wave_data, sample_rate: float,
             if use_mf:
                 res = mf_retry(wave_d, p, res, t_lo, f_lo, max_iterations,
                                use_osd, is_complex, mf_refine)
-        if coherent:
+        if coherent and ap_vm is None:
             res = coherent_retry(wave_d, p, res, t_lo, f_lo,
                                  max_iterations, use_osd, is_complex)
         if ap_vm is not None:
@@ -761,11 +761,16 @@ def decode_ft8_message(wave_data, sample_rate: float,
             res = ap_retry(wave_d, p, res, t_lo, f_lo, ap_vm[0], ap_vm[1],
                            max_iterations, use_osd, is_complex)
             if coherent:
-                # compose the two deepest decoders: hypothesis bits
-                # clamped inside every coherent branch variant
+                # the two deepest decoders in ONE coherent extraction: a
+                # null (unclamped) hypothesis first reproduces the plain
+                # coherent retry, then each a-priori hypothesis clamps
+                # inside every branch variant
+                apv = jnp.concatenate(
+                    [jnp.zeros((1, 77), ap_vm[0].dtype), ap_vm[0]])
+                apm = jnp.concatenate(
+                    [jnp.zeros((1, 77), bool), ap_vm[1].astype(bool)])
                 res = ap_coherent_retry(wave_d, p, res, t_lo, f_lo,
-                                        ap_vm[0], ap_vm[1],
-                                        max_iterations, use_osd,
+                                        apv, apm, max_iterations, use_osd,
                                         is_complex)
         if first_res is None:
             first_res = res

@@ -175,7 +175,8 @@ class StreamSession:
             use_osd=bool(cfgvals[5]) if len(cfgvals) > 5 else False,
             use_mf=bool(cfgvals[6]) if len(cfgvals) > 6 else False,
             mf_first=bool(cfgvals[7]) if len(cfgvals) > 7 else False,
-            mf_refine=bool(cfgvals[8]) if len(cfgvals) > 8 else False)
+            mf_refine=bool(cfgvals[8]) if len(cfgvals) > 8 else False,
+            coherent=bool(cfgvals[9]) if len(cfgvals) > 9 else False)
         sess = cls(float(data["fs"]), cfg,
                    block_seconds=float(data["block_seconds"]))
         sess._buffer = data["buffer"].astype(np.float32)

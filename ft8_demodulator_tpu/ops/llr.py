@@ -567,12 +567,21 @@ def extract_llrs_coherent_stacked(waves: jnp.ndarray, abs_time: jnp.ndarray,
     tab = jnp.mod(q[:, None] * jnp.arange(sps)[None, :], sps * phi)
     mc_all = jnp.asarray(mixc_t)[tab]                    # (K, sps)
     ms_all = jnp.asarray(mixs_t)[tab]
+    # the per-symbol mix restarts its phase at every window, so a
+    # candidate's base frequency leaves a DETERMINISTIC residual phase
+    # step of 2pi*(abs_freq mod phi)/phi per symbol (integer tone cycles
+    # cancel; only the sub-tone row offset survives).  Without removing
+    # it, odd half-bin rows (half of all real signals at phi=2) sit
+    # 0.5 cycles/symbol outside every df search and the coherent gain
+    # silently vanishes.
+    q_frac = jnp.mod(abs_freq, phi).astype(jnp.float32) / phi   # (K,)
     tc, ts = _mf_tone_matrices(sps)
     tc, ts = jnp.asarray(tc), jnp.asarray(ts)
     hp = jax.lax.Precision.HIGH
 
     def complex_syms(xp_r, dt_samples, positions):
-        """One repeat (n+2p, 2) -> (K, P, 8) complex tone correlations."""
+        """One repeat (n+2p, 2) -> (K, P, 8) complex tone correlations,
+        base-row phase step removed."""
         def windows(s0, dt):
             start = jnp.clip(s0 + n_sig + dt, 0, xp_r.shape[0] - n_sig)
             w = jax.lax.dynamic_slice_in_dim(xp_r, start, n_sig, axis=0)
@@ -590,7 +599,11 @@ def extract_llrs_coherent_stacked(waves: jnp.ndarray, abs_time: jnp.ndarray,
             - jnp.matmul(xi, ts, precision=hp)
         im = jnp.matmul(xr, ts, precision=hp) \
             + jnp.matmul(xi, tc, precision=hp)
-        return re, im                                   # (K, P, 8)
+        pos = jnp.asarray(np.asarray(positions), jnp.float32)
+        ang0 = -2.0 * jnp.pi * q_frac[:, None] * pos[None, :]   # (K, P)
+        c0 = jnp.cos(ang0)[..., None]
+        s0 = jnp.sin(ang0)[..., None]
+        return re * c0 - im * s0, re * s0 + im * c0     # (K, P, 8)
 
     def costas_z(re, im):
         """On-track Costas complex values (..., 21)."""

@@ -50,3 +50,14 @@ def select_platform() -> None:
         import jax
 
         jax.config.update("jax_platforms", plat)
+
+
+def setup() -> None:
+    """Benchmark-entry preamble: platform override + compile cache.
+
+    One call replaces the select_platform()/enable_compilation_cache()
+    pair every benchmark needs — forgetting select_platform reintroduces
+    the indefinite hang on a wedged TPU tunnel.
+    """
+    select_platform()
+    enable_compilation_cache()

@@ -130,3 +130,22 @@ def test_coherent_tracking_controls():
         * np.sqrt(sp / 10 ** (-20.0 / 10))
     assert not track_known_payload(sig, FS, OTHER, 820 / FS,
                                    400.0).detected
+
+
+def test_coherent_tracking_off_tone_grid():
+    """A Doppler-shifted beacon rarely sits on a 6.25-Hz multiple; the
+    tracker's df search must centre on the HINT, not the tone grid, and
+    report the true frequency (review regression)."""
+    from ft8_demodulator_tpu.beacon import track_known_payload
+
+    w = np.asarray(ft8_passband(PAYLOAD, FS, 400.3, 0.0))
+    sp = float(np.mean(w ** 2))
+    rng = np.random.default_rng(0)
+    sig = np.zeros(int(FS * 15), np.float32)
+    sig[500: 500 + len(w)] = w
+    sig += rng.standard_normal(len(sig)).astype(np.float32) \
+        * np.sqrt(sp / 10 ** (-10.0 / 10))
+    for hint in (400.5, 400.0, 401.7 - 1.4):
+        fix = track_known_payload(sig, FS, PAYLOAD, 820 / FS, hint)
+        assert fix.detected
+        assert abs(fix.freq_hz - 400.3) < 0.15, (hint, fix)
