@@ -83,7 +83,10 @@ def run_curve(fs: float, snrs, trials: int, f0: float = None,
         payloads[:, 9] &= 0xF8
     if offgrid:
         grid_step = C.TONE_SPACING_HZ / p.freq_osr
-        f0s = f0 + rng.uniform(-0.5, 0.5, trials) * grid_step
+        # +-1 row: nearest-cell offsets stay uniform over +-half a row,
+        # but the nearest row's PARITY randomises too (odd half-bin rows
+        # carry a deterministic phase step the coherent path must remove)
+        f0s = f0 + rng.uniform(-1.0, 1.0, trials) * grid_step
         starts = sps // 2 + rng.integers(-(p.hop // 2), p.hop // 2 + 1,
                                          trials)
     else:
