@@ -56,7 +56,8 @@ def run_stack_curve(fs: float, snrs, trials: int, repeats: int,
     start = sps // 2
     if offgrid:
         grid_step = C.TONE_SPACING_HZ / p.freq_osr
-        f0s = f0 + rng.uniform(-0.5, 0.5, trials) * grid_step
+        # +-1 row randomises nearest-row parity (see snr_curve.py)
+        f0s = f0 + rng.uniform(-1.0, 1.0, trials) * grid_step
         starts = start + rng.integers(-(p.hop // 2), p.hop // 2 + 1, trials)
     else:
         f0s = np.full(trials, f0)
