@@ -170,6 +170,11 @@ def _generate(args) -> int:
 
 
 def main(argv=None) -> int:
+    # honour FT8_PLATFORM=cpu before any backend init (a wedged TPU
+    # tunnel otherwise hangs device discovery indefinitely) and reuse
+    # compiled programs across invocations
+    from .utils.cache import setup as _setup
+    _setup()
     parser = build_parser()
     argv_list = list(sys.argv[1:] if argv is None else argv)
     args = parser.parse_args(argv_list)
