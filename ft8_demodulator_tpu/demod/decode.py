@@ -558,8 +558,18 @@ def estimate_snr(mag: jnp.ndarray, payload: jnp.ndarray,
 
 def _format_results(res: SlotDecodeResult, hop_seconds: float,
                     freq_step_hz: float, time_base: float, freq_base: float,
-                    deduplicate: bool, snr_db=None) -> list[FT8Decode]:
-    """Convert the fixed-shape device result into host FT8Decode rows."""
+                    deduplicate: bool, snr_db=None,
+                    min_snr_db: float | None = None) -> list[FT8Decode]:
+    """Convert the fixed-shape device result into host FT8Decode rows.
+
+    min_snr_db: physical-plausibility gate on the estimated SNR.  The
+    deepest REAL single-transmission decode measures ≈ −18 dB (full-QSO
+    AP at the coherent cliff), while the rare CRC-lucky false accepts
+    the maximal retry stack produces on pure noise measure ≈ −29/−31 dB
+    (2 in 200 noise slots × ~10^3 hypothesis decodes each) — an
+    estimated SNR far below anything decodable flags a false accept,
+    not a weak signal.
+    """
     res = jax.tree_util.tree_map(np.asarray, res)
     if snr_db is not None:
         snr_db = np.asarray(snr_db)
@@ -567,6 +577,9 @@ def _format_results(res: SlotDecodeResult, hop_seconds: float,
     seen: set[bytes] = set()
     for k in range(res.success.shape[0]):
         if not bool(res.success[k]):
+            continue
+        if snr_db is not None and min_snr_db is not None \
+                and float(snr_db[k]) < min_snr_db:
             continue
         h = int(res.crc[k])
         payload = bytes(res.payload[k].tolist())
@@ -618,7 +631,8 @@ def decode_ft8_message(wave_data, sample_rate: float,
                        mf_first: bool = False,
                        mf_refine: bool = False,
                        ap: bool | str = False,
-                       coherent: bool = False):
+                       coherent: bool = False,
+                       min_plausible_snr_db: float | None = -26.0):
     """Decode all FT8 messages in an audio capture (host API).
 
     Mirrors the reference decode_ft8_message (ft8_decode.py:288) with two
@@ -666,6 +680,12 @@ def decode_ft8_message(wave_data, sample_rate: float,
     (protocol.message.ap_hypotheses).  Decodes are a strict superset;
     the CRC still covers every payload bit, so a wrong hypothesis
     cannot validate.
+
+    min_plausible_snr_db gates accepted rows on the estimated SNR: the
+    deepest real decode measures ≈ −18 dB, so an estimate below −26
+    flags a CRC-lucky false accept from the large retry hypothesis
+    space (measured ≈ −29/−31 on the 2-in-200-noise-slots the maximal
+    coherent+ap stack produces), not a weak signal.  None disables.
 
     passes > 1 enables subtraction decoding (beyond the reference): after
     each pass, every decoded transmission is re-synthesised, frequency-
@@ -780,6 +800,7 @@ def decode_ft8_message(wave_data, sample_rate: float,
             res, hop_seconds, freq_step,
             time_base=t_lo * hop_seconds, freq_base=f_lo * freq_step,
             deduplicate=deduplicate, snr_db=snr,
+            min_snr_db=min_plausible_snr_db,
         )
         # later passes always dedup against everything already reported
         for r in new_rows:

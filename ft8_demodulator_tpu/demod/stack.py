@@ -228,10 +228,14 @@ def decode_ft8_stacked(waves, sample_rate: float,
         wave_d, p, num_frames, max_candidates, float(min_score),
         max_iterations, is_complex, use_osd, use_mf, ap_values, ap_mask,
         coherent)
+    r_stack = int(wave_d.shape[0])
     snr = estimate_snr(mag, res.payload, res.abs_time, res.abs_freq,
-                       p.time_osr, p.freq_osr,
-                       stack_r=int(wave_d.shape[0]))
+                       p.time_osr, p.freq_osr, stack_r=r_stack)
     hop_seconds = C.SYMBOL_PERIOD_S / p.time_osr
     freq_step = C.TONE_SPACING_HZ / p.freq_osr
+    # plausibility gate scales with the stack: the estimate is the
+    # PER-REPEAT SNR and R repeats buy ~5 log10(R) dB of decode reach
+    # (R=8 real decodes measure -24; the gate sits ~6 dB under that)
     return _format_results(res, hop_seconds, freq_step, 0.0, 0.0,
-                           deduplicate, snr_db=snr)
+                           deduplicate, snr_db=snr,
+                           min_snr_db=-26.0 - 5.0 * np.log10(r_stack))

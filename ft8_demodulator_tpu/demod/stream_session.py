@@ -127,6 +127,8 @@ class StreamSession:
         for k in range(res["success"].shape[0]):
             if not res["success"][k]:
                 continue
+            if snr is not None and float(snr[k]) < -26.0:
+                continue    # implausibly weak: CRC-lucky false accept
             t_abs = int(res["abs_time"][k]) + frame_offset
             h = int(res["crc"][k])
             # payload-keyed dedup: CRC-14 collisions must not drop messages

@@ -190,3 +190,22 @@ def test_coherent_on_deep_geometry():
     assert not any(r.message.payload == WANT for r in plain)
     rows = decode_ft8_message(sig, fs, coherent=True, **kw)
     assert any(r.message.payload == WANT for r in rows)
+
+
+def test_snr_plausibility_gate_kills_noise_false_accepts():
+    """The maximal retry stack (~10^3 CRC-gated hypothesis decodes per
+    slot) gets CRC-lucky on pure noise ~1% of slots; those rows measure
+    an estimated SNR (~-29/-31 dB) far below anything decodable and the
+    plausibility gate drops them (committed seeds from a 200-slot
+    campaign)."""
+    for seed in (126, 188):
+        rng = np.random.default_rng(60000 + seed)
+        noise = rng.standard_normal(int(FS * 15)).astype(np.float32)
+        rows = decode_ft8_message(noise, FS, coherent=True,
+                                  ap="K1ABC W9XYZ", **KW)
+        assert rows == []
+        # the raw accept is still visible with the gate disabled
+        raw = decode_ft8_message(noise, FS, coherent=True,
+                                 ap="K1ABC W9XYZ",
+                                 min_plausible_snr_db=None, **KW)
+        assert len(raw) >= 1 and raw[0].snr_db < -26.0
