@@ -31,7 +31,8 @@ import numpy as np
 
 from ..ops.llr import (extract_llrs, extract_llrs_matched_blocks_stacked,
                        extract_llrs_matched_stacked)
-from ..ops.sync import find_candidates, search_grid, sync_scores
+from ..ops.sync import (find_candidates, search_grid, sync_scores,
+                        sync_scores_z)
 from ..ops.waterfall import WaterfallParams, waterfall_params
 from ..protocol import constants as C
 from .decode import _format_results, estimate_snr, finish_decode
@@ -97,20 +98,36 @@ def _decode_slot_stacked_with_mag(waves: jnp.ndarray, p: WaterfallParams,
                                   is_complex: bool, use_osd: bool,
                                   use_mf: bool,
                                   ap_values=None, ap_mask=None,
-                                  coherent: bool = False):
+                                  coherent: bool = False,
+                                  min_z=2.0):
     """decode_slot_stacked core; also returns the stacked dB grid so the
     host API can estimate SNRs without recomputing the waterfall.
+
+    Candidate search: R > 1 stacks use the linear-power Costas z-statistic
+    (ops/sync.py sync_scores_z — exact-truth-cell presence in the top-K
+    roughly doubles at the stacked coherent cliff vs the dB stencil),
+    thresholded by ``min_z`` (unit-variance z scale).  R == 1 keeps the
+    reference-parity dB stencil and ``min_score``, preserving the
+    decode_slot equivalence contract.
 
     ap_values/ap_mask (V, 77): optional a-priori hypotheses
     (protocol.message.ap_hypotheses) — a beacon's callsign is usually
     known, and clamping it stacks on top of the noncoherent combining
     gain (demod.decode.ap_retry has the algorithm notes).
     """
+    from ..ops.waterfall import _DB_FLOOR
+
     g = search_grid(p.num_freq_bins, num_frames, p.time_osr, p.freq_osr)
-    mag, spec = _stacked_mag_and_spec(waves, p, num_frames, is_complex)
-    scores = sync_scores(mag, g)
+    power, spec = _stacked_power_and_spec(waves, p, num_frames, is_complex)
+    mag = 10.0 * jnp.log10(_DB_FLOOR + power)
+    if waves.shape[0] > 1:
+        scores = sync_scores_z(power, g)
+        thresh = min_z
+    else:
+        scores = sync_scores(mag, g)
+        thresh = min_score
     abs_time, abs_freq, score, cand_valid = find_candidates(
-        scores, g, max_candidates, min_score)
+        scores, g, max_candidates, thresh)
     if use_mf:
         if spec is not None:
             llrs = extract_llrs_matched_blocks_stacked(
@@ -148,13 +165,16 @@ def decode_slot_stacked(waves: jnp.ndarray, p: WaterfallParams,
                         is_complex: bool = False,
                         use_osd: bool = False,
                         use_mf: bool = True,
-                        coherent: bool = False) -> SlotDecodeResult:
+                        coherent: bool = False,
+                        min_z: float = 2.0) -> SlotDecodeResult:
     """R slot-aligned repeats (R, n[, 2]) of ONE transmission -> decode.
 
-    One jit: per-repeat STFT, linear-power averaging, sync stencil +
-    top-K candidates on the stacked grid, repeat-averaged matched-filter
-    LLRs (use_mf, the default — the single-slot MF-first path's combiner)
-    or Hann LLRs read from the stacked dB grid, BP(+OSD), CRC.
+    One jit: per-repeat STFT, linear-power averaging, candidate search on
+    the stacked grid (R > 1: linear Costas z-statistic thresholded by
+    ``min_z``; R == 1: reference dB stencil and ``min_score``),
+    repeat-averaged matched-filter LLRs (use_mf, the default — the
+    single-slot MF-first path's combiner) or Hann LLRs read from the
+    stacked dB grid, BP(+OSD), CRC.
 
     With R == 1 and use_mf this is exactly decode_slot(mf_first=True):
     the mean over one repeat is the identity, so results match
@@ -162,7 +182,8 @@ def decode_slot_stacked(waves: jnp.ndarray, p: WaterfallParams,
     """
     res, _ = _decode_slot_stacked_with_mag(
         waves, p, num_frames, max_candidates, min_score, max_iterations,
-        is_complex, use_osd, use_mf, coherent=coherent)
+        is_complex, use_osd, use_mf, coherent=coherent,
+        min_z=float(min_z))
     return res
 
 
@@ -201,7 +222,8 @@ def decode_ft8_stacked(waves, sample_rate: float,
                        use_mf: bool = True,
                        deduplicate: bool = True,
                        ap: bool | str = False,
-                       coherent: bool = False) -> list[FT8Decode]:
+                       coherent: bool = False,
+                       min_z: float = 2.0) -> list[FT8Decode]:
     """Decode one repeated transmission from R stacked slots (host API).
 
     waves: (R, n) real, (R, n) complex, or (R, n, 2) [re, im] — R captures
@@ -216,6 +238,10 @@ def decode_ft8_stacked(waves, sample_rate: float,
     callsign is usually KNOWN, and clamping it stacks on top of the
     noncoherent combining gain (measured ~+1 dB at the R=4 stacked
     cliff, tests/test_ap.py).
+
+    min_z: candidate threshold for R > 1 stacks, in units of the linear
+    Costas z-statistic's noise standard deviation (sync_scores_z);
+    min_score applies only to R == 1 input (reference dB stencil).
     """
     wave_d, is_complex = as_device_stack(waves)
     p = waterfall_params(sample_rate, bins_per_tone, steps_per_symbol)
@@ -227,7 +253,7 @@ def decode_ft8_stacked(waves, sample_rate: float,
     res, mag = _decode_slot_stacked_with_mag(
         wave_d, p, num_frames, max_candidates, float(min_score),
         max_iterations, is_complex, use_osd, use_mf, ap_values, ap_mask,
-        coherent)
+        coherent, min_z=float(min_z))
     r_stack = int(wave_d.shape[0])
     snr = estimate_snr(mag, res.payload, res.abs_time, res.abs_freq,
                        p.time_osr, p.freq_osr, stack_r=r_stack)

@@ -23,7 +23,8 @@ import numpy as np
 
 from ..protocol import constants as C
 
-__all__ = ["SearchGrid", "search_grid", "sync_scores", "find_candidates"]
+__all__ = ["SearchGrid", "search_grid", "sync_scores", "sync_scores_z",
+           "find_candidates"]
 
 # The reference scans start times from 10 symbols before the slot up to
 # num_blocks - 59 symbols (ft8_decode.py:108).
@@ -161,6 +162,69 @@ def _sync_scores_impl(mag: jnp.ndarray, g: SearchGrid) -> jnp.ndarray:
                 count += nm
 
     return jnp.where(count > 0, total / jnp.maximum(count, 1.0), -jnp.inf)
+
+
+@functools.partial(jax.jit, static_argnames=("g",))
+def sync_scores_z(linpow: jnp.ndarray, g: SearchGrid) -> jnp.ndarray:
+    """LINEAR power grid (F, T) -> normalised Costas detection z (nF, nT).
+
+    A detection-theoretic alternative to the reference's dB-contrast
+    stencil (:func:`sync_scores`), for the repeat-stacked decoder: each of
+    the 21 Costas cells contributes its linear on-tone power minus the
+    exact 8-tone mean at that symbol, and the sum is normalised to unit
+    noise variance (var(P) estimated from the whole grid; each contrast
+    has variance (7/8)·var(P) under noise-only, so z ~ N(0, 1) there).
+    Same statistic as the known-track detector (beacon/detect.py
+    known_track_scores) restricted to the 21 Costas cells every FT8
+    transmission shares — no payload knowledge needed.
+
+    Linear-domain contrast preserves the noncoherent stacking gain that
+    the dB compression of the classic stencil throws away at low SNR:
+    measured exact-truth-cell presence in the top-20 at the stacked
+    coherent cliff (fs 2 kHz, off-grid, 50 trials/point) roughly DOUBLES —
+    R=4 −22 dB: 0.44 → 0.84, R=8 −25 dB: 0.24 → 0.56 (~+1 dB of search
+    depth).  Thresholds are z-scores: min_score ≈ 2 keeps noise-only
+    cells (z ~ N(0,1)) out while candidate counts stay top-K-bound.
+
+    The single-slot decoder keeps the reference-parity stencil: at its
+    cliff a truth-cell oracle shows candidate search is already complete
+    (docs/DESIGN_NOTES.md), so z-sync buys nothing there.
+    """
+    tau, phi = g.time_osr, g.freq_osr
+    num_frames = linpow.shape[-1]
+    left = max(0, -g.t_start)
+    right = max(0, g.t_start + g.num_times
+                + (C.NUM_SYMBOLS - 1) * tau - num_frames)
+    padded = jnp.pad(linpow, ((0, 0), (left, right)))
+
+    # 8-tone row sum S8(f, t) = sum_j P(f + j*phi, t): one shifted add per
+    # tone over the frequency rows the grid scans
+    s8 = jnp.zeros((g.num_freqs, padded.shape[-1]), jnp.float32)
+    for j in range(8):
+        s8 = s8 + jax.lax.dynamic_slice_in_dim(
+            padded, j * phi, g.num_freqs, axis=0)
+
+    cell_m, _, _ = _cell_masks(g)
+    total = jnp.zeros((g.num_freqs, g.num_times), jnp.float32)
+    count = np.zeros(g.num_times, np.float32)
+    for m in range(C.NUM_COSTAS_SEQS):
+        for k in range(C.COSTAS_LEN):
+            i = m * C.COSTAS_LEN + k
+            b = m * C.SYNC_SEQ_STRIDE + k
+            tone = int(C.COSTAS_PATTERN[k])
+            start = left + g.t_start + b * tau
+            on = jax.lax.dynamic_slice(
+                padded, (tone * phi, start), (g.num_freqs, g.num_times))
+            mean8 = jax.lax.dynamic_slice_in_dim(
+                s8, start, g.num_times, axis=-1) * 0.125
+            total = total + jnp.asarray(cell_m[i], jnp.float32) \
+                * (on - mean8)
+            count += cell_m[i]
+
+    cell_var = jnp.var(linpow)
+    sigma = jnp.sqrt(cell_var * 0.875
+                     * jnp.asarray(np.maximum(count, 1.0), jnp.float32))
+    return jnp.where(jnp.asarray(count > 0), total / sigma, -jnp.inf)
 
 
 @functools.partial(jax.jit, static_argnames=("g", "max_candidates"))

@@ -183,6 +183,86 @@ def test_stack_after_per_repeat_drift_correction():
     assert any(r.message.payload == _expected(PAYLOAD) for r in res)
 
 
+def test_sync_z_clean_peak_and_noise_calibration():
+    """sync_scores_z: the z grid peaks at the truth cell for a clean
+    stacked signal, and under noise-only input it is calibrated to
+    ~N(0, 1) (that calibration is what makes min_z a portable threshold)."""
+    import jax.numpy as jnp
+
+    from ft8_demodulator_tpu.demod.stack import _stacked_power_and_spec
+    from ft8_demodulator_tpu.ops.sync import search_grid, sync_scores_z
+    from ft8_demodulator_tpu.ops.waterfall import waterfall_params
+
+    p = waterfall_params(FS, 2, 2)
+    n = int(FS * 15)
+    num_frames = p.num_frames(n)
+    g = search_grid(p.num_freq_bins, num_frames, p.time_osr, p.freq_osr)
+
+    sig = _repeats(7, 10.0, 2)          # essentially clean
+    power, _ = _stacked_power_and_spec(jnp.asarray(sig), p, num_frames,
+                                       False)
+    z = np.asarray(sync_scores_z(power, g))
+    fi, ti = np.unravel_index(np.argmax(z), z.shape)
+    # truth: start sample 500 -> hop 500/160 + the 2-hop grid offset;
+    # f0 400 Hz -> 400/3.125 = 128 sub-bins
+    assert abs((g.t_start + ti) - (round(500 / p.hop) + 2)) <= 1
+    assert abs(fi - 128) <= 1
+    assert z[fi, ti] > 20.0
+
+    rng = np.random.default_rng(11)
+    noise = rng.standard_normal((4, n)).astype(np.float32)
+    power_n, _ = _stacked_power_and_spec(jnp.asarray(noise), p, num_frames,
+                                         False)
+    zn = np.asarray(sync_scores_z(power_n, g))
+    zn = zn[np.isfinite(zn)]
+    assert abs(np.mean(zn)) < 0.3
+    assert 0.6 < np.std(zn) < 1.4
+    assert np.max(zn) < 7.0
+
+
+def test_stack_z_search_outlives_the_db_stencil():
+    """At the stacked coherent cliff the linear z search keeps the truth
+    cell in the top-K after the dB stencil has lost it (the measured ~2x
+    presence gain behind switching R > 1 search to sync_scores_z), and
+    the stacked decode built on it cracks the trial."""
+    import jax.numpy as jnp
+
+    from ft8_demodulator_tpu.demod.stack import _stacked_power_and_spec
+    from ft8_demodulator_tpu.ops.sync import (find_candidates, search_grid,
+                                              sync_scores, sync_scores_z)
+    from ft8_demodulator_tpu.ops.waterfall import _DB_FLOOR, waterfall_params
+
+    p = waterfall_params(FS, 2, 2)
+    n = int(FS * 15)
+    num_frames = p.num_frames(n)
+    g = search_grid(p.num_freq_bins, num_frames, p.time_osr, p.freq_osr)
+    truth_t, truth_f = round(500 / p.hop) + 2, 128
+
+    def presence(scores, thresh):
+        at, af, _, cv = find_candidates(scores, g, 20, thresh)
+        at, af, cv = np.asarray(at), np.asarray(af), np.asarray(cv)
+        return bool(np.any(cv & (np.abs(at - truth_t) <= 0)
+                           & (np.abs(af - truth_f) <= 0)))
+
+    z_hits = stencil_hits = 0
+    decided = None
+    for seed in range(6):
+        sig = _repeats(20 + seed, -22.0, 4)
+        power, _ = _stacked_power_and_spec(jnp.asarray(sig), p, num_frames,
+                                           False)
+        mag = 10.0 * np.log10(_DB_FLOOR + np.asarray(power))
+        z_hit = presence(sync_scores_z(power, g), 2.0)
+        s_hit = presence(sync_scores(jnp.asarray(mag), g), 1.0)
+        z_hits += z_hit
+        stencil_hits += s_hit
+        if decided is None and z_hit and not s_hit:
+            decided = sig
+    assert z_hits > stencil_hits
+    assert decided is not None
+    res = decode_ft8_stacked(decided, FS, use_osd=True, coherent=True)
+    assert any(r.message.payload == _expected(PAYLOAD) for r in res)
+
+
 def test_stack_snr_estimate_per_repeat():
     """Stacked decodes report the PER-REPEAT SNR: linear averaging leaves
     cell means unchanged, and the Wilson-Hilferty median correction keeps
