@@ -34,6 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="time steps per FT8 symbol (time oversampling)")
     p.add_argument("--max-candidates", type=int, default=20)
     p.add_argument("--min-score", type=float, default=10.0)
+    p.add_argument("--min-z", type=float, default=2.0,
+                   help="(--stack R>=2) candidate threshold on the stacked "
+                        "linear Costas z-statistic, in noise standard "
+                        "deviations (the stacked search statistic; "
+                        "--min-score applies to single-slot decoding)")
     p.add_argument("--max-iterations", type=int, default=20,
                    help="LDPC belief-propagation iterations")
     p.add_argument("--correction", action="store_true",
@@ -76,7 +81,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "(with --correction: each cycle is drift-corrected "
                         "independently first).  Stacked decoding always "
                         "uses matched-filter LLRs (--mf/--mf-first are "
-                        "implied); combine with --coherent (~-24 dB at "
+                        "implied); combine with --coherent (~-24.5 dB at "
                         "R=8) and/or --ap; --mf-refine is not supported")
     p.add_argument("--deep", action="store_true",
                    help="high-sensitivity preset: osr 4x4, 40 candidates, "
@@ -289,6 +294,7 @@ def main(argv=None) -> int:
             deduplicate=not args.no_dedup,
             ap=args.ap,
             coherent=args.coherent,
+            min_z=args.min_z,
         )
         print(f"Stacked {r} cycles", file=info)
 
