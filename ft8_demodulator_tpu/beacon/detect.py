@@ -120,7 +120,11 @@ def _detect_grid(waves: jnp.ndarray, track: jnp.ndarray, p, num_frames: int,
                  is_complex: bool, top_k: int):
     from ..demod.stack import _stacked_power_and_spec
 
-    linpow, _ = _stacked_power_and_spec(waves, p, num_frames, is_complex)
+    # R > 1 repeats are noise-floor-equalised (receiver gain varies across
+    # cycles; see demod/stack.py) so the averaged grid keeps the full
+    # sqrt(R) detection gain under AGC steps
+    linpow, _, _ = _stacked_power_and_spec(waves, p, num_frames, is_complex,
+                                           equalize=waves.shape[0] > 1)
     g = search_grid(p.num_freq_bins, num_frames, p.time_osr, p.freq_osr)
     z = known_track_scores(linpow, track, g)
     vals, idx = jax.lax.top_k(z.reshape(-1), top_k)

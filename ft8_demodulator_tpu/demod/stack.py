@@ -42,16 +42,33 @@ __all__ = ["decode_slot_stacked", "decode_ft8_stacked", "as_device_stack"]
 
 
 def _stacked_power_and_spec(waves: jnp.ndarray, p: WaterfallParams,
-                            num_frames: int, is_complex: bool):
+                            num_frames: int, is_complex: bool,
+                            equalize: bool = False):
     """(R, n[, 2]) repeats -> (MEAN linear power grid (F, T), per-repeat
-    block spectra or None).
+    block spectra or None, per-repeat combining weights (R,) or None).
 
-    For noncoherent FSK under independent noise the summed per-tone energy
-    is the sufficient statistic, so the linear mean over repeats is the
-    lossless combining point; sync/LLR consumers convert to dB themselves.
-    When the block backend applies, the per-repeat hop-block spectra are
-    returned too so the matched-filter symbol DFTs reuse them
-    (ops/llr.py extract_llrs_matched_blocks_stacked).
+    For noncoherent FSK under independent noise AND EQUAL NOISE FLOORS the
+    summed per-tone energy is the sufficient statistic, so the linear mean
+    over repeats is the lossless combining point; sync/LLR consumers
+    convert to dB themselves.  When the block backend applies, the
+    per-repeat hop-block spectra are returned too so the matched-filter
+    symbol DFTs reuse them (ops/llr.py
+    extract_llrs_matched_blocks_stacked).
+
+    equalize: normalise each repeat's NOISE FLOOR before combining.
+    Receiver gain is not constant across 15-s cycles (AGC steps, satellite
+    path-loss change), and a raw power mean weights repeat r by gain(r)^2:
+    one 4x-gain cycle carries 16x the weight and the stack degrades toward
+    single-slot sensitivity (measured: R=4 coherent at -20/-21 dB decodes
+    6/6 with equal gains, 2/6 and 0/6 with gains [1, 2, 0.5, 4]; 6/6 at
+    both SNRs equalized).  The per-repeat noise power is estimated as the MEDIAN
+    of the repeat's linear power grid — the transmission occupies ~8 of
+    the grid's ~200 frequency rows, so the median is blind to it at any
+    SNR (a mean would be signal-inflated above ~0 dB).  Weights are
+    normalised to mean 1 so the overall power scale (and the SNR
+    estimator's floor) is preserved.  The weights are returned so callers
+    can apply the SAME equalisation to raw-audio consumers (the coherent
+    path scales waves by sqrt(w)).
     """
     from ..ops.waterfall import (_block_power, _block_spectrum,
                                  _hann_periodic, _pick_backend,
@@ -75,8 +92,19 @@ def _stacked_power_and_spec(waves: jnp.ndarray, p: WaterfallParams,
             fr = frame_signal(waves, p.nperseg, p.hop, num_frames)
             fi = None
         power = _power_spectrum(fr, fi, p, backend)       # (R, T, F)
+    weights = None
+    if equalize:
+        r = power.shape[0]
+        noise = jnp.median(power.reshape(r, -1), axis=-1)   # (R,)
+        w = 1.0 / jnp.maximum(noise, 1e-30)
+        weights = w / jnp.mean(w)                           # mean-1 scale
+        power = power * weights[:, None, None]
+        if spec is not None:
+            sq = jnp.sqrt(weights)[:, None, None]
+            spec = (spec[0] * sq, spec[1] * sq)
     scale = 1.0 / float(np.sum(_hann_periodic(p.nperseg)) ** 2)
-    return jnp.swapaxes(jnp.mean(power, axis=0) * scale, -1, -2), spec
+    return (jnp.swapaxes(jnp.mean(power, axis=0) * scale, -1, -2), spec,
+            weights)
 
 
 def _stacked_mag_and_spec(waves: jnp.ndarray, p: WaterfallParams,
@@ -85,7 +113,8 @@ def _stacked_mag_and_spec(waves: jnp.ndarray, p: WaterfallParams,
     per-repeat block spectra or None).  See _stacked_power_and_spec."""
     from ..ops.waterfall import _DB_FLOOR
 
-    power, spec = _stacked_power_and_spec(waves, p, num_frames, is_complex)
+    power, spec, _ = _stacked_power_and_spec(waves, p, num_frames,
+                                             is_complex)
     return 10.0 * jnp.log10(_DB_FLOOR + power), spec
 
 
@@ -114,11 +143,22 @@ def _decode_slot_stacked_with_mag(waves: jnp.ndarray, p: WaterfallParams,
     (protocol.message.ap_hypotheses) — a beacon's callsign is usually
     known, and clamping it stacks on top of the noncoherent combining
     gain (demod.decode.ap_retry has the algorithm notes).
+
+    R > 1 repeats are noise-floor-EQUALISED before combining (see
+    _stacked_power_and_spec: receiver gain varies across cycles, and raw
+    power means weight repeats by gain^2); the same weights scale the
+    audio fed to the coherent retry.
     """
     from ..ops.waterfall import _DB_FLOOR
 
+    equalize = waves.shape[0] > 1
     g = search_grid(p.num_freq_bins, num_frames, p.time_osr, p.freq_osr)
-    power, spec = _stacked_power_and_spec(waves, p, num_frames, is_complex)
+    power, spec, weights = _stacked_power_and_spec(
+        waves, p, num_frames, is_complex, equalize=equalize)
+    if weights is not None:
+        sq = jnp.sqrt(weights).reshape(
+            (waves.shape[0],) + (1,) * (waves.ndim - 1))
+        waves = waves * sq
     mag = 10.0 * jnp.log10(_DB_FLOOR + power)
     if waves.shape[0] > 1:
         scores = sync_scores_z(power, g)

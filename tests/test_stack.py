@@ -199,8 +199,8 @@ def test_sync_z_clean_peak_and_noise_calibration():
     g = search_grid(p.num_freq_bins, num_frames, p.time_osr, p.freq_osr)
 
     sig = _repeats(7, 10.0, 2)          # essentially clean
-    power, _ = _stacked_power_and_spec(jnp.asarray(sig), p, num_frames,
-                                       False)
+    power, _, _ = _stacked_power_and_spec(jnp.asarray(sig), p,
+                                          num_frames, False)
     z = np.asarray(sync_scores_z(power, g))
     fi, ti = np.unravel_index(np.argmax(z), z.shape)
     # truth: start sample 500 -> hop 500/160 + the 2-hop grid offset;
@@ -211,8 +211,8 @@ def test_sync_z_clean_peak_and_noise_calibration():
 
     rng = np.random.default_rng(11)
     noise = rng.standard_normal((4, n)).astype(np.float32)
-    power_n, _ = _stacked_power_and_spec(jnp.asarray(noise), p, num_frames,
-                                         False)
+    power_n, _, _ = _stacked_power_and_spec(jnp.asarray(noise), p,
+                                            num_frames, False)
     zn = np.asarray(sync_scores_z(power_n, g))
     zn = zn[np.isfinite(zn)]
     assert abs(np.mean(zn)) < 0.3
@@ -248,8 +248,8 @@ def test_stack_z_search_outlives_the_db_stencil():
     decided = None
     for seed in range(6):
         sig = _repeats(20 + seed, -22.0, 4)
-        power, _ = _stacked_power_and_spec(jnp.asarray(sig), p, num_frames,
-                                           False)
+        power, _, _ = _stacked_power_and_spec(jnp.asarray(sig), p,
+                                              num_frames, False)
         mag = 10.0 * np.log10(_DB_FLOOR + np.asarray(power))
         z_hit = presence(sync_scores_z(power, g), 2.0)
         s_hit = presence(sync_scores(jnp.asarray(mag), g), 1.0)
@@ -261,6 +261,23 @@ def test_stack_z_search_outlives_the_db_stencil():
     assert decided is not None
     res = decode_ft8_stacked(decided, FS, use_osd=True, coherent=True)
     assert any(r.message.payload == _expected(PAYLOAD) for r in res)
+
+
+def test_stack_equalizes_per_repeat_gain():
+    """Receiver gain is not constant across 15-s cycles (AGC steps): a raw
+    power mean weights repeat r by gain(r)^2 and one hot cycle collapses
+    the stack toward single-slot sensitivity.  Noise-floor equalisation
+    (median of each repeat's linear grid) must make the decode
+    gain-invariant: same trials, gains [1, 2, 0.5, 4] applied to whole
+    repeats (signal AND noise — per-repeat SNR unchanged), decode must
+    still succeed at a comfortably-stacked SNR."""
+    gains = np.array([1.0, 2.0, 0.5, 4.0], np.float32)
+    ok = 0
+    for seed in range(3):
+        sig = _repeats(100 + seed, -20.0, 4) * gains[:, None]
+        res = decode_ft8_stacked(sig, FS, use_osd=True, coherent=True)
+        ok += any(r.message.payload == _expected(PAYLOAD) for r in res)
+    assert ok == 3      # pre-equalisation this measured 1/3 (and 0/6 at -21)
 
 
 def test_stack_snr_estimate_per_repeat():
