@@ -52,6 +52,44 @@ def select_platform() -> None:
         jax.config.update("jax_platforms", plat)
 
 
+def ensure_live_backend(timeout_s: float | None = None) -> str | None:
+    """Fall back to the CPU backend if TPU device init would hang.
+
+    A wedged axon tunnel makes ``jax.devices()`` block INDEFINITELY (not
+    slowly — observed >1 h), so an unattended benchmark run dies with the
+    tunnel.  This probes device init in a SUBPROCESS with a timeout long
+    enough for a healthy cold start (first tunneled init is 3–4 min;
+    default 360 s, FT8_TPU_PROBE_TIMEOUT overrides) and, on timeout or
+    failure, routes THIS process to the CPU backend.  Returns a
+    human-readable note when the fallback fired, else None.  No-op when
+    FT8_PLATFORM is already set (the caller chose a backend) or
+    FT8_TPU_PROBE=0.
+    """
+    if os.environ.get("FT8_PLATFORM") or \
+            os.environ.get("FT8_TPU_PROBE", "1") == "0":
+        return None
+    import subprocess
+    import sys
+
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("FT8_TPU_PROBE_TIMEOUT", "360"))
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); "
+             "raise SystemExit(0 if d else 1)"],
+            timeout=timeout_s, capture_output=True)
+        if r.returncode == 0:
+            return None
+        reason = f"device init failed (rc {r.returncode})"
+    except subprocess.TimeoutExpired:
+        reason = f"device init hung > {timeout_s:.0f} s (wedged tunnel)"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    return f"TPU backend unavailable — {reason}; ran on CPU instead"
+
+
 def setup() -> None:
     """Benchmark-entry preamble: platform override + compile cache.
 
