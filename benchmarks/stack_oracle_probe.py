@@ -51,13 +51,13 @@ def main():
     from ft8_demodulator_tpu.demod.decode import (_merge_results,
                                                   finish_decode,
                                                   variant_retry)
-    from ft8_demodulator_tpu.demod.stack import (_stacked_mag_and_spec,
+    from ft8_demodulator_tpu.demod.stack import (_stacked_power_and_spec,
                                                  decode_slot_stacked)
     from ft8_demodulator_tpu.ops.gfsk import _baseband_complex
     from ft8_demodulator_tpu.ops.llr import (
         extract_llrs_coherent_stacked, extract_llrs_matched_blocks_stacked)
     from ft8_demodulator_tpu.ops.sync import find_candidates, search_grid, \
-        sync_scores
+        sync_scores_z
     from ft8_demodulator_tpu.ops.waterfall import waterfall_params
     from ft8_demodulator_tpu.protocol import constants as C
     from ft8_demodulator_tpu.protocol.encode import encode_tones
@@ -106,8 +106,13 @@ def main():
         scale = jnp.sqrt(power / 10.0 ** (snr_db / 10.0))
         return sig[:, None, :] + noise * scale[:, None, :]
 
+    # both paths mirror the SHIPPED R>1 pipeline (noise-floor
+    # equalisation + z-statistic search) so full ~= presence x oracle
+    # decomposes cleanly
     def oracle_one(stack, at_true, af_true):
-        mag, spec = _stacked_mag_and_spec(stack, p, num_frames, False)
+        _, spec, w = _stacked_power_and_spec(stack, p, num_frames, False,
+                                             equalize=True)
+        stack = stack * jnp.sqrt(w)[:, None]
         abs_time = jnp.full((K,), at_true, jnp.int32)
         abs_freq = jnp.full((K,), af_true, jnp.int32)
         score = jnp.full((K,), 99.0, jnp.float32)
@@ -121,8 +126,9 @@ def main():
         return _merge_results(res, variant_retry(cllrs, res, 20, True))
 
     def cand_grid_one(stack):
-        mag, _ = _stacked_mag_and_spec(stack, p, num_frames, False)
-        return find_candidates(sync_scores(mag, g), g, K, 1.0)
+        power, _, _ = _stacked_power_and_spec(stack, p, num_frames, False,
+                                              equalize=True)
+        return find_candidates(sync_scores_z(power, g), g, K, 2.0)
 
     @jax.jit
     def decode_all(stacks):

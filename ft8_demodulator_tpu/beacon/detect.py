@@ -79,20 +79,13 @@ def known_track_scores(linpow: jnp.ndarray, track: jnp.ndarray,
     cells), but per-cell tone offsets come from the traced track (the
     payload is a runtime argument — one compilation serves every beacon)
     and the contrast baseline is the exact 8-tone mean, evaluated via a
-    precomputed 8-shift row sum.
+    precomputed 8-shift row sum.  The padding/row-sum machinery and the
+    (7/8)·var(P)·count noise normalisation are shared with the
+    unknown-payload stacked search statistic (ops/sync.py sync_scores_z).
     """
-    left = max(0, -g.t_start)
-    right = max(0, g.t_start + g.num_times
-                + (C.NUM_SYMBOLS - 1) * g.time_osr - linpow.shape[-1])
-    padded = jnp.pad(linpow, ((0, 0), (left, right)))
+    from ..ops.sync import _pad_and_tone_sum, _z_normalise
 
-    # 8-tone row sum: S8(f, t) = sum_j P(f + j*phi, t), one shifted add
-    # per tone over the frequency rows the search grid scans
-    s8 = jnp.zeros((g.num_freqs, padded.shape[-1]), jnp.float32)
-    for j in range(8):
-        s8 = s8 + jax.lax.dynamic_slice_in_dim(
-            padded, j * g.freq_osr, g.num_freqs, axis=0)
-
+    padded, s8, left = _pad_and_tone_sum(linpow, g)
     valid, count = _track_masks(g)
     total = jnp.zeros((g.num_freqs, g.num_times), jnp.float32)
     for s in range(C.NUM_SYMBOLS):
@@ -103,15 +96,7 @@ def known_track_scores(linpow: jnp.ndarray, track: jnp.ndarray,
         mean8 = jax.lax.dynamic_slice_in_dim(
             s8, start, g.num_times, axis=-1) * 0.125
         total = total + jnp.asarray(valid[s], jnp.float32) * (on - mean8)
-
-    # per-cell noise variance ESTIMATED from the grid: under noise-only
-    # var(P) = mu^2 for exponential P, and averaging R repeats scales it
-    # to mu^2/R — the empirical variance tracks both (and any window
-    # correlation) without knowing R
-    cell_var = jnp.var(linpow)
-    sigma = jnp.sqrt(cell_var * 0.875
-                     * jnp.asarray(np.maximum(count, 1), jnp.float32))
-    return jnp.where(jnp.asarray(count > 0), total / sigma, -jnp.inf)
+    return _z_normalise(total, linpow, count)
 
 
 @functools.partial(jax.jit, static_argnames=("p", "num_frames",

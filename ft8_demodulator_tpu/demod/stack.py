@@ -96,8 +96,18 @@ def _stacked_power_and_spec(waves: jnp.ndarray, p: WaterfallParams,
     if equalize:
         r = power.shape[0]
         noise = jnp.median(power.reshape(r, -1), axis=-1)   # (R,)
-        w = 1.0 / jnp.maximum(noise, 1e-30)
-        weights = w / jnp.mean(w)                           # mean-1 scale
+        # a DEAD repeat (recorded silence: dropout, gap-filled zeros) has
+        # noise ~ 0 and 1/noise would hand it essentially ALL the weight
+        # (crushing the live repeats to ~0 after normalisation — measured
+        # 0/3 decodes vs 3/3).  Real gain changes never drive the noise
+        # floor toward float-zero, so repeats far below the loudest
+        # repeat's floor are excluded (weight 0); with mean-1
+        # normalisation the live weights then sum to R and the stacked
+        # mean equals the mean over live repeats — a dropout costs
+        # nothing beyond its missing look.
+        dead = noise <= 1e-9 * jnp.max(noise)
+        w = jnp.where(dead, 0.0, 1.0 / jnp.maximum(noise, 1e-30))
+        weights = w / jnp.maximum(jnp.mean(w), 1e-30)       # mean-1 scale
         power = power * weights[:, None, None]
         if spec is not None:
             sq = jnp.sqrt(weights)[:, None, None]

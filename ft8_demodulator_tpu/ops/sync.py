@@ -183,26 +183,17 @@ def sync_scores_z(linpow: jnp.ndarray, g: SearchGrid) -> jnp.ndarray:
     measured exact-truth-cell presence in the top-20 at the stacked
     coherent cliff (fs 2 kHz, off-grid, 50 trials/point) roughly DOUBLES —
     R=4 −22 dB: 0.44 → 0.84, R=8 −25 dB: 0.24 → 0.56 (~+1 dB of search
-    depth).  Thresholds are z-scores: min_score ≈ 2 keeps noise-only
-    cells (z ~ N(0,1)) out while candidate counts stay top-K-bound.
+    depth).  Thresholds on this grid are z-scores (the stacked decoder's
+    ``min_z``, default 2.0 — NOT ``min_score``, which gates the R == 1
+    dB stencil): z ≈ 2 keeps noise-only cells (z ~ N(0, 1)) out while
+    candidate counts stay top-K-bound.
 
     The single-slot decoder keeps the reference-parity stencil: at its
     cliff a truth-cell oracle shows candidate search is already complete
     (docs/DESIGN_NOTES.md), so z-sync buys nothing there.
     """
     tau, phi = g.time_osr, g.freq_osr
-    num_frames = linpow.shape[-1]
-    left = max(0, -g.t_start)
-    right = max(0, g.t_start + g.num_times
-                + (C.NUM_SYMBOLS - 1) * tau - num_frames)
-    padded = jnp.pad(linpow, ((0, 0), (left, right)))
-
-    # 8-tone row sum S8(f, t) = sum_j P(f + j*phi, t): one shifted add per
-    # tone over the frequency rows the grid scans
-    s8 = jnp.zeros((g.num_freqs, padded.shape[-1]), jnp.float32)
-    for j in range(8):
-        s8 = s8 + jax.lax.dynamic_slice_in_dim(
-            padded, j * phi, g.num_freqs, axis=0)
+    padded, s8, left = _pad_and_tone_sum(linpow, g)
 
     cell_m, _, _ = _cell_masks(g)
     total = jnp.zeros((g.num_freqs, g.num_times), jnp.float32)
@@ -220,7 +211,34 @@ def sync_scores_z(linpow: jnp.ndarray, g: SearchGrid) -> jnp.ndarray:
             total = total + jnp.asarray(cell_m[i], jnp.float32) \
                 * (on - mean8)
             count += cell_m[i]
+    return _z_normalise(total, linpow, count)
 
+
+def _pad_and_tone_sum(linpow: jnp.ndarray, g: SearchGrid):
+    """Pad the linear grid for a track scan and build the 8-tone row sum
+    S8(f, t) = sum_j P(f + j*phi, t) — one shifted add per tone over the
+    frequency rows the grid scans.  Returns (padded, s8, left pad).
+    Shared by sync_scores_z and beacon/detect.py known_track_scores so the
+    two z statistics cannot drift apart."""
+    left = max(0, -g.t_start)
+    right = max(0, g.t_start + g.num_times
+                + (C.NUM_SYMBOLS - 1) * g.time_osr - linpow.shape[-1])
+    padded = jnp.pad(linpow, ((0, 0), (left, right)))
+    s8 = jnp.zeros((g.num_freqs, padded.shape[-1]), jnp.float32)
+    for j in range(8):
+        s8 = s8 + jax.lax.dynamic_slice_in_dim(
+            padded, j * g.freq_osr, g.num_freqs, axis=0)
+    return padded, s8, left
+
+
+def _z_normalise(total: jnp.ndarray, linpow: jnp.ndarray,
+                 count: np.ndarray) -> jnp.ndarray:
+    """Contrast sum -> unit-noise-variance z.
+
+    Each (on-tone − 8-tone mean) contrast has variance (7/8)·var(P) under
+    noise-only; var(P) is the grid's EMPIRICAL cell variance, so repeat
+    averaging (var ∝ 1/R) and window correlation are tracked without
+    modelling them.  count: valid contrasts per time column (host)."""
     cell_var = jnp.var(linpow)
     sigma = jnp.sqrt(cell_var * 0.875
                      * jnp.asarray(np.maximum(count, 1.0), jnp.float32))

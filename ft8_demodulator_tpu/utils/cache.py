@@ -64,6 +64,13 @@ def ensure_live_backend(timeout_s: float | None = None) -> str | None:
     human-readable note when the fallback fired, else None.  No-op when
     FT8_PLATFORM is already set (the caller chose a backend) or
     FT8_TPU_PROBE=0.
+
+    Known cost: on a HEALTHY tunnel the probe subprocess pays the full
+    cold device init (~3–4 min) and the parent then re-initialises from
+    scratch (tunnel sessions are per-process, nothing can be handed
+    over) — accepted for an unattended once-per-round benchmark, where a
+    wedged-tunnel hang loses the round's numbers entirely.  Interactive
+    runs that know the tunnel is fine can skip it with FT8_TPU_PROBE=0.
     """
     if os.environ.get("FT8_PLATFORM") or \
             os.environ.get("FT8_TPU_PROBE", "1") == "0":

@@ -280,6 +280,21 @@ def test_stack_equalizes_per_repeat_gain():
     assert ok == 3      # pre-equalisation this measured 1/3 (and 0/6 at -21)
 
 
+def test_stack_tolerates_a_dead_repeat():
+    """A repeat recorded as silence (receiver dropout, gap-filled zeros)
+    has noise ~0; a naive 1/noise weight would hand it essentially ALL
+    the combining weight and crush the live repeats (measured 0/3 before
+    the dead-repeat guard).  Dead repeats are excluded instead: the
+    stack must decode as if the dropout never happened."""
+    ok = 0
+    for seed in range(3):
+        sig = _repeats(200 + seed, -19.0, 4)
+        sig[2] = 0.0                        # one dead cycle
+        res = decode_ft8_stacked(sig, FS, use_osd=True, coherent=True)
+        ok += any(r.message.payload == _expected(PAYLOAD) for r in res)
+    assert ok == 3
+
+
 def test_stack_snr_estimate_per_repeat():
     """Stacked decodes report the PER-REPEAT SNR: linear averaging leaves
     cell means unchanged, and the Wilson-Hilferty median correction keeps
