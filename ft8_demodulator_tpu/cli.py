@@ -75,10 +75,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "recovers up to ~3 dB of off-grid quantisation "
                         "loss on real-world signals")
     p.add_argument("--stack", type=int, default=1, metavar="R",
-                   help="treat the capture as R consecutive 15-s cycles of "
-                        "a REPEATING transmission (beacon) and decode them "
-                        "together — noncoherent combining, ~+3.5 dB at R=4 "
-                        "(with --correction: each cycle is drift-corrected "
+                   help="treat the capture as consecutive 15-s cycles of a "
+                        "REPEATING transmission (beacon) and decode a "
+                        "SLIDING ring of the newest R cycles after each "
+                        "one completes (demod.BeaconSession: every cycle "
+                        "in the file participates, results deduplicate "
+                        "across the session, times are absolute) — "
+                        "noncoherent combining, ~+3.5 dB at R=4 (with "
+                        "--correction: each cycle is drift-corrected "
                         "independently first).  Stacked decoding always "
                         "uses matched-filter LLRs (--mf/--mf-first are "
                         "implied); combine with --coherent (~-24.5 dB at "
@@ -258,45 +262,32 @@ def main(argv=None) -> int:
           f"({len(wave_data) / sample_rate:.2f} s)", file=info)
 
     if args.stack > 1:
-        from .demod.stack import decode_ft8_stacked
+        from .demod import BeaconSession
 
         cycle = int(round(15.0 * sample_rate))
-        r = min(args.stack, len(wave_data) // cycle)
-        if r < 2:
+        n_cycles = len(wave_data) // cycle
+        if n_cycles < 2:
             print("Error: --stack needs at least two full 15-s cycles of "
                   f"audio (got {len(wave_data) / sample_rate:.2f} s)",
                   file=sys.stderr)
             return 1
-        segs = np.asarray(wave_data[: r * cycle]).reshape(r, cycle)
-        if args.correction:
-            import scipy.signal
-            from .beacon import correct_frequency_drift
-
-            corrected = []
-            for i, seg in enumerate(segs):
-                c, drift_rate = correct_frequency_drift(
-                    scipy.signal.hilbert(seg), sample_rate, params={
-                        "bins_per_tone": args.bins_per_tone,
-                        "steps_per_symbol": args.steps_per_symbol,
-                    })
-                print(f"Cycle {i}: estimated drift rate "
-                      f"{drift_rate * sample_rate:.2f} Hz/s", file=info)
-                corrected.append(c)
-            segs = np.stack(corrected)
-        results = decode_ft8_stacked(
-            segs, sample_rate,
+        # sliding ring over the WHOLE capture: every cycle participates
+        # (a file with 8 cycles and --stack 4 decodes cycles 1-4, 2-5, ...
+        # instead of discarding the second half); results deduplicate
+        # across the session
+        session = BeaconSession(
+            sample_rate, max_repeats=args.stack,
+            use_osd=args.osd, coherent=args.coherent, ap=args.ap,
+            min_z=args.min_z, max_candidates=args.max_candidates,
+            correction=args.correction,
             bins_per_tone=args.bins_per_tone,
             steps_per_symbol=args.steps_per_symbol,
-            max_candidates=args.max_candidates,
             min_score=args.min_score,
-            max_iterations=args.max_iterations,
-            use_osd=args.osd,
-            deduplicate=not args.no_dedup,
-            ap=args.ap,
-            coherent=args.coherent,
-            min_z=args.min_z,
-        )
-        print(f"Stacked {r} cycles", file=info)
+            max_iterations=args.max_iterations)
+        results = session.feed(np.asarray(wave_data))
+        results += session.flush()      # partial tail, single-slot
+        print(f"Stacked {n_cycles} cycles (ring of "
+              f"{min(args.stack, n_cycles)})", file=info)
 
     if args.correction and args.stack <= 1:
         import scipy.signal

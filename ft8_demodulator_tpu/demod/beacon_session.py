@@ -47,13 +47,16 @@ class BeaconSession:
                  max_candidates: int = 20,
                  correction: bool = False,
                  cycle_seconds: float = float(C.SLOT_PERIOD_S),
-                 t0_seconds: float = 0.0):
+                 t0_seconds: float = 0.0,
+                 bins_per_tone: int = 2, steps_per_symbol: int = 2,
+                 min_score: float = 10.0, max_iterations: int = 20):
         """fs: sample rate.  max_repeats: ring depth R (each decode stacks
         the newest min(cycles seen, R) cycles).  correction: per-cycle
         blind drift correction (beacon.correct_frequency_drift) before
         stacking — the satellite flow.  t0_seconds: stream start time
         relative to the cycle boundary (reported times are absolute).
-        Remaining options are decode_ft8_stacked's."""
+        Remaining options are decode_ft8_stacked's (min_score gates only
+        the R == 1 decodes: the first cycle and the flush tail)."""
         if max_repeats < 1:
             raise ValueError("max_repeats must be >= 1")
         self.fs = float(fs)
@@ -66,6 +69,10 @@ class BeaconSession:
         self.correction = correction
         self.cycle_len = int(round(cycle_seconds * self.fs))
         self.t0_seconds = float(t0_seconds)
+        self.bins_per_tone = int(bins_per_tone)
+        self.steps_per_symbol = int(steps_per_symbol)
+        self.min_score = float(min_score)
+        self.max_iterations = int(max_iterations)
         self._buffer = np.zeros(0, np.float32)
         self._cycles: list[np.ndarray] = []       # newest last; <= R kept
         self._cycles_done = 0                     # total completed cycles
@@ -128,7 +135,11 @@ class BeaconSession:
         rows = decode_ft8_stacked(
             waves, self.fs, use_osd=self.use_osd, coherent=self.coherent,
             ap=self.ap, min_z=self.min_z,
-            max_candidates=self.max_candidates)
+            max_candidates=self.max_candidates,
+            bins_per_tone=self.bins_per_tone,
+            steps_per_symbol=self.steps_per_symbol,
+            min_score=self.min_score,
+            max_iterations=self.max_iterations)
         if offset_samples is None:
             # times are relative to the NEWEST cycle in the ring
             offset_samples = (self._cycles_done - 1) * self.cycle_len
@@ -158,7 +169,11 @@ class BeaconSession:
             ap=np.asarray(str(self.ap)), min_z=self.min_z,
             max_candidates=self.max_candidates,
             correction=self.correction, cycle_len=self.cycle_len,
-            t0_seconds=self.t0_seconds, buffer=self._buffer,
+            t0_seconds=self.t0_seconds,
+            bins_per_tone=self.bins_per_tone,
+            steps_per_symbol=self.steps_per_symbol,
+            min_score=self.min_score,
+            max_iterations=self.max_iterations, buffer=self._buffer,
             cycles=cyc, cycles_done=self._cycles_done,
             seen=np.asarray([p.hex() for p in sorted(self._seen)]))
 
@@ -175,7 +190,11 @@ class BeaconSession:
                 max_candidates=int(z["max_candidates"]),
                 correction=bool(z["correction"]),
                 cycle_seconds=int(z["cycle_len"]) / float(z["fs"]),
-                t0_seconds=float(z["t0_seconds"]))
+                t0_seconds=float(z["t0_seconds"]),
+                bins_per_tone=int(z["bins_per_tone"]),
+                steps_per_symbol=int(z["steps_per_symbol"]),
+                min_score=float(z["min_score"]),
+                max_iterations=int(z["max_iterations"]))
         s._buffer = np.asarray(z["buffer"], np.float32)
         s._cycles = [np.asarray(c) for c in z["cycles"]]
         s._cycles_done = int(z["cycles_done"])
