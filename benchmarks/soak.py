@@ -1,0 +1,119 @@
+"""Randomised end-to-end soak: TX -> channel-ish placement -> decode.
+
+Fuzzes the whole single-slot pipeline over random payloads, sample rates,
+base frequencies, start offsets, amplitudes, and slot lengths at an SNR
+where decoding must succeed, then asserts: the exact payload is decoded,
+the reported time and frequency are within a grid cell of the truth, and
+the reported SNR is within tolerance of the injected one.  Any failure
+prints the full reproduction tuple.
+
+Usage: python benchmarks/soak.py [--trials 200] [--seed 0] [--osd]
+            [--snr -10] [--deep-every 8]
+Prints one JSON summary line; exit code 1 if anything failed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ft8_demodulator_tpu.utils.cache import setup as _cache_setup  # noqa: E402
+
+_cache_setup()
+
+RATES = [2000.0, 3000.0, 4000.0, 6000.0, 8000.0, 10500.0, 12000.0]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trials", type=int, default=200)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--snr", type=float, default=-10.0)
+    ap.add_argument("--osd", action="store_true")
+    ap.add_argument("--deep-every", type=int, default=8,
+                    help="every Nth trial uses the DEEP (osr 4x4) preset")
+    args = ap.parse_args()
+
+    from ft8_demodulator_tpu.demod import decode_ft8_message
+    from ft8_demodulator_tpu.ops.gfsk import ft8_passband
+    from ft8_demodulator_tpu.protocol import constants as C
+
+    rng = np.random.default_rng(args.seed)
+    failures = []
+    t0 = time.perf_counter()
+    for trial in range(args.trials):
+        fs = float(rng.choice(RATES))
+        deep = args.deep_every > 0 and trial % args.deep_every == 0
+        osr = 4 if deep else 2
+        payload = rng.integers(0, 256, size=10, dtype=np.uint8)
+        payload[9] &= 0xF8
+        # base tone anywhere in the scanned band, off-grid placement
+        grid_step = C.TONE_SPACING_HZ / osr
+        lo, hi = 12 * grid_step, fs / 2 - 10 * C.TONE_SPACING_HZ
+        f0 = float(rng.uniform(lo, hi))
+        # two discrete slot lengths: every distinct (n, osr, fs) is its
+        # own XLA program — a continuous draw would compile per trial
+        slot_s = float(rng.choice([13.6, 15.0]))
+        n = int(fs * slot_s)
+        wave = np.asarray(ft8_passband(payload, fs, f0, 0.0))
+        start = int(rng.integers(0, max(1, n - len(wave))))
+        amp = float(10.0 ** rng.uniform(-2.0, 2.0))
+        sig = np.zeros(n, np.float32)
+        sig[start: start + len(wave)] = wave * amp
+        sp = float(np.mean((wave * amp) ** 2))
+        sig += rng.standard_normal(n).astype(np.float32) \
+            * np.sqrt(sp / 10 ** (args.snr / 10))
+
+        rows = decode_ft8_message(
+            sig, fs, bins_per_tone=osr, steps_per_symbol=osr,
+            min_score=1.0, use_osd=args.osd, mf_first=True)
+        want = bytes(payload.tolist())
+        hit = [r for r in rows if r.message.payload == want]
+        why = None
+        if not hit:
+            why = "payload not decoded"
+        else:
+            r = hit[0]
+            dt = abs(r.time_sec - start / fs)
+            df = abs(r.freq_hz - f0)
+            # time: one grid cell of slack (+ the half-cell rounding).
+            # freq: the reported value is the decoding CANDIDATE's grid
+            # cell, and the Costas stencil's contrast peaks on the
+            # +-2-sub-bin sidelobes of a strong tone (ops/sync.py), so a
+            # correct decode may report up to ~2.5 cells off — the same
+            # convention the reference uses.
+            if dt > C.SYMBOL_PERIOD_S / osr + 1e-6:
+                why = f"time off by {dt:.3f} s"
+            elif df > 2.5 * C.TONE_SPACING_HZ / osr + 1e-6:
+                why = f"freq off by {df:.2f} Hz"
+            elif r.snr_db is not None:
+                expect = args.snr + 10.0 * np.log10((fs / 2) / 2500.0)
+                if abs(r.snr_db - expect) > 3.5:
+                    why = (f"snr {r.snr_db:.1f} vs expected "
+                           f"{expect:.1f} dB")
+        if why:
+            failures.append({
+                "trial": trial, "fs": fs, "osr": osr,
+                "payload": want.hex(), "f0": round(f0, 3),
+                "start": start, "slot_s": round(slot_s, 3),
+                "amp": round(amp, 4), "why": why,
+            })
+            print(json.dumps(failures[-1]), file=sys.stderr, flush=True)
+    out = {
+        "trials": args.trials, "snr_db": args.snr, "osd": args.osd,
+        "failures": len(failures),
+        "wall_seconds": round(time.perf_counter() - t0, 1),
+    }
+    print(json.dumps(out))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

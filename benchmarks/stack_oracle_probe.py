@@ -79,16 +79,14 @@ def main():
     f0s = f0 + rng.uniform(-1.0, 1.0, trials) * grid_step
     starts = (sps // 2
               + rng.integers(-(p.hop // 2), p.hop // 2 + 1, trials))
-    # truth-aligned nearest grid cell.  Conventions (measured against
-    # clean-signal candidate output): abs_freq counts TONE_SPACING/freq_osr
-    # sub-bins; abs_time counts hops with a constant +2-hop (one-symbol)
-    # grid offset.  The Costas stencil's neighbour contrast peaks on the
-    # +-2-sub-bin sidelobes of a clean tone, so the truth-in-top-K test
-    # uses a +-2 frequency tolerance (the MF/coherent refinement locks
-    # from there).
+    # truth-aligned nearest grid cell: abs_freq counts
+    # TONE_SPACING/freq_osr sub-bins, abs_time counts hops.  (The Costas
+    # stencil's neighbour contrast peaks on the +-2-sub-bin sidelobes of
+    # a clean tone, so the truth-in-top-K test also reports a +-2
+    # frequency tolerance.)
     abs_f_true = np.rint(f0s * p.freq_osr / C.TONE_SPACING_HZ).astype(
         np.int32)
-    abs_t_true = (np.rint(starts / p.hop) + 2).astype(np.int32)
+    abs_t_true = np.rint(starts / p.hop).astype(np.int32)
 
     f0s_d = jnp.asarray(f0s.astype(np.float32))
     starts_d = jnp.asarray(starts.astype(np.int32))

@@ -175,16 +175,22 @@ def ft8_encode(payload: np.ndarray) -> np.ndarray:
 
 def ft8_baseband_generator(payload: np.ndarray, fs: float,
                            f0: float) -> np.ndarray:
-    """Complex baseband FT8 transmission
+    """Complex baseband FT8 transmission, bit-parity with the reference —
+    INCLUDING its one-symbol GFSK delay / truncated final Costas symbol
+    (ops/gfsk.py module docstring; the native API emits the corrected
+    WSJT-X alignment instead).
     (reference: src/ft8_tools/ft8_generator/modulator.py:77)."""
-    return _baseband(np.asarray(payload, np.uint8), fs, f0)
+    return _baseband(np.asarray(payload, np.uint8), fs, f0,
+                     reference_quirk=True)
 
 
 def ft8_generator(payload: np.ndarray, fs: float, f0: float,
                   fc: float) -> np.ndarray:
-    """Real passband FT8 transmission
+    """Real passband FT8 transmission, bit-parity with the reference
+    (including its GFSK timing quirk; see ft8_baseband_generator)
     (reference: src/ft8_tools/ft8_generator/modulator.py:85)."""
-    return _passband(np.asarray(payload, np.uint8), fs, f0, fc)
+    return _passband(np.asarray(payload, np.uint8), fs, f0, fc,
+                     reference_quirk=True)
 
 
 def select_frequency_band(spectrogram: np.ndarray, f: np.ndarray,

@@ -11,13 +11,20 @@ accumulation is a hierarchical cumsum that stays accurate in float32:
 * across slots: a cumulative product of 79 unit phasors, so the growing
   integer part of the phase never has to be represented.
 
-The waveform convention matches the reference exactly:
-``w[n] = sin(phi_n) - j cos(phi_n) = -j exp(j phi_n)``, raised-cosine
-amplitude ramps over the first/last sps/8 samples, and the reference's
-timing quirk where the Gaussian pulse of symbol i is centred at sample
-(i + 1.5) * sps (one symbol later than WSJT-X; the decoder's time sync
-absorbs the shift).  Validated to ~1e-5 against a float64 rerun of the
-reference algorithm.
+The waveform convention matches the reference exactly
+(``w[n] = sin(phi_n) - j cos(phi_n) = -j exp(j phi_n)``, raised-cosine
+amplitude ramps over the first/last sps/8 samples) with ONE deliberate
+fix: symbol k's Gaussian pulse is centred at sample (k + 0.5) * sps — the
+WSJT-X alignment.  The reference integrates the first 79*sps samples of
+its (79+2)*sps frequency track (modulator.py:49,68), dropping WSJT-X's
+one-symbol read offset (ft8sim's ``dphi(j+nsps)``): every symbol lands
+one symbol LATE and the final Costas symbol is truncated off the end —
+reported decode times ran 0.16 s past the physical start (caught by
+benchmarks/soak.py, 60/60 trials) and a strict receiver loses the last
+sync cell.  ``reference_quirk=True`` reproduces the reference's shifted
+waveform bit-for-bit (compat.py uses it; the goldens validate both
+paths — the fixed track equals the same reference track read at the
+WSJT-X offset).
 
 Complex-at-the-boundary rule: this TPU backend cannot transfer complex
 arrays between host and device (complex *compute* inside jit is fine), so
@@ -68,21 +75,32 @@ def _window_segments(sps: int, dtype) -> jnp.ndarray:
 
 
 def gfsk_frequency_track(tones: jnp.ndarray, sps: int,
-                         dtype=jnp.float32) -> jnp.ndarray:
+                         dtype=jnp.float32,
+                         reference_quirk: bool = False) -> jnp.ndarray:
     """(..., 79) tone ids -> (..., 79, sps) tone-unit frequency track.
 
     Output slot s overlaps exactly three Gaussian pulses (symbols s-1, s,
     s+1, with the first/last tone extended past the frame edges), so the
-    track is a 3-term blend:  track[s] = te[s]*w2 + te[s+1]*w1 + te[s+2]*w0
-    with te = [0, t0, t0..t78, t78].  This reproduces the reference's
-    scatter-add construction (modulator.py:38-49) without loops.
+    track is a 3-term blend: track[s] = te[s]*w2 + te[s+1]*w1 + te[s+2]*w0
+    with te = [t0, t0..t78, t78] — symbol s's pulse centred at
+    (s + 0.5)*sps, the WSJT-X alignment, equal to the reference's
+    (79+2)*sps scatter-add track (modulator.py:38-49) read at offset sps
+    (tested against the reference golden at exactly that offset).
+
+    reference_quirk=True instead reads the reference track at offset 0
+    (te = [0, t0, t0..t78, t78]): every symbol one symbol late, the last
+    Costas symbol truncated — the reference's actual transmissions (see
+    module docstring).
     """
     w0, w1, w2 = _window_segments(sps, dtype)
     t = tones.astype(dtype)
     first = t[..., :1]
     last = t[..., -1:]
-    zero = jnp.zeros_like(first)
-    te = jnp.concatenate([zero, first, t, last], axis=-1)  # (..., 82)
+    if reference_quirk:
+        zero = jnp.zeros_like(first)
+        te = jnp.concatenate([zero, first, t, last], axis=-1)  # (..., 82)
+    else:
+        te = jnp.concatenate([first, t, last], axis=-1)        # (..., 81)
     track = (
         te[..., 0:79, None] * w2
         + te[..., 1:80, None] * w1
@@ -120,10 +138,11 @@ def _phase_fraction(track: jnp.ndarray, sps: int, fs: float, f0: float,
 
 
 def _baseband_complex(tones: jnp.ndarray, sps: int, fs: float,
-                      f0: float) -> jnp.ndarray:
+                      f0: float,
+                      reference_quirk: bool = False) -> jnp.ndarray:
     """(..., 79) tone ids -> (..., 79*sps) complex64 baseband (jit-internal)."""
     dtype = jnp.float32
-    track = gfsk_frequency_track(tones, sps, dtype)
+    track = gfsk_frequency_track(tones, sps, dtype, reference_quirk)
     e_slot, frac = _phase_fraction(track, sps, fs, f0, dtype)
     w = e_slot[..., :, None] * jnp.exp(2j * jnp.pi * frac.astype(jnp.float32))
     # reference convention: sin(phi) - j cos(phi) = -j * exp(j phi)
@@ -142,15 +161,18 @@ def _baseband_complex(tones: jnp.ndarray, sps: int, fs: float,
     return (w * ramp).astype(jnp.complex64)
 
 
-@functools.partial(jax.jit, static_argnames=("sps", "fs", "f0"))
+@functools.partial(jax.jit, static_argnames=("sps", "fs", "f0",
+                                             "reference_quirk"))
 def tones_to_baseband(tones: jnp.ndarray, sps: int, fs: float,
-                      f0: float) -> jnp.ndarray:
+                      f0: float,
+                      reference_quirk: bool = False) -> jnp.ndarray:
     """(..., 79) tone ids -> (..., 79*sps, 2) float32 [real, imag] baseband."""
-    w = _baseband_complex(tones, sps, fs, f0)
+    w = _baseband_complex(tones, sps, fs, f0, reference_quirk)
     return jnp.stack([jnp.real(w), jnp.imag(w)], axis=-1)
 
 
-def ft8_baseband(payload, fs: float, f0: float) -> np.ndarray:
+def ft8_baseband(payload, fs: float, f0: float,
+                 reference_quirk: bool = False) -> np.ndarray:
     """(..., 10) payload bytes -> host numpy complex64 baseband transmission.
 
     Convenience wrapper; performance paths should keep the stacked real
@@ -158,13 +180,16 @@ def ft8_baseband(payload, fs: float, f0: float) -> np.ndarray:
     """
     sps = int(C.SYMBOL_PERIOD_S * fs)
     tones = encode_tones(jnp.asarray(payload))
-    ri = np.asarray(tones_to_baseband(tones, sps, float(fs), float(f0)))
+    ri = np.asarray(tones_to_baseband(tones, sps, float(fs), float(f0),
+                                      reference_quirk))
     return ri[..., 0] + 1j * ri[..., 1]
 
 
-@functools.partial(jax.jit, static_argnames=("sps", "fs", "f0", "fc"))
+@functools.partial(jax.jit, static_argnames=("sps", "fs", "f0", "fc",
+                                             "reference_quirk"))
 def tones_to_passband(tones: jnp.ndarray, sps: int, fs: float, f0: float,
-                      fc: float) -> jnp.ndarray:
+                      fc: float,
+                      reference_quirk: bool = False) -> jnp.ndarray:
     """Real passband waveform: Re{baseband * exp(j 2 pi fc t)}.
 
     The carrier phase is linear in frequency, so mixing to fc is identical to
@@ -172,11 +197,14 @@ def tones_to_passband(tones: jnp.ndarray, sps: int, fs: float, f0: float,
     inside the float32-safe hierarchical accumulator instead of forming the
     unbounded 2*pi*fc*n/fs product.  (reference: modulator.py:85-90)
     """
-    return jnp.real(_baseband_complex(tones, sps, fs, f0 + fc))
+    return jnp.real(_baseband_complex(tones, sps, fs, f0 + fc,
+                                      reference_quirk))
 
 
-def ft8_passband(payload, fs: float, f0: float, fc: float) -> np.ndarray:
+def ft8_passband(payload, fs: float, f0: float, fc: float,
+                 reference_quirk: bool = False) -> np.ndarray:
     """(..., 10) payload bytes -> host numpy float32 passband transmission."""
     sps = int(C.SYMBOL_PERIOD_S * fs)
     tones = encode_tones(jnp.asarray(payload))
-    return np.asarray(tones_to_passband(tones, sps, float(fs), float(f0), float(fc)))
+    return np.asarray(tones_to_passband(tones, sps, float(fs), float(f0),
+                                        float(fc), reference_quirk))

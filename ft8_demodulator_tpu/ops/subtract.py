@@ -128,12 +128,11 @@ def subtract_decoded(wave: jnp.ndarray, p: WaterfallParams,
     n_ext = n_sig + 2 * half
     pad = n_ext
     xp = jnp.pad(wave.astype(jnp.float32), (pad, pad))
-    # the GFSK waveform's symbol content is delayed one full symbol from
-    # the waveform start (Gaussian-pulse spill, modulator convention shared
-    # with the reference), and abs_time indexes the symbol content — so the
-    # reconstruction is placed one symbol (nperseg samples) earlier; the
-    # extra half-hop margin feeds the sample-level time alignment.
-    offsets = pad + abs_time * p.hop - p.nperseg - half  # (K,) sample index
+    # abs_time indexes the first symbol's frame and the (fixed-alignment)
+    # GFSK synth puts symbol 0 at the waveform start (ops/gfsk.py), so the
+    # reconstruction sits at abs_time*hop; the half-hop margin feeds the
+    # sample-level time alignment.
+    offsets = pad + abs_time * p.hop - half              # (K,) sample index
 
     def body(k, xp):
         start = jnp.clip(offsets[k], 0, xp.shape[0] - n_ext)

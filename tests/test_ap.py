@@ -98,8 +98,8 @@ def test_ap_rejects_bad_input():
 
 def test_ap_composes_with_stacking():
     """A beacon's call is known a priori: ap layers on the stacked
-    combiner (R=4 at -20 dB: plain 1/12, ap 7/12 measured; committed
-    seed decodes with ap and not without)."""
+    combiner (R=4 at -20.5 dB, post-TX-alignment-fix: plain 1/10, ap
+    5/10 measured; committed seed decodes with ap and not without)."""
     from ft8_demodulator_tpu.demod import decode_ft8_stacked
 
     payload = pack_message("CQ K1ABC FN42")
@@ -110,7 +110,7 @@ def test_ap_composes_with_stacking():
     sig = np.zeros((4, int(FS * 15)), np.float32)
     sig[:, 500: 500 + len(w)] = w
     sig += rng.standard_normal(sig.shape).astype(np.float32) \
-        * np.sqrt(sp / 10 ** (-20.0 / 10))
+        * np.sqrt(sp / 10 ** (-20.5 / 10))
     plain = decode_ft8_stacked(sig, FS, min_score=1.0, use_osd=True)
     assert not any(r.message.payload == want for r in plain)
     rs = decode_ft8_stacked(sig, FS, min_score=1.0, use_osd=True,

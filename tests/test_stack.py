@@ -203,9 +203,8 @@ def test_sync_z_clean_peak_and_noise_calibration():
                                           num_frames, False)
     z = np.asarray(sync_scores_z(power, g))
     fi, ti = np.unravel_index(np.argmax(z), z.shape)
-    # truth: start sample 500 -> hop 500/160 + the 2-hop grid offset;
-    # f0 400 Hz -> 400/3.125 = 128 sub-bins
-    assert abs((g.t_start + ti) - (round(500 / p.hop) + 2)) <= 1
+    # truth: start sample 500 -> hop 500/160; f0 400 Hz -> 128 sub-bins
+    assert abs((g.t_start + ti) - round(500 / p.hop)) <= 1
     assert abs(fi - 128) <= 1
     assert z[fi, ti] > 20.0
 
@@ -236,7 +235,7 @@ def test_stack_z_search_outlives_the_db_stencil():
     n = int(FS * 15)
     num_frames = p.num_frames(n)
     g = search_grid(p.num_freq_bins, num_frames, p.time_osr, p.freq_osr)
-    truth_t, truth_f = round(500 / p.hop) + 2, 128
+    truth_t, truth_f = round(500 / p.hop), 128
 
     def presence(scores, thresh):
         at, af, _, cv = find_candidates(scores, g, 20, thresh)
