@@ -226,6 +226,9 @@ def main(argv=None) -> int:
             ("--time-min", args.time_min is not None),
             ("--time-max", args.time_max is not None),
             ("--passes", args.passes != 1),
+            # session-wide dedup is what makes the sliding ring's
+            # re-decodes of the same beacon report once; it cannot be off
+            ("--no-dedup", args.no_dedup),
         ] if bad]
         if unsupported:
             parser.error("--stack does not support: "

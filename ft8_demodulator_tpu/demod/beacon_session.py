@@ -50,13 +50,19 @@ class BeaconSession:
                  t0_seconds: float = 0.0,
                  bins_per_tone: int = 2, steps_per_symbol: int = 2,
                  min_score: float = 10.0, max_iterations: int = 20):
-        """fs: sample rate.  max_repeats: ring depth R (each decode stacks
-        the newest min(cycles seen, R) cycles).  correction: per-cycle
-        blind drift correction (beacon.correct_frequency_drift) before
-        stacking — the satellite flow.  t0_seconds: stream start time
-        relative to the cycle boundary (reported times are absolute).
-        Remaining options are decode_ft8_stacked's (min_score gates only
-        the R == 1 decodes: the first cycle and the flush tail)."""
+        """fs: sample rate.  max_repeats: ring depth R.  Each decode
+        stacks a FIXED (R, cycle_len) array — cycles not yet received are
+        zeros, which the combiner's dead-repeat exclusion weights to 0
+        exactly (demod/stack.py) — so one XLA program serves every fill
+        level.  correction: per-cycle blind drift correction
+        (beacon.correct_frequency_drift, at this session's
+        bins_per_tone/steps_per_symbol) before stacking — the satellite
+        flow.  t0_seconds: how far into the current 15-s cycle the stream
+        STARTS — the leading partial cycle is zero-padded so slicing
+        stays aligned to true cycle boundaries, and reported times are
+        relative to that boundary.  Remaining options are
+        decode_ft8_stacked's (min_score gates only R == 1 decodes — a
+        max_repeats=1 session and the flush tail)."""
         if max_repeats < 1:
             raise ValueError("max_repeats must be >= 1")
         self.fs = float(fs)
@@ -73,24 +79,36 @@ class BeaconSession:
         self.steps_per_symbol = int(steps_per_symbol)
         self.min_score = float(min_score)
         self.max_iterations = int(max_iterations)
-        self._buffer = np.zeros(0, np.float32)
+        # zero-pad the leading partial cycle so buffer index 0 IS the
+        # cycle boundary: slicing stays aligned and reported times are
+        # boundary-relative with no further correction
+        pad = int(round(self.t0_seconds * self.fs)) % self.cycle_len
+        self._buffer = np.zeros(pad, np.float32)
         self._cycles: list[np.ndarray] = []       # newest last; <= R kept
         self._cycles_done = 0                     # total completed cycles
         self._seen: set[bytes] = set()
+        self._fed = False
+        self._finished = False
 
     # -- streaming -----------------------------------------------------------
 
     def feed(self, samples: np.ndarray) -> list[FT8Decode]:
         """Append samples; decode after each newly-completed cycle and
         return decodes not reported earlier in the session."""
-        self._buffer = np.concatenate(
-            [self._buffer, np.asarray(samples, np.float32).reshape(-1)])
+        if self._finished:
+            raise RuntimeError(
+                "feed() after flush(): the flush consumed a partial cycle, "
+                "so later samples would misalign every subsequent slice — "
+                "start a new BeaconSession (with t0_seconds) instead")
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        self._fed = self._fed or samples.size > 0
+        self._buffer = np.concatenate([self._buffer, samples])
         out: list[FT8Decode] = []
         while len(self._buffer) >= self.cycle_len:
             cycle, self._buffer = (self._buffer[: self.cycle_len],
                                    self._buffer[self.cycle_len:])
             self._push(cycle)
-            out.extend(self._decode_stack(self._stack()))
+            out.extend(self._decode_stack(self._ring()))
         return out
 
     def flush(self) -> list[FT8Decode]:
@@ -98,11 +116,13 @@ class BeaconSession:
 
         The partial tail is decoded as its own single slot (not stacked:
         it cannot hold a repeat of the beacon's full transmission aligned
-        with the ring, and zero-padding it into the stack would skew the
-        noise-floor equalisation), so a transmission clipped at the end
-        of the capture is still found.
+        with the ring), so a transmission clipped at the end of the
+        capture is still found.  Ends the session: the tail is consumed,
+        and a later feed() would silently misalign — it raises instead.
         """
-        if len(self._buffer) == 0:
+        self._finished = True
+        if len(self._buffer) == 0 or not self._fed:
+            self._buffer = np.zeros(0, np.float32)
             return []
         tail, self._buffer = self._buffer, np.zeros(0, np.float32)
         offset = self._cycles_done * self.cycle_len
@@ -117,15 +137,29 @@ class BeaconSession:
             from ..beacon import correct_frequency_drift
 
             corrected, _ = correct_frequency_drift(
-                scipy.signal.hilbert(cycle.astype(np.float64)), self.fs)
+                scipy.signal.hilbert(cycle.astype(np.float64)), self.fs,
+                params={"bins_per_tone": self.bins_per_tone,
+                        "steps_per_symbol": self.steps_per_symbol})
             cycle = np.asarray(corrected)
         self._cycles.append(cycle)
         if len(self._cycles) > self.max_repeats:
             self._cycles.pop(0)
         self._cycles_done += 1
 
-    def _stack(self) -> np.ndarray:
-        return np.stack(self._cycles)
+    def _ring(self) -> np.ndarray:
+        """Fixed-shape (max_repeats, cycle_len[, ...]) ring: cycles not yet
+        received are zeros, which the stacked combiner's dead-repeat
+        exclusion weights to exactly 0 — one XLA program for every fill
+        level, and the partial ring decodes as the mean over live cycles.
+        (The reported per-repeat SNR uses the FULL ring depth in its
+        noise-median correction, so it reads a few tenths of a dB off
+        until the ring fills.)"""
+        live = np.stack(self._cycles)
+        if live.shape[0] < self.max_repeats:
+            pad = np.zeros((self.max_repeats - live.shape[0],)
+                           + live.shape[1:], live.dtype)
+            live = np.concatenate([pad, live])
+        return live
 
     def _decode_stack(self, waves: np.ndarray,
                       offset_samples: int | None = None
@@ -149,8 +183,7 @@ class BeaconSession:
                 continue
             self._seen.add(r.message.payload)
             out.append(dataclasses.replace(
-                r, time_sec=r.time_sec + self.t0_seconds
-                + offset_samples / self.fs))
+                r, time_sec=r.time_sec + offset_samples / self.fs))
         return out
 
     @property
@@ -161,7 +194,7 @@ class BeaconSession:
 
     def save(self, path: str) -> None:
         """Snapshot the full session state to an .npz."""
-        cyc = self._stack() if self._cycles else \
+        cyc = np.stack(self._cycles) if self._cycles else \
             np.zeros((0, self.cycle_len), np.float32)
         np.savez(
             path, fs=self.fs, max_repeats=self.max_repeats,
@@ -175,6 +208,7 @@ class BeaconSession:
             min_score=self.min_score,
             max_iterations=self.max_iterations, buffer=self._buffer,
             cycles=cyc, cycles_done=self._cycles_done,
+            fed=self._fed, finished=self._finished,
             seen=np.asarray([p.hex() for p in sorted(self._seen)]))
 
     @classmethod
@@ -198,5 +232,7 @@ class BeaconSession:
         s._buffer = np.asarray(z["buffer"], np.float32)
         s._cycles = [np.asarray(c) for c in z["cycles"]]
         s._cycles_done = int(z["cycles_done"])
+        s._fed = bool(z["fed"])
+        s._finished = bool(z["finished"])
         s._seen = {bytes.fromhex(str(h)) for h in z["seen"]}
         return s

@@ -76,6 +76,33 @@ def test_beacon_session_flush_decodes_the_partial_tail():
     assert s.flush() == []                         # buffer consumed
 
 
+def test_beacon_session_t0_aligns_mid_cycle_start():
+    """A stream that starts mid-cycle (t0_seconds) must still slice on
+    TRUE cycle boundaries: the leading partial cycle is zero-padded, the
+    repeats stay slot-aligned, and the decode reports boundary-relative
+    time.  (Pre-fix, t0_seconds only relabeled times and every repeat
+    straddled a slice boundary — nothing decoded.)"""
+    t0 = 5.0                                     # start 5 s into a cycle
+    sig = _stream(2, -19.0, 4)
+    s = BeaconSession(FS, max_repeats=3, t0_seconds=t0)
+    rows = s.feed(sig[int(t0 * FS):])            # receiver missed 0..5 s
+    hits = [r for r in rows if r.message.payload == _expected()]
+    assert hits
+    assert abs((hits[0].time_sec % 15.0) - 500 / FS) < 0.3
+
+
+def test_beacon_session_feed_after_flush_raises():
+    """flush() consumes a partial cycle; feeding afterwards would
+    silently misalign every later slice — it must raise."""
+    import pytest
+
+    s = BeaconSession(FS, max_repeats=2)
+    s.feed(np.zeros(CYCLE + 100, np.float32))
+    s.flush()
+    with pytest.raises(RuntimeError, match="flush"):
+        s.feed(np.zeros(10, np.float32))
+
+
 def test_beacon_session_save_load_resumes_identically():
     """Snapshot mid-stream, resume, and get the same decode as an
     uninterrupted session (checkpoint/resume parity, SURVEY §5)."""
