@@ -115,6 +115,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "per decode), json (one JSON object per line — "
                         "machine readable), alltxt (WSJT-X ALL.TXT-style "
                         "single-line rows)")
+    p.add_argument("--refine-fixes", action="store_true",
+                   help="refine each decoded message's reported time and "
+                        "frequency with a coherent known-payload position "
+                        "fix (beacon tracker seeded by the decode): "
+                        "~0.05 Hz instead of the candidate grid cell — "
+                        "for Doppler tracking and logging")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans: fail loudly at the first "
                         "NaN produced inside any jitted decode stage")
@@ -214,6 +220,8 @@ def main(argv=None) -> int:
             unsupported.append("--no-dedup")
         if args.ap:
             unsupported.append("--ap")
+        if args.refine_fixes:
+            unsupported.append("--refine-fixes")
         if unsupported:
             parser.error("--stream does not support: "
                          + ", ".join(unsupported))
@@ -286,7 +294,8 @@ def main(argv=None) -> int:
             bins_per_tone=args.bins_per_tone,
             steps_per_symbol=args.steps_per_symbol,
             min_score=args.min_score,
-            max_iterations=args.max_iterations)
+            max_iterations=args.max_iterations,
+            refine_fixes=args.refine_fixes)
         results = session.feed(np.asarray(wave_data))
         results += session.flush()      # partial tail, single-slot
         print(f"Stacked {n_cycles} cycles (ring of "
@@ -354,6 +363,7 @@ def main(argv=None) -> int:
             mf_refine=args.mf_refine,
             ap=args.ap,
             coherent=args.coherent,
+            refine_fixes=args.refine_fixes,
         )
         if args.metrics:
             import json

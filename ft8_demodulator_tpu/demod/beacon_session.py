@@ -49,7 +49,8 @@ class BeaconSession:
                  cycle_seconds: float = float(C.SLOT_PERIOD_S),
                  t0_seconds: float = 0.0,
                  bins_per_tone: int = 2, steps_per_symbol: int = 2,
-                 min_score: float = 10.0, max_iterations: int = 20):
+                 min_score: float = 10.0, max_iterations: int = 20,
+                 refine_fixes: bool = False):
         """fs: sample rate.  max_repeats: ring depth R.  Each decode
         stacks a FIXED (R, cycle_len) array — cycles not yet received are
         zeros, which the combiner's dead-repeat exclusion weights to 0
@@ -79,6 +80,7 @@ class BeaconSession:
         self.steps_per_symbol = int(steps_per_symbol)
         self.min_score = float(min_score)
         self.max_iterations = int(max_iterations)
+        self.refine_fixes = bool(refine_fixes)
         # zero-pad the leading partial cycle so buffer index 0 IS the
         # cycle boundary: slicing stays aligned and reported times are
         # boundary-relative with no further correction
@@ -173,7 +175,8 @@ class BeaconSession:
             bins_per_tone=self.bins_per_tone,
             steps_per_symbol=self.steps_per_symbol,
             min_score=self.min_score,
-            max_iterations=self.max_iterations)
+            max_iterations=self.max_iterations,
+            refine_fixes=self.refine_fixes)
         if offset_samples is None:
             # times are relative to the NEWEST cycle in the ring
             offset_samples = (self._cycles_done - 1) * self.cycle_len
@@ -206,7 +209,8 @@ class BeaconSession:
             bins_per_tone=self.bins_per_tone,
             steps_per_symbol=self.steps_per_symbol,
             min_score=self.min_score,
-            max_iterations=self.max_iterations, buffer=self._buffer,
+            max_iterations=self.max_iterations,
+            refine_fixes=self.refine_fixes, buffer=self._buffer,
             cycles=cyc, cycles_done=self._cycles_done,
             fed=self._fed, finished=self._finished,
             seen=np.asarray([p.hex() for p in sorted(self._seen)]))
@@ -228,7 +232,8 @@ class BeaconSession:
                 bins_per_tone=int(z["bins_per_tone"]),
                 steps_per_symbol=int(z["steps_per_symbol"]),
                 min_score=float(z["min_score"]),
-                max_iterations=int(z["max_iterations"]))
+                max_iterations=int(z["max_iterations"]),
+                refine_fixes=bool(z["refine_fixes"]))
         s._buffer = np.asarray(z["buffer"], np.float32)
         s._cycles = [np.asarray(c) for c in z["cycles"]]
         s._cycles_done = int(z["cycles_done"])

@@ -615,6 +615,48 @@ def _block_spec_and_mag(wave: jnp.ndarray, p: WaterfallParams,
     return spec, _block_waterfall(spec, p, num_frames)
 
 
+def _refine_rows(rows: list[FT8Decode], wave, sample_rate: float,
+                 freq_step: float) -> list[FT8Decode]:
+    """Replace each decoded row's grid-quantised (time, freq) with a
+    coherent known-payload fix (beacon.track_known_payload seeded by the
+    decode itself): sub-Hz frequency and sample-level time instead of the
+    candidate cell.
+
+    The candidate frequency can sit up to ~2 cells off (the sync
+    stencil's contrast peaks on the ±2-sub-bin sidelobes of a strong
+    tone), but the tracker's df ramp models only FRACTIONAL-cycle/symbol
+    offsets — a hint ≥ 1 cell off kills its within-symbol correlations,
+    and simply widening the df box inflates the noise maximum past the
+    detection threshold at junk offsets (measured: a +2-cell candidate
+    "refined" to the sidelobe, 6.25 Hz off).  So each row tries the FIVE
+    integer-cell hint shifts with a tight per-shift box (±half cell +
+    0.6 Hz, inside the fractional-model validity) and keeps the
+    strongest detected fix.  Rows where no shift clears the threshold
+    keep their original (already CRC-valid) coordinates."""
+    import dataclasses
+
+    from ..beacon.detect import track_known_payload
+
+    tol = 0.5 * freq_step + 0.6
+    out = []
+    for r in rows:
+        payload = np.frombuffer(r.message.payload, np.uint8)
+        best = None
+        for shift in (0, -1, 1, -2, 2):
+            fix = track_known_payload(
+                wave, sample_rate, payload,
+                time_hint_s=r.time_sec,
+                freq_hint_hz=r.freq_hz + shift * freq_step,
+                freq_tolerance_hz=tol)
+            if fix.detected and (best is None or fix.stat > best.stat):
+                best = fix
+        if best is not None:
+            r = dataclasses.replace(r, time_sec=best.time_sec,
+                                    freq_hz=best.freq_hz)
+        out.append(r)
+    return out
+
+
 def decode_ft8_message(wave_data, sample_rate: float,
                        bins_per_tone: int = 2, steps_per_symbol: int = 2,
                        max_candidates: int = 20, min_score: float = 10.0,
@@ -632,7 +674,8 @@ def decode_ft8_message(wave_data, sample_rate: float,
                        mf_refine: bool = False,
                        ap: bool | str = False,
                        coherent: bool = False,
-                       min_plausible_snr_db: float | None = -26.0):
+                       min_plausible_snr_db: float | None = -26.0,
+                       refine_fixes: bool = False):
     """Decode all FT8 messages in an audio capture (host API).
 
     Mirrors the reference decode_ft8_message (ft8_decode.py:288) with two
@@ -693,6 +736,12 @@ def decode_ft8_message(wave_data, sample_rate: float,
     residual is decoded again — recovering weaker signals hidden under
     strong ones (real audio only).  Messages found by later passes are
     always deduplicated against earlier ones.
+
+    refine_fixes=True replaces each decoded row's grid-quantised
+    (time, freq) with a coherent known-payload position fix seeded by the
+    decode itself (beacon.track_known_payload): ~0.05 Hz / sub-millisecond
+    accuracy instead of the candidate cell (which can report frequency up
+    to ~2 cells off).  One extra tracker evaluation per decoded message.
     """
     def _empty():
         if not return_metrics:
@@ -818,6 +867,8 @@ def decode_ft8_message(wave_data, sample_rate: float,
                 res.abs_time + jnp.int32(t_lo),
                 res.abs_freq + jnp.int32(f_lo), res.success)
 
+    if refine_fixes and rows:
+        rows = _refine_rows(rows, wave, sample_rate, freq_step)
     if not return_metrics:
         return rows
     from ..utils.metrics import summarize_slot

@@ -273,7 +273,8 @@ def decode_ft8_stacked(waves, sample_rate: float,
                        deduplicate: bool = True,
                        ap: bool | str = False,
                        coherent: bool = False,
-                       min_z: float = 2.0) -> list[FT8Decode]:
+                       min_z: float = 2.0,
+                       refine_fixes: bool = False) -> list[FT8Decode]:
     """Decode one repeated transmission from R stacked slots (host API).
 
     waves: (R, n) real, (R, n) complex, or (R, n, 2) [re, im] — R captures
@@ -292,6 +293,13 @@ def decode_ft8_stacked(waves, sample_rate: float,
     min_z: candidate threshold for R > 1 stacks, in units of the linear
     Costas z-statistic's noise standard deviation (sync_scores_z);
     min_score applies only to R == 1 input (reference dB stencil).
+
+    refine_fixes=True replaces each decode's grid-quantised (time, freq)
+    with a coherent known-payload fix (beacon.track_known_payload) run
+    against the NEWEST non-silent repeat — sub-Hz frequency for Doppler
+    tracking.  The tracker's single-repeat floor (~−29 dB) sits well
+    under the stacked decode floor, so decoded rows essentially always
+    refine.
     """
     wave_d, is_complex = as_device_stack(waves)
     p = waterfall_params(sample_rate, bins_per_tone, steps_per_symbol)
@@ -312,6 +320,16 @@ def decode_ft8_stacked(waves, sample_rate: float,
     # plausibility gate scales with the stack: the estimate is the
     # PER-REPEAT SNR and R repeats buy ~5 log10(R) dB of decode reach
     # (R=8 real decodes measure -24; the gate sits ~6 dB under that)
-    return _format_results(res, hop_seconds, freq_step, 0.0, 0.0,
+    rows = _format_results(res, hop_seconds, freq_step, 0.0, 0.0,
                            deduplicate, snr_db=snr,
                            min_snr_db=-26.0 - 5.0 * np.log10(r_stack))
+    if refine_fixes and rows:
+        from .decode import _refine_rows
+
+        # newest non-silent repeat (BeaconSession rings zero-pad the
+        # not-yet-received leading cycles)
+        host = np.asarray(waves)
+        live = [i for i in range(host.shape[0])
+                if np.any(host[i] != 0)] or [host.shape[0] - 1]
+        rows = _refine_rows(rows, host[live[-1]], sample_rate, freq_step)
+    return rows
