@@ -14,15 +14,18 @@ Supported message types (i3 = last 3 payload bits; n3 = 3 bits before it
 when i3 = 0):
 
 - 0.0 free text    — 13 chars from a 42-char alphabet, right-justified
+- 0.1 DXpedition   — "K1ABC RR73; W9XYZ <KH1/KH7Z> -08": c28 c28 h10 r5
 - 0.5 telemetry    — 71 bits as up to 18 hex digits (first digit <= 7)
 - 1   standard     — c28 r1 c28 r1 R1 g15: two calls + grid/report, /R
 - 2   standard /P  — same layout, suffix means /P (EU VHF convention)
 - 4   nonstandard  — one full 11-char base-38 call + 12-bit hash of the
                      other; RRR/RR73/73 exchange only
 
-Unsupported types (0.1 DXpedition, 0.3/0.4 Field Day, 3 RTTY RU, 5 EU VHF
-contest) raise UnsupportedMessageError on unpack so callers can fall back
-to payload hex.  Hashed callsigns ("<K1ABC>") resolve through a module
+Unsupported types (0.3/0.4 Field Day, 3 RTTY RU, 5 EU VHF contest) raise
+UnsupportedMessageError on unpack so callers can fall back to payload
+hex — their text forms index ARRL-section / state / contest tables whose
+exact WSJT-X ordering cannot be verified in this environment, and a
+near-miss table renders WRONG text silently; hex is honest.  Hashed callsigns ("<K1ABC>") resolve through a module
 hash table populated by every call this process packs or unpacks, exactly
 like WSJT-X's rolling hash cache; unknown hashes render as "<...>".
 """
@@ -440,6 +443,54 @@ def _unpack_nonstandard(v: int) -> str:
 
 
 # ---------------------------------------------------------------------------
+# DXpedition mode (i3 = 0, n3 = 1): c28 c28 h10 r5
+#
+# "K1ABC RR73; W9XYZ <KH1/KH7Z> -08" — Fox acknowledges K1ABC (RR73) and
+# simultaneously reports -08 to W9XYZ; the Fox's own (often nonstandard)
+# call rides as a 10-bit hash.  Report r5 encodes even dB values
+# -30..+32 as (rpt + 30) / 2.
+
+def _try_pack_dxpedition(tokens: list[str]) -> int | None:
+    if len(tokens) != 5 or tokens[1] != "RR73;":
+        return None
+    c28a = _pack28(tokens[0])
+    c28b = _pack28(tokens[2])
+    fox = tokens[3]
+    if not (fox.startswith("<") and fox.endswith(">") and len(fox) > 2):
+        return None
+    m = re.match(r"^([+-][0-9]{2})$", tokens[4])
+    if c28a is None or c28b is None or m is None:
+        return None
+    rpt = int(m.group(1))
+    if not -30 <= rpt <= 32 or rpt % 2:
+        return None
+    inner = fox[1:-1]
+    if inner == "...":
+        return None
+    try:
+        h10 = hash_callsign(inner, 10)
+    except ValueError:
+        return None
+    _HASHES.add(inner)
+    v = c28a
+    v = (v << 28) | c28b
+    v = (v << 10) | h10
+    v = (v << 5) | ((rpt + 30) // 2)
+    return (v << 6) | (1 << 3)                  # n3 = 1, i3 = 0
+
+
+def _unpack_dxpedition(f71: int) -> str:
+    r5 = f71 & 31
+    h10 = (f71 >> 5) & 0x3FF
+    c28b = (f71 >> 15) & ((1 << 28) - 1)
+    c28a = (f71 >> 43) & ((1 << 28) - 1)
+    fox = _HASHES.get(h10, 10)
+    hashed = f"<{fox}>" if fox else "<...>"
+    return (f"{_unpack28(c28a)} RR73; {_unpack28(c28b)} "
+            f"{hashed} {2 * r5 - 30:+03d}")
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 def pack_free_text(text: str) -> np.ndarray:
@@ -481,6 +532,8 @@ def pack_message(text: str) -> np.ndarray:
     v = _try_pack_standard(tokens)
     if v is None:
         v = _try_pack_nonstandard(tokens)
+    if v is None:
+        v = _try_pack_dxpedition(tokens)
     if v is not None:
         return _int_to_payload(v)
     return pack_free_text(" ".join(tokens))
@@ -506,6 +559,8 @@ def unpack_message(payload) -> str:
             for _ in range(13):
                 chars.append(_FREETEXT[f71 % 42]); f71 //= 42
             return "".join(reversed(chars)).strip()
+        if n3 == 1:
+            return _unpack_dxpedition(f71)
         if n3 == 5:
             return f"{f71:X}"
         raise UnsupportedMessageError(f"message type 0.{n3} not supported")

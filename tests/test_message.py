@@ -133,7 +133,7 @@ def test_telemetry():
 
 
 def test_unsupported_types_raise():
-    for i3n3 in [(0, 1), (0, 2), (0, 3), (0, 4), (3, 0), (5, 0)]:
+    for i3n3 in [(0, 2), (0, 3), (0, 4), (3, 0), (5, 0)]:
         v = (i3n3[1] << 3) | i3n3[0]
         payload = np.frombuffer((v << 3).to_bytes(10, "big"), np.uint8)
         with pytest.raises(UnsupportedMessageError):
@@ -211,3 +211,41 @@ def test_hash_callsign_validates_input():
     # str.index failure
     with pytest.raises(ValueError):
         pack_message("<K1ABC-1> K9XYZ FN42")
+
+
+def test_dxpedition_roundtrip():
+    """Type 0.1 (DXpedition / Fox-and-Hound): simultaneous RR73 + report,
+    the Fox's (often nonstandard) call as a 10-bit hash."""
+    from ft8_demodulator_tpu.protocol.message import (clear_hash_table,
+                                                      pack_message,
+                                                      unpack_message)
+
+    clear_hash_table()
+    p = pack_message("K1ABC RR73; W9XYZ <KH1/KH7Z> -08")
+    v = int.from_bytes(bytes(p.tolist()), "big") >> 3
+    assert v & 7 == 0 and (v >> 3) & 7 == 1          # i3=0, n3=1
+    # the packer remembered the fox call, so the hash resolves
+    assert unpack_message(p) == "K1ABC RR73; W9XYZ <KH1/KH7Z> -08"
+
+    clear_hash_table()                                # cold receiver
+    assert unpack_message(p) == "K1ABC RR73; W9XYZ <...> -08"
+
+    # report range is even -30..+32
+    for txt in ("K1ABC RR73; W9XYZ <KH1/KH7Z> -30",
+                "K1ABC RR73; W9XYZ <KH1/KH7Z> +32",
+                "CQ RR73; W9XYZ <K1A> +00"):
+        assert unpack_message(pack_message(txt)).endswith(txt[-3:])
+
+
+def test_dxpedition_rejects_malformed():
+    """A malformed 0.1 message (no fox hash / odd report) never packs as
+    a silently-wrong 0.1 payload — it falls through to free text, whose
+    alphabet has no ';' and so raises."""
+    import pytest
+
+    from ft8_demodulator_tpu.protocol.message import pack_message
+
+    for txt in ("K1ABC RR73; W9XYZ",                      # no fox/report
+                "K1ABC RR73; W9XYZ <KH1/KH7Z> -07"):      # odd report
+        with pytest.raises(ValueError):
+            pack_message(txt)
