@@ -39,10 +39,14 @@ def main():
     ap.add_argument("--osd", action="store_true")
     ap.add_argument("--deep-every", type=int, default=8,
                     help="every Nth trial uses the DEEP (osr 4x4) preset")
+    ap.add_argument("--complex-every", type=int, default=5,
+                    help="every Nth trial decodes the COMPLEX (baseband, "
+                         "drift-corrected-style) path instead of real "
+                         "passband audio")
     args = ap.parse_args()
 
     from ft8_demodulator_tpu.demod import decode_ft8_message
-    from ft8_demodulator_tpu.ops.gfsk import ft8_passband
+    from ft8_demodulator_tpu.ops.gfsk import ft8_baseband, ft8_passband
     from ft8_demodulator_tpu.protocol import constants as C
 
     rng = np.random.default_rng(args.seed)
@@ -62,14 +66,26 @@ def main():
         # own XLA program — a continuous draw would compile per trial
         slot_s = float(rng.choice([13.6, 15.0]))
         n = int(fs * slot_s)
-        wave = np.asarray(ft8_passband(payload, fs, f0, 0.0))
-        start = int(rng.integers(0, max(1, n - len(wave))))
+        is_complex = (args.complex_every > 0
+                      and trial % args.complex_every == 1)
         amp = float(10.0 ** rng.uniform(-2.0, 2.0))
-        sig = np.zeros(n, np.float32)
-        sig[start: start + len(wave)] = wave * amp
-        sp = float(np.mean((wave * amp) ** 2))
-        sig += rng.standard_normal(n).astype(np.float32) \
-            * np.sqrt(sp / 10 ** (args.snr / 10))
+        if is_complex:
+            wave = np.asarray(ft8_baseband(payload, fs, f0))
+            start = int(rng.integers(0, max(1, n - len(wave))))
+            sig = np.zeros(n, np.complex64)
+            sig[start: start + len(wave)] = wave * amp
+            sp = float(np.mean(np.abs(wave * amp) ** 2))
+            nz = (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+            sig += (nz * np.sqrt(sp / 10 ** (args.snr / 10) / 2)
+                    ).astype(np.complex64)
+        else:
+            wave = np.asarray(ft8_passband(payload, fs, f0, 0.0))
+            start = int(rng.integers(0, max(1, n - len(wave))))
+            sig = np.zeros(n, np.float32)
+            sig[start: start + len(wave)] = wave * amp
+            sp = float(np.mean((wave * amp) ** 2))
+            sig += rng.standard_normal(n).astype(np.float32) \
+                * np.sqrt(sp / 10 ** (args.snr / 10))
 
         rows = decode_ft8_message(
             sig, fs, bins_per_tone=osr, steps_per_symbol=osr,
@@ -94,13 +110,16 @@ def main():
             elif df > 2.5 * C.TONE_SPACING_HZ / osr + 1e-6:
                 why = f"freq off by {df:.2f} Hz"
             elif r.snr_db is not None:
-                expect = args.snr + 10.0 * np.log10((fs / 2) / 2500.0)
+                # real noise occupies fs/2; complex (I/Q) noise fs
+                bw = fs if is_complex else fs / 2
+                expect = args.snr + 10.0 * np.log10(bw / 2500.0)
                 if abs(r.snr_db - expect) > 3.5:
                     why = (f"snr {r.snr_db:.1f} vs expected "
                            f"{expect:.1f} dB")
         if why:
             failures.append({
                 "trial": trial, "fs": fs, "osr": osr,
+                "complex": is_complex,
                 "payload": want.hex(), "f0": round(f0, 3),
                 "start": start, "slot_s": round(slot_s, 3),
                 "amp": round(amp, 4), "why": why,
