@@ -129,12 +129,21 @@ _V5E_VPU_PEAK = 7.7e12
 
 
 def main() -> None:
+    import os
+
     from ft8_demodulator_tpu.utils.cache import ensure_live_backend
 
     # a wedged axon tunnel hangs device init forever; probe with a
     # timeout and fall back to CPU so the bench always emits its JSON
     # line (the note below flags a fallback run)
     backend_note = ensure_live_backend()
+
+    global BATCH, REPS
+    if backend_note and "FT8_BENCH_BATCH" not in os.environ:
+        # CPU fallback: batch 1024 x 10 reps takes ~15 min on this
+        # image's single core — shrink so the (clearly labelled) line
+        # still lands inside any reasonable harness timeout
+        BATCH, REPS = 4 * CHUNK, 3
 
     import jax
     import jax.numpy as jnp
