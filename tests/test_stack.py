@@ -305,3 +305,21 @@ def test_stack_snr_estimate_per_repeat():
     assert rows and rows[0].snr_db is not None
     expect = -17.0 + 10.0 * np.log10((FS / 2) / 2500.0)   # 2500-Hz conv.
     assert abs(rows[0].snr_db - expect) < 2.0
+
+
+def test_stack_deep_geometry():
+    """The z-statistic search and equalised combining are geometry-
+    generic: a 4-repeat stack at the DEEP preset (osr 4x4) decodes below
+    its single-slot cliff."""
+    fs = 4000.0
+    w = np.asarray(ft8_passband(PAYLOAD, fs, 800.0, 0.0))
+    sig = np.zeros((4, int(fs * 15)), np.float32)
+    sig[:, 700: 700 + len(w)] = w
+    sp = float(np.mean(w ** 2))
+    rng = np.random.default_rng(14)
+    sig += rng.standard_normal(sig.shape).astype(np.float32) \
+        * np.sqrt(sp / 10 ** (-21.0 / 10))
+    res = decode_ft8_stacked(sig, fs, bins_per_tone=4, steps_per_symbol=4,
+                             max_candidates=40, use_osd=True,
+                             coherent=True)
+    assert any(r.message.payload == _expected(PAYLOAD) for r in res)
