@@ -312,7 +312,13 @@ def decode_ft8_stacked(waves, sample_rate: float,
         wave_d, p, num_frames, max_candidates, float(min_score),
         max_iterations, is_complex, use_osd, use_mf, ap_values, ap_mask,
         coherent, min_z=float(min_z))
-    r_stack = int(wave_d.shape[0])
+    # LIVE repeat count: dead (all-zero) rows are weight-0 in the
+    # combiner (BeaconSession rings zero-pad until full), so the SNR
+    # estimator's median correction and the plausibility gate must scale
+    # with the repeats actually contributing, not the array shape —
+    # otherwise a 1-live/8-slot ring gates at -30.5 instead of -26
+    r_stack = max(1, int(np.sum([np.any(np.asarray(w) != 0)
+                                 for w in np.asarray(waves)])))
     snr = estimate_snr(mag, res.payload, res.abs_time, res.abs_freq,
                        p.time_osr, p.freq_osr, stack_r=r_stack)
     hop_seconds = C.SYMBOL_PERIOD_S / p.time_osr
