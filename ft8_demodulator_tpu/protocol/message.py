@@ -18,14 +18,19 @@ when i3 = 0):
 - 0.5 telemetry    — 71 bits as up to 18 hex digits (first digit <= 7)
 - 1   standard     — c28 r1 c28 r1 R1 g15: two calls + grid/report, /R
 - 2   standard /P  — same layout, suffix means /P (EU VHF convention)
+- 3   RTTY Roundup — "TU; W9XYZ K1ABC R 579 MA": t1 c28 c28 R1 r3 s13;
+                     exchange is a serial number (0001-7999, table-free)
+                     or a US state / Canadian province from the 65-entry
+                     contest multiplier table
 - 4   nonstandard  — one full 11-char base-38 call + 12-bit hash of the
                      other; RRR/RR73/73 exchange only
 
-Unsupported types (0.3/0.4 Field Day, 3 RTTY RU, 5 EU VHF contest) raise
+Unsupported types (0.3/0.4 Field Day, 5 EU VHF contest) raise
 UnsupportedMessageError on unpack so callers can fall back to payload
-hex — their text forms index ARRL-section / state / contest tables whose
-exact WSJT-X ordering cannot be verified in this environment, and a
-near-miss table renders WRONG text silently; hex is honest.  Hashed callsigns ("<K1ABC>") resolve through a module
+hex — their text forms index the ~84-entry ARRL-section table (0.3/0.4)
+or a hashed-calls + 6-char-grid layout (5) whose exact WSJT-X ordering
+cannot be verified in this environment, and a near-miss table renders
+WRONG text silently; hex is honest.  Hashed callsigns ("<K1ABC>") resolve through a module
 hash table populated by every call this process packs or unpacks, exactly
 like WSJT-X's rolling hash cache; unknown hashes render as "<...>".
 """
@@ -491,6 +496,86 @@ def _unpack_dxpedition(f71: int) -> str:
 
 
 # ---------------------------------------------------------------------------
+# ARRL RTTY Roundup (i3 = 3): t1 c28 c28 R1 r3 s13
+#
+# "TU; W9XYZ K1ABC R 579 MA" — t1 flags the leading "TU;", the report is
+# RST 529..599 (r3 = strength digit - 2), and the 13-bit exchange s13 is
+# either a serial number 1..7999 (rendered 4 digits zero-padded) or
+# 8000 + i for the i-th (1-based) entry of the contest multiplier table:
+# the 50 US states in conventional (name-alphabetical) order, 14 Canadian
+# provinces/territories, then DC — WSJT-X packjt77's table.  The serial
+# form is table-free; only state/province text depends on the ordering.
+
+_RTTY_MULTS = (
+    "AL AK AZ AR CA CO CT DE FL GA HI ID IL IN IA KS KY LA ME MD "
+    "MA MI MN MS MO MT NE NV NH NJ NM NY NC ND OH OK OR PA RI SC "
+    "SD TN TX UT VT VA WA WV WI WY "
+    "NB NS QC ON MB SK AB BC NWT NF LB NU YT PEI DC").split()
+
+_RTTY_REPORT_RE = re.compile(r"^5([2-9])9$")
+
+
+def _try_pack_rtty_ru(tokens: list[str]) -> int | None:
+    tokens = list(tokens)          # never mutate the caller's token list
+    t1 = 0
+    if tokens and tokens[0] == "TU;":
+        t1 = 1
+        tokens = tokens[1:]
+    if len(tokens) not in (4, 5):
+        return None
+    if len(tokens) == 5:
+        if tokens[2] != "R":
+            return None
+        r_bit = 1
+        del tokens[2:3]
+    else:
+        r_bit = 0
+    c28a, c28b = _pack28(tokens[0]), _pack28(tokens[1])
+    m = _RTTY_REPORT_RE.match(tokens[2])
+    if c28a is None or c28b is None or m is None:
+        return None
+    r3 = int(m.group(1)) - 2
+    exch = tokens[3]
+    if exch in _RTTY_MULTS:
+        s13 = 8000 + 1 + _RTTY_MULTS.index(exch)
+    elif exch.isdigit() and 1 <= int(exch) <= 7999:
+        s13 = int(exch)
+    else:
+        return None
+    v = t1
+    v = (v << 28) | c28a
+    v = (v << 28) | c28b
+    v = (v << 1) | r_bit
+    v = (v << 3) | r3
+    v = (v << 13) | s13
+    return (v << 3) | 3
+
+
+def _unpack_rtty_ru(v: int) -> str:
+    s13 = (v >> 3) & 0x1FFF
+    r3 = (v >> 16) & 7
+    r_bit = (v >> 19) & 1
+    c28b = (v >> 20) & ((1 << 28) - 1)
+    c28a = (v >> 48) & ((1 << 28) - 1)
+    t1 = (v >> 76) & 1
+    if 1 <= s13 <= 7999:
+        exch = f"{s13:04d}"
+    elif 8001 <= s13 <= 8000 + len(_RTTY_MULTS):
+        exch = _RTTY_MULTS[s13 - 8001]
+    else:
+        raise UnsupportedMessageError(
+            f"RTTY RU exchange field out of range ({s13})")
+    parts = []
+    if t1:
+        parts.append("TU;")
+    parts += [_unpack28(c28a), _unpack28(c28b)]
+    if r_bit:
+        parts.append("R")
+    parts += [f"5{r3 + 2}9", exch]
+    return " ".join(parts)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 def pack_free_text(text: str) -> np.ndarray:
@@ -524,9 +609,9 @@ def pack_message(text: str) -> np.ndarray:
     """Message text -> 10-byte payload (the TX pipeline's input).
 
     Tries the standard (i3=1/2) layout, then nonstandard-call (i3=4),
-    then free text (i3.n3 = 0.0).  Telemetry must use pack_telemetry
-    explicitly — short hex-looking strings like "73" are messages, not
-    telemetry.
+    then DXpedition (0.1) and RTTY Roundup (i3=3), then free text
+    (i3.n3 = 0.0).  Telemetry must use pack_telemetry explicitly — short
+    hex-looking strings like "73" are messages, not telemetry.
     """
     tokens = text.upper().split()
     v = _try_pack_standard(tokens)
@@ -534,6 +619,8 @@ def pack_message(text: str) -> np.ndarray:
         v = _try_pack_nonstandard(tokens)
     if v is None:
         v = _try_pack_dxpedition(tokens)
+    if v is None:
+        v = _try_pack_rtty_ru(tokens)
     if v is not None:
         return _int_to_payload(v)
     return pack_free_text(" ".join(tokens))
@@ -549,6 +636,8 @@ def unpack_message(payload) -> str:
     i3 = v & 7
     if i3 in (1, 2):
         return _unpack_standard(v, i3)
+    if i3 == 3:
+        return _unpack_rtty_ru(v)
     if i3 == 4:
         return _unpack_nonstandard(v)
     if i3 == 0:

@@ -8,6 +8,8 @@ arbitrary bit patterns), field-level golden values, and an end-to-end
 text -> TX -> RX -> text decode through the real pipeline.
 """
 
+import re
+
 import numpy as np
 import pytest
 
@@ -45,6 +47,12 @@ CANONICAL = [
     "<W9XYZ> PJ4/K1ABC 73",
     "TNX BOB 73 GL",
     "HELLO?",
+    # RTTY Roundup (i3 = 3): TU;/R optional, serial or state/province
+    "TU; W9XYZ K1ABC R 579 MA",
+    "K1ABC W9XYZ 539 0013",
+    "TU; K1ABC W9XYZ 599 DC",
+    "W9XYZ K1ABC R 529 7999",
+    "CQ K1ABC 569 NWT",
 ]
 
 
@@ -111,6 +119,31 @@ def test_random_standard_payload_bit_roundtrip():
     assert exact >= tried * 0.8
 
 
+def test_random_rtty_ru_payload_bit_roundtrip():
+    """unpack -> pack is bit-exact for arbitrary valid i3=3 payloads."""
+    rng = np.random.default_rng(12)
+    tried = 0
+    for _ in range(300):
+        v = int(rng.integers(0, 1 << 61))          # t1..r3 bits
+        s13 = int(rng.integers(1, 8066))           # serial or table index
+        v = (v << 13) | s13
+        v = (v << 3) | 3
+        payload = np.frombuffer(((v << 3).to_bytes(10, "big")), np.uint8)
+        try:
+            text = unpack_message(payload)
+        except UnsupportedMessageError:
+            continue                               # s13 == 8000 edge
+        if "<" in text or re.search(r"CQ ([0-9]{3}|[A-Z]{1,4})( |$)", text):
+            continue         # hashed call / two-token CQ: not re-packable
+        try:
+            repacked = pack_message(text)
+        except ValueError:
+            continue         # e.g. digit-only pseudo-call from random bits
+        tried += 1
+        assert int.from_bytes(repacked.tobytes(), "big") >> 3 == v, text
+    assert tried > 150
+
+
 def test_free_text_right_justified():
     a = pack_free_text("73 GL")
     b = pack_free_text("  73 GL  ")
@@ -133,11 +166,58 @@ def test_telemetry():
 
 
 def test_unsupported_types_raise():
+    # (3, 0) = an i3=3 RTTY RU payload whose exchange field s13 is 0 —
+    # the type is now implemented but that field value is invalid
     for i3n3 in [(0, 2), (0, 3), (0, 4), (3, 0), (5, 0)]:
         v = (i3n3[1] << 3) | i3n3[0]
         payload = np.frombuffer((v << 3).to_bytes(10, "big"), np.uint8)
         with pytest.raises(UnsupportedMessageError):
             unpack_message(payload)
+
+
+def test_rtty_ru_field_layout():
+    """Bit-level golden for the i3=3 layout t1|c28|c28|R1|r3|s13."""
+    from ft8_demodulator_tpu.protocol.message import (
+        _pack28, _payload_to_int)
+
+    p = pack_message("TU; W9XYZ K1ABC R 579 MA")
+    v = _payload_to_int(p)
+    assert v & 7 == 3                              # i3
+    assert (v >> 3) & 0x1FFF == 8021               # s13: MA = 21st entry
+    assert (v >> 16) & 7 == 5                      # r3: 579
+    assert (v >> 19) & 1 == 1                      # R
+    assert (v >> 20) & ((1 << 28) - 1) == _pack28("K1ABC")
+    assert (v >> 48) & ((1 << 28) - 1) == _pack28("W9XYZ")
+    assert (v >> 76) & 1 == 1                      # TU;
+
+    # serial exchange is table-free: s13 carries the number directly
+    v2 = _payload_to_int(pack_message("K1ABC W9XYZ 539 0013"))
+    assert v2 & 7 == 3 and (v2 >> 3) & 0x1FFF == 13
+    assert (v2 >> 76) & 1 == 0 and (v2 >> 19) & 1 == 0
+
+
+def test_rtty_ru_rejects_malformed():
+    # bad report digit (3 digits but strength 1), bad exchange, serial 0
+    for bad in ["K1ABC W9XYZ 519 MA", "K1ABC W9XYZ 579 ZZ",
+                "K1ABC W9XYZ 579 0000", "K1ABC W9XYZ 579 8000"]:
+        with pytest.raises(ValueError):
+            # falls through to free text, which rejects >13 chars
+            pack_message(bad)
+
+    # out-of-range s13 on unpack -> honest hex fallback path
+    v = (8000 + 70) << 3 | 3                       # past the 65-entry table
+    payload = np.frombuffer((v << 3).to_bytes(10, "big"), np.uint8)
+    with pytest.raises(UnsupportedMessageError):
+        unpack_message(payload)
+
+
+def test_rtty_ru_pack_does_not_corrupt_freetext_fallback():
+    # a 5-token near-miss enters the R-elision branch then fails on the
+    # calls; the free-text fallback must still see the ORIGINAL tokens
+    # ("R" not eaten by the attempted RTTY parse)
+    msg = "A B R 529 ZZ"                           # packs as free text
+    p = pack_message(msg)
+    assert unpack_message(p) == msg
 
 
 def test_hash_table_resolution():
