@@ -3,6 +3,8 @@
 Matches the reference's read_wave_file behaviour
 (src/tests/demodulator/from_wave.py:24): 8/16/32-bit PCM, stereo collapsed
 to the first channel, samples normalised to [-1, 1] by the integer max.
+Beyond the reference: 24-bit PCM (the common SDR-recorder width) is also
+accepted.
 """
 
 from __future__ import annotations
@@ -23,6 +25,14 @@ def read_wave_file(path: str) -> tuple[np.ndarray, int]:
         width = f.getsampwidth()
         rate = f.getframerate()
         raw = f.readframes(f.getnframes())
+    if width == 3:
+        # 24-bit packed little-endian PCM: widen to int32, sign-extend
+        b = np.frombuffer(raw, np.uint8).reshape(-1, n_channels, 3)[:, 0, :]
+        data = (b[:, 0].astype(np.int32)
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16))
+        data = (data ^ 0x800000) - 0x800000
+        return data.astype(np.float32) / float(2 ** 23 - 1), rate
     if width not in _WIDTH_DTYPES:
         raise ValueError(f"Unsupported sample width: {width}")
     data = np.frombuffer(raw, dtype=_WIDTH_DTYPES[width])

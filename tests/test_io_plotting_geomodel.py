@@ -30,6 +30,29 @@ def test_wav_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(back, samples, atol=1e-4)
 
 
+def test_wav_24bit_read(tmp_path, rng):
+    """24-bit packed PCM (mono and stereo), hand-written via stdlib wave."""
+    import wave
+
+    samples = np.clip(rng.standard_normal(1024) * 0.3, -1, 1)
+    pcm = np.round(samples * (2 ** 23 - 1)).astype(np.int32)
+    le4 = pcm.astype("<i4").view(np.uint8).reshape(-1, 4)
+    packed = le4[:, :3]                         # drop the high byte
+
+    for channels in (1, 2):
+        frames = (packed if channels == 1
+                  else np.concatenate([packed, np.zeros_like(packed)], 1))
+        path = str(tmp_path / f"t24_{channels}.wav")
+        with wave.open(path, "wb") as f:
+            f.setnchannels(channels)
+            f.setsampwidth(3)
+            f.setframerate(6000)
+            f.writeframes(frames.tobytes())
+        back, rate = read_wave_file(path)
+        assert rate == 6000 and back.dtype == np.float32
+        np.testing.assert_allclose(back, samples, atol=1e-6)
+
+
 def test_plotting_artifacts(tmp_path):
     from ft8_demodulator_tpu.plotting import (plot_drift_vs_freq_error,
                                               plot_gfsk_pulse,
