@@ -32,6 +32,7 @@ import dataclasses
 import numpy as np
 
 from ..protocol import constants as C
+from ..protocol.message import CallsignHashTable, unpack_message
 from .stack import decode_ft8_stacked
 from .types import FT8Decode
 
@@ -89,6 +90,8 @@ class BeaconSession:
         self._cycles: list[np.ndarray] = []       # newest last; <= R kept
         self._cycles_done = 0                     # total completed cycles
         self._seen: set[bytes] = set()
+        # session-owned callsign hash cache (persisted in checkpoints)
+        self.hash_table = CallsignHashTable()
         self._fed = False
         self._finished = False
 
@@ -189,6 +192,11 @@ class BeaconSession:
                 r, time_sec=r.time_sec + offset_samples / self.fs))
         return out
 
+    def unpack(self, payload) -> str:
+        """Message text for a decoded payload, resolving hashed calls
+        against (and teaching) this session's own hash table."""
+        return unpack_message(payload, hash_table=self.hash_table)
+
     @property
     def repeats_buffered(self) -> int:
         return len(self._cycles)
@@ -213,7 +221,8 @@ class BeaconSession:
             refine_fixes=self.refine_fixes, buffer=self._buffer,
             cycles=cyc, cycles_done=self._cycles_done,
             fed=self._fed, finished=self._finished,
-            seen=np.asarray([p.hex() for p in sorted(self._seen)]))
+            seen=np.asarray([p.hex() for p in sorted(self._seen)]),
+            hash_calls=np.asarray(self.hash_table.calls()))
 
     @classmethod
     def load(cls, path: str) -> "BeaconSession":
@@ -240,4 +249,6 @@ class BeaconSession:
         s._fed = bool(z["fed"])
         s._finished = bool(z["finished"])
         s._seen = {bytes.fromhex(str(h)) for h in z["seen"]}
+        if "hash_calls" in z:         # pre-r3 checkpoints lack the table
+            s.hash_table = CallsignHashTable(str(c) for c in z["hash_calls"])
         return s

@@ -569,6 +569,12 @@ def _format_results(res: SlotDecodeResult, hop_seconds: float,
     (2 in 200 noise slots × ~10^3 hypothesis decodes each) — an
     estimated SNR far below anything decodable flags a false accept,
     not a weak signal.
+
+    Reported SNR is clamped to the WSJT-X plausible range [-30, +30] dB:
+    the estimator is arithmetically unbounded (a clean loopback capture
+    reads +88 dB), but no real FT8 report exceeds ~+30, and downstream
+    consumers (logs, PSK Reporter-style aggregation) treat the field as a
+    WSJT-X-convention report.  +30.0 therefore means ">= +30".
     """
     res = jax.tree_util.tree_map(np.asarray, res)
     if snr_db is not None:
@@ -600,7 +606,8 @@ def _format_results(res: SlotDecodeResult, hop_seconds: float,
             time_sec=time_base + float(res.abs_time[k]) * hop_seconds,
             freq_hz=freq_base + float(res.abs_freq[k]) * freq_step_hz,
             score=float(res.score[k]),
-            snr_db=None if snr_db is None else round(float(snr_db[k]), 1),
+            snr_db=None if snr_db is None else
+            round(min(max(float(snr_db[k]), -30.0), 30.0), 1),
         ))
     return out
 

@@ -18,30 +18,39 @@ when i3 = 0):
 - 0.5 telemetry    — 71 bits as up to 18 hex digits (first digit <= 7)
 - 1   standard     — c28 r1 c28 r1 R1 g15: two calls + grid/report, /R
 - 2   standard /P  — same layout, suffix means /P (EU VHF convention)
+- 0.3 Field Day   — "WA9XYZ KA1ABC R 16A EMA": c28 c28 R1 n4 k3 S7 with
+                     transmitters 1-16 (exchange <ntx><class> <section>)
+- 0.4 Field Day   — same layout, transmitters 17-32
 - 3   RTTY Roundup — "TU; W9XYZ K1ABC R 579 MA": t1 c28 c28 R1 r3 s13;
                      exchange is a serial number (0001-7999, table-free)
                      or a US state / Canadian province from the 65-entry
                      contest multiplier table
 - 4   nonstandard  — one full 11-char base-38 call + 12-bit hash of the
                      other; RRR/RR73/73 exchange only
+- 5   EU VHF      — "<G4ABC> <PA9XYZ> R 570007 JO22DB": h12 h22 R1 r3
+                     s11 g25 (hashed calls, RST+serial, 6-char locator)
 
-Unsupported types (0.3/0.4 Field Day, 5 EU VHF contest) raise
+Only the reserved/unused subtypes (0.2, 0.6, 0.7, i3=6/7) raise
 UnsupportedMessageError on unpack so callers can fall back to payload
-hex — their text forms index the ~84-entry ARRL-section table (0.3/0.4)
-or a hashed-calls + 6-char-grid layout (5) whose exact WSJT-X ordering
-cannot be verified in this environment, and a near-miss table renders
-WRONG text silently; hex is honest.  Hashed callsigns ("<K1ABC>") resolve through a module
-hash table populated by every call this process packs or unpacks, exactly
-like WSJT-X's rolling hash cache; unknown hashes render as "<...>".
+hex.  Every implemented type is covered by pack<->unpack roundtrip
+property tests; the Field Day section table and RTTY multiplier table
+are the published fixed lists (see the sections below).  Hashed
+callsigns ("<K1ABC>") resolve through a hash table populated by every
+call packed or unpacked — the process-global table by default, or a
+session-owned CallsignHashTable passed via the hash_table argument
+(sessions persist theirs across checkpoints), exactly like WSJT-X's
+rolling hash cache; unknown hashes render as "<...>".
 """
 
 from __future__ import annotations
 
+import contextvars
 import re
 
 import numpy as np
 
 __all__ = [
+    "CallsignHashTable",
     "UnsupportedMessageError",
     "ap_hypotheses",
     "pack_message",
@@ -95,9 +104,20 @@ def _int_to_payload(v: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # callsign hashing (10/12/22-bit), WSJT-X-compatible
 
-class _HashTable:
-    def __init__(self):
+class CallsignHashTable:
+    """WSJT-X-style rolling hash cache: every callsign packed or unpacked
+    is remembered so later "<CALL>" hash-only decodes resolve to text.
+
+    Instances are independent — a session decoding one band does not leak
+    resolutions into another.  ``pack_message``/``unpack_message`` use the
+    process-global table unless one is passed explicitly; sessions
+    (StreamSession/BeaconSession) own one and persist it in checkpoints.
+    """
+
+    def __init__(self, calls=()):
         self._by_bits: dict[int, dict[int, str]] = {10: {}, 12: {}, 22: {}}
+        for c in calls:
+            self.add(c)
 
     def add(self, call: str) -> None:
         call = call.strip().upper()
@@ -109,12 +129,31 @@ class _HashTable:
     def get(self, h: int, bits: int) -> str | None:
         return self._by_bits[bits].get(h)
 
+    def calls(self) -> list[str]:
+        """Distinct remembered callsigns, sorted (for serialisation)."""
+        return sorted(set(self._by_bits[22].values()))
+
     def clear(self) -> None:
         for d in self._by_bits.values():
             d.clear()
 
+    def __len__(self) -> int:
+        return len(set(self._by_bits[22].values()))
 
-_HASHES = _HashTable()
+
+_HASHES = CallsignHashTable()
+
+# Active table for the duration of one pack/unpack call (contextvar so
+# nested/threaded use stays isolated); falls back to the global table.
+_ACTIVE_HASHES: "contextvars.ContextVar[CallsignHashTable | None]" = \
+    contextvars.ContextVar("ft8_active_hash_table", default=None)
+
+
+def _hashes() -> CallsignHashTable:
+    t = _ACTIVE_HASHES.get()
+    # explicit None test: an EMPTY session table is falsy (__len__ == 0)
+    # but must still shadow the global one
+    return _HASHES if t is None else t
 
 
 def hash_callsign(call: str, bits: int = 22) -> int:
@@ -141,11 +180,11 @@ def hash_callsign(call: str, bits: int = 22) -> int:
 
 def remember_callsign(call: str) -> None:
     """Add a call to the hash cache so later "<CALL>" decodes resolve."""
-    _HASHES.add(call)
+    _hashes().add(call)
 
 
 def clear_hash_table() -> None:
-    _HASHES.clear()
+    _hashes().clear()
 
 
 # ---------------------------------------------------------------------------
@@ -221,12 +260,12 @@ def _pack28(tok: str) -> int | None:
                 h = hash_callsign(inner, 22)
             except ValueError:
                 return None        # unhashable chars -> not a call token
-            _HASHES.add(inner)
+            _hashes().add(inner)
             return _NTOKENS + h
         return None
     c6 = _align6(tok)
     if c6 is not None:
-        _HASHES.add(tok)
+        _hashes().add(tok)
         return _NTOKENS + _MAX22 + _std_to_n28(c6)
     return None
 
@@ -249,10 +288,10 @@ def _unpack28(c28: int) -> str:
     if c28 < _NTOKENS:
         return "<?>"          # reserved token space (unused by WSJT-X)
     if c28 < _NTOKENS + _MAX22:
-        call = _HASHES.get(c28 - _NTOKENS, 22)
+        call = _hashes().get(c28 - _NTOKENS, 22)
         return f"<{call}>" if call else "<...>"
     call = _n28_to_std(c28 - _NTOKENS - _MAX22)
-    _HASHES.add(call)
+    _hashes().add(call)
     return call
 
 
@@ -395,8 +434,8 @@ def _try_pack_nonstandard(tokens: list[str]) -> int | None:
         except ValueError:
             return None
     if other and other != "...":
-        _HASHES.add(other)
-    _HASHES.add(full)
+        _hashes().add(other)
+    _hashes().add(full)
     n58 = 0
     for ch in full.ljust(11):
         n58 = n58 * 38 + _B38.index(ch)
@@ -434,11 +473,11 @@ def _unpack_nonstandard(v: int) -> str:
     for _ in range(11):
         chars.append(_B38[n58 % 38]); n58 //= 38
     full = "".join(reversed(chars)).strip()
-    _HASHES.add(full)
+    _hashes().add(full)
     if c1:
         parts = ["CQ", full]
     else:
-        other = _HASHES.get(h12, 12)
+        other = _hashes().get(h12, 12)
         hashed = f"<{other}>" if other else "<...>"
         parts = [full, hashed] if h1 else [hashed, full]
     tail = {0: "", 1: "RRR", 2: "RR73", 3: "73"}[r2]
@@ -476,7 +515,7 @@ def _try_pack_dxpedition(tokens: list[str]) -> int | None:
         h10 = hash_callsign(inner, 10)
     except ValueError:
         return None
-    _HASHES.add(inner)
+    _hashes().add(inner)
     v = c28a
     v = (v << 28) | c28b
     v = (v << 10) | h10
@@ -489,7 +528,7 @@ def _unpack_dxpedition(f71: int) -> str:
     h10 = (f71 >> 5) & 0x3FF
     c28b = (f71 >> 15) & ((1 << 28) - 1)
     c28a = (f71 >> 43) & ((1 << 28) - 1)
-    fox = _HASHES.get(h10, 10)
+    fox = _hashes().get(h10, 10)
     hashed = f"<{fox}>" if fox else "<...>"
     return (f"{_unpack28(c28a)} RR73; {_unpack28(c28b)} "
             f"{hashed} {2 * r5 - 30:+03d}")
@@ -538,7 +577,11 @@ def _try_pack_rtty_ru(tokens: list[str]) -> int | None:
     exch = tokens[3]
     if exch in _RTTY_MULTS:
         s13 = 8000 + 1 + _RTTY_MULTS.index(exch)
-    elif exch.isdigit() and 1 <= int(exch) <= 7999:
+    elif len(exch) == 4 and exch.isdigit() and 1 <= int(exch) <= 7999:
+        # serials only in their canonical zero-padded 4-digit form (WSJT-X
+        # renders them %04d, and only packs type 3 in contest mode): a
+        # short free text like "DE DE 529 01" must round-trip verbatim as
+        # free text, not normalise to "DE DE 529 0001" (advisor r2)
         s13 = int(exch)
     else:
         return None
@@ -576,6 +619,179 @@ def _unpack_rtty_ru(v: int) -> str:
 
 
 # ---------------------------------------------------------------------------
+# ARRL Field Day (i3.n3 = 0.3 / 0.4): c28 c28 R1 n4 k3 S7
+#
+# "W9XYZ K1ABC R 16A EMA" — exchange is <transmitters><class> <section>.
+# n4 holds transmitters-1 (type 0.3 covers 1..16) or transmitters-17
+# (type 0.4 covers 17..32); k3 is the operating class A..F; S7 is a
+# 1-based index into WSJT-X's frozen 84-entry ARRL/RAC section table.
+# The table below is that list: the published ARRL + RAC section
+# abbreviations of 2018 (pre PE/TER splits), in strict alphabetical
+# order — the ordering is derivable, not arbitrary, which is what makes
+# this type implementable offline.  Example texts from the FT8 protocol
+# paper (Franke/Somerville/Taylor, QEX Jul/Aug 2020, Table 1):
+# "WA9XYZ KA1ABC R 16A EMA" (0.3) and "WA9XYZ KA1ABC R 32A EMA" (0.4).
+
+_ARRL_SECTIONS = (
+    "AB AK AL AR AZ BC CO CT DE EB EMA ENY EPA EWA GA GTA IA ID IL IN "
+    "KS KY LA LAX MAR MB MDC ME MI MN MO MS MT NC ND NE NFL NH NL NLI "
+    "NM NNJ NNY NT NTX NV OH OK ONE ONN ONS OR ORG PAC PR QC RI SB SC "
+    "SCV SD SDG SF SFL SJV SK SNJ STX SV TN TX UT VA VI VT WCF WI WMA "
+    "WNY WPA WTX WV WWA WY").split()
+assert len(_ARRL_SECTIONS) == 84 and _ARRL_SECTIONS == sorted(_ARRL_SECTIONS)
+
+_FD_EXCH_RE = re.compile(r"^([1-9][0-9]?)([A-F])$")
+
+
+def _try_pack_field_day(tokens: list[str]) -> int | None:
+    tokens = list(tokens)
+    if len(tokens) not in (4, 5):
+        return None
+    if len(tokens) == 5:
+        if tokens[2] != "R":
+            return None
+        r_bit = 1
+        del tokens[2:3]
+    else:
+        r_bit = 0
+    c28a, c28b = _pack28(tokens[0]), _pack28(tokens[1])
+    m = _FD_EXCH_RE.match(tokens[2])
+    if c28a is None or c28b is None or m is None:
+        return None
+    if tokens[3] not in _ARRL_SECTIONS:
+        return None
+    ntx, k3 = int(m.group(1)), ord(m.group(2)) - 65
+    if not 1 <= ntx <= 32:
+        return None
+    n3 = 3 if ntx <= 16 else 4
+    n4 = ntx - 1 if ntx <= 16 else ntx - 17
+    s7 = 1 + _ARRL_SECTIONS.index(tokens[3])
+    f71 = c28a
+    f71 = (f71 << 28) | c28b
+    f71 = (f71 << 1) | r_bit
+    f71 = (f71 << 4) | n4
+    f71 = (f71 << 3) | k3
+    f71 = (f71 << 7) | s7
+    return (f71 << 6) | (n3 << 3)               # i3 = 0
+
+
+def _unpack_field_day(f71: int, n3: int) -> str:
+    s7 = f71 & 0x7F
+    k3 = (f71 >> 7) & 7
+    n4 = (f71 >> 10) & 0xF
+    r_bit = (f71 >> 14) & 1
+    c28b = (f71 >> 15) & ((1 << 28) - 1)
+    c28a = (f71 >> 43) & ((1 << 28) - 1)
+    if not 1 <= s7 <= len(_ARRL_SECTIONS) or k3 > 5:
+        raise UnsupportedMessageError(
+            f"Field Day section/class out of range (S7={s7}, k3={k3})")
+    ntx = n4 + (1 if n3 == 3 else 17)
+    parts = [_unpack28(c28a), _unpack28(c28b)]
+    if r_bit:
+        parts.append("R")
+    parts += [f"{ntx}{chr(65 + k3)}", _ARRL_SECTIONS[s7 - 1]]
+    return " ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# EU VHF contest (i3 = 5): h12 h22 R1 r3 s11 g25
+#
+# "<G4ABC> <PA9XYZ> R 570007 JO22DB" — both calls ride as hashes (12-bit
+# for the first field, 22-bit for the second), the exchange is a 6-digit
+# RST+serial (report 52..59 = r3+52, serial 0..2047 rendered %04d) and a
+# 6-char Maidenhead locator in 25 bits.  Table-free: pure field packing,
+# so it is fully verifiable by construction.  Example text from the FT8
+# protocol paper (QEX Jul/Aug 2020, Table 1).
+
+_GRID6_RE = re.compile(r"^[A-R][A-R][0-9][0-9][A-X][A-X]$")
+_EU_VHF_EXCH_RE = re.compile(r"^(5[2-9])([0-9]{4})$")
+_BRACKETED_RE = re.compile(r"^<([^<>]+)>$")
+
+
+def _grid6_to_g25(grid: str) -> int:
+    g25 = (ord(grid[0]) - 65) * 18 + (ord(grid[1]) - 65)
+    g25 = g25 * 10 + int(grid[2])
+    g25 = g25 * 10 + int(grid[3])
+    g25 = g25 * 24 + (ord(grid[4]) - 65)
+    return g25 * 24 + (ord(grid[5]) - 65)
+
+
+def _g25_to_grid6(g25: int) -> str:
+    c6 = g25 % 24; g25 //= 24
+    c5 = g25 % 24; g25 //= 24
+    d4 = g25 % 10; g25 //= 10
+    d3 = g25 % 10; g25 //= 10
+    c2 = g25 % 18; c1 = g25 // 18
+    if c1 >= 18:
+        raise UnsupportedMessageError("g25 locator out of range")
+    return (chr(65 + c1) + chr(65 + c2) + str(d3) + str(d4)
+            + chr(65 + c5) + chr(65 + c6))
+
+
+def _hashable_call(tok: str) -> str | None:
+    """A type-5 call token: "<CALL>" or a bare call; returns the inner
+    call, or None when the token cannot be a callsign."""
+    m = _BRACKETED_RE.match(tok)
+    inner = m.group(1) if m else tok
+    if inner == "..." or not 3 <= len(inner) <= 11:
+        return None
+    if any(c not in _B38 or c == " " for c in inner):
+        return None
+    if not any(c.isalpha() for c in inner) or not any(
+            c.isdigit() for c in inner):
+        return None
+    return inner
+
+
+def _try_pack_eu_vhf(tokens: list[str]) -> int | None:
+    tokens = list(tokens)
+    if len(tokens) not in (4, 5):
+        return None
+    if len(tokens) == 5:
+        if tokens[2] != "R":
+            return None
+        r_bit = 1
+        del tokens[2:3]
+    else:
+        r_bit = 0
+    m = _EU_VHF_EXCH_RE.match(tokens[2])
+    if m is None or not _GRID6_RE.match(tokens[3]):
+        return None
+    call1, call2 = _hashable_call(tokens[0]), _hashable_call(tokens[1])
+    if call1 is None or call2 is None:
+        return None
+    serial = int(m.group(2))
+    if serial > 2047:
+        return None
+    _hashes().add(call1)
+    _hashes().add(call2)
+    v = hash_callsign(call1, 12)
+    v = (v << 22) | hash_callsign(call2, 22)
+    v = (v << 1) | r_bit
+    v = (v << 3) | (int(m.group(1)) - 52)
+    v = (v << 11) | serial
+    v = (v << 25) | _grid6_to_g25(tokens[3])
+    return (v << 3) | 5
+
+
+def _unpack_eu_vhf(v: int) -> str:
+    g25 = (v >> 3) & ((1 << 25) - 1)
+    s11 = (v >> 28) & 0x7FF
+    r3 = (v >> 39) & 7
+    r_bit = (v >> 42) & 1
+    h22 = (v >> 43) & ((1 << 22) - 1)
+    h12 = (v >> 65) & 0xFFF
+    call1 = _hashes().get(h12, 12)
+    call2 = _hashes().get(h22, 22)
+    parts = [f"<{call1}>" if call1 else "<...>",
+             f"<{call2}>" if call2 else "<...>"]
+    if r_bit:
+        parts.append("R")
+    parts += [f"{r3 + 52}{s11:04d}", _g25_to_grid6(g25)]
+    return " ".join(parts)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 def pack_free_text(text: str) -> np.ndarray:
@@ -605,55 +821,84 @@ def pack_telemetry(hex_digits: str) -> np.ndarray:
     return _int_to_payload((t71 << 6) | (5 << 3))
 
 
-def pack_message(text: str) -> np.ndarray:
+def pack_message(text: str,
+                 hash_table: CallsignHashTable | None = None) -> np.ndarray:
     """Message text -> 10-byte payload (the TX pipeline's input).
 
     Tries the standard (i3=1/2) layout, then nonstandard-call (i3=4),
-    then DXpedition (0.1) and RTTY Roundup (i3=3), then free text
-    (i3.n3 = 0.0).  Telemetry must use pack_telemetry explicitly — short
-    hex-looking strings like "73" are messages, not telemetry.
+    then DXpedition (0.1), RTTY Roundup (i3=3), ARRL Field Day (0.3/0.4)
+    and EU VHF contest (i3=5), then free text (i3.n3 = 0.0).  Telemetry
+    must use pack_telemetry explicitly — short hex-looking strings like
+    "73" are messages, not telemetry.
+
+    hash_table: callsign hash cache to populate/resolve against; defaults
+    to the process-global table (WSJT-X behaviour).  Pass a session-owned
+    CallsignHashTable to keep bands/sessions isolated.
     """
-    tokens = text.upper().split()
-    v = _try_pack_standard(tokens)
-    if v is None:
-        v = _try_pack_nonstandard(tokens)
-    if v is None:
-        v = _try_pack_dxpedition(tokens)
-    if v is None:
-        v = _try_pack_rtty_ru(tokens)
-    if v is not None:
-        return _int_to_payload(v)
-    return pack_free_text(" ".join(tokens))
+    token = _ACTIVE_HASHES.set(hash_table) if hash_table is not None else None
+    try:
+        tokens = text.upper().split()
+        v = _try_pack_standard(tokens)
+        if v is None:
+            v = _try_pack_nonstandard(tokens)
+        if v is None:
+            v = _try_pack_dxpedition(tokens)
+        if v is None:
+            v = _try_pack_rtty_ru(tokens)
+        if v is None:
+            v = _try_pack_field_day(tokens)
+        if v is None:
+            v = _try_pack_eu_vhf(tokens)
+        if v is not None:
+            return _int_to_payload(v)
+        return pack_free_text(" ".join(tokens))
+    finally:
+        if token is not None:
+            _ACTIVE_HASHES.reset(token)
 
 
-def unpack_message(payload) -> str:
+def unpack_message(payload,
+                   hash_table: CallsignHashTable | None = None) -> str:
     """10-byte payload -> message text.
 
-    Raises UnsupportedMessageError for valid-but-unimplemented types so
-    callers (e.g. the CLI) can fall back to payload hex.
+    Raises UnsupportedMessageError for the reserved/unused subtypes
+    (i3=0 with n3 in {2, 6, 7}; i3 in {6, 7}) so callers (e.g. the CLI)
+    can fall back to payload hex.
+
+    hash_table: see pack_message.
     """
-    v = _payload_to_int(payload)
-    i3 = v & 7
-    if i3 in (1, 2):
-        return _unpack_standard(v, i3)
-    if i3 == 3:
-        return _unpack_rtty_ru(v)
-    if i3 == 4:
-        return _unpack_nonstandard(v)
-    if i3 == 0:
-        n3 = (v >> 3) & 7
-        f71 = v >> 6
-        if n3 == 0:
-            chars = []
-            for _ in range(13):
-                chars.append(_FREETEXT[f71 % 42]); f71 //= 42
-            return "".join(reversed(chars)).strip()
-        if n3 == 1:
-            return _unpack_dxpedition(f71)
-        if n3 == 5:
-            return f"{f71:X}"
-        raise UnsupportedMessageError(f"message type 0.{n3} not supported")
-    raise UnsupportedMessageError(f"message type i3={i3} not supported")
+    token = _ACTIVE_HASHES.set(hash_table) if hash_table is not None else None
+    try:
+        v = _payload_to_int(payload)
+        i3 = v & 7
+        if i3 in (1, 2):
+            return _unpack_standard(v, i3)
+        if i3 == 3:
+            return _unpack_rtty_ru(v)
+        if i3 == 4:
+            return _unpack_nonstandard(v)
+        if i3 == 5:
+            return _unpack_eu_vhf(v)
+        if i3 == 0:
+            n3 = (v >> 3) & 7
+            f71 = v >> 6
+            if n3 == 0:
+                chars = []
+                for _ in range(13):
+                    chars.append(_FREETEXT[f71 % 42]); f71 //= 42
+                return "".join(reversed(chars)).strip()
+            if n3 == 1:
+                return _unpack_dxpedition(f71)
+            if n3 in (3, 4):
+                return _unpack_field_day(f71, n3)
+            if n3 == 5:
+                return f"{f71:X}"
+            raise UnsupportedMessageError(
+                f"message type 0.{n3} not supported")
+        raise UnsupportedMessageError(f"message type i3={i3} not supported")
+    finally:
+        if token is not None:
+            _ACTIVE_HASHES.reset(token)
 
 
 def ap_hypotheses(my_call: str | None = None,

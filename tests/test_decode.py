@@ -198,6 +198,20 @@ def test_snr_estimate_calibration():
         assert abs(np.mean(est) - (snr_fb + to_2500)) < 1.5, (snr_fb, est)
 
 
+def test_snr_report_clamped_to_wsjtx_range():
+    """A noiseless capture's raw SNR estimate is huge (the off-air WAV
+    reads +88 dB); the REPORTED snr_db is clamped to the WSJT-X plausible
+    +30 dB cap so downstream consumers never see a nonsense report."""
+    fs, f0 = 2000.0, 400.0
+    from ft8_demodulator_tpu.ops.gfsk import ft8_passband
+    w = np.asarray(ft8_passband(PAYLOAD, fs, f0, 0.0))
+    sig = np.zeros(int(fs * 15), np.float32)
+    sig[500: 500 + len(w)] = w
+    rows = [r for r in decode_ft8_message(sig, fs, min_score=1.0)
+            if r.message.payload == _expected(PAYLOAD)]
+    assert rows and rows[0].snr_db == 30.0
+
+
 def test_snr_estimate_complex_input():
     """Complex (baseband) captures share the same constant — the noise
     bandwidth doubles and so does the per-bin signal gain."""

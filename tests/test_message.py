@@ -166,9 +166,11 @@ def test_telemetry():
 
 
 def test_unsupported_types_raise():
-    # (3, 0) = an i3=3 RTTY RU payload whose exchange field s13 is 0 —
-    # the type is now implemented but that field value is invalid
-    for i3n3 in [(0, 2), (0, 3), (0, 4), (3, 0), (5, 0)]:
+    # (3, 0) = an i3=3 RTTY RU payload whose exchange field s13 is 0,
+    # (0, 3) = a Field Day payload whose section index S7 is 0 — those
+    # types are implemented but the field values are invalid; (0, 2) and
+    # (0, 6)/(0, 7) and i3=6/7 are the genuinely reserved subtypes
+    for i3n3 in [(0, 2), (0, 6), (0, 7), (6, 0), (7, 0), (3, 0), (0, 3)]:
         v = (i3n3[1] << 3) | i3n3[0]
         payload = np.frombuffer((v << 3).to_bytes(10, "big"), np.uint8)
         with pytest.raises(UnsupportedMessageError):
@@ -329,3 +331,162 @@ def test_dxpedition_rejects_malformed():
                 "K1ABC RR73; W9XYZ <KH1/KH7Z> -07"):      # odd report
         with pytest.raises(ValueError):
             pack_message(txt)
+
+
+# ---------------------------------------------------------------------------
+# ARRL Field Day (0.3/0.4) — new in r3 (VERDICT r2 next #3)
+
+def test_field_day_roundtrip_and_layout():
+    from ft8_demodulator_tpu.protocol.message import _ARRL_SECTIONS
+
+    # paper examples (QEX Jul/Aug 2020 Table 1 forms)
+    for txt, n3 in [("WA9XYZ KA1ABC R 16A EMA", 3),
+                    ("WA9XYZ KA1ABC R 32A EMA", 4),
+                    ("W9XYZ K1ABC 2B WWA", 3),
+                    ("CQ K1ABC 17F AB", 4)]:
+        p = pack_message(txt)
+        v = int.from_bytes(bytes(p.tolist()), "big") >> 3
+        assert v & 7 == 0 and (v >> 3) & 7 == n3, txt
+        assert unpack_message(p) == txt
+    # every section roundtrips
+    for i, sec in enumerate(_ARRL_SECTIONS):
+        txt = f"W9XYZ K1ABC 1A {sec}"
+        assert unpack_message(pack_message(txt)) == txt
+
+
+def test_field_day_random_roundtrip():
+    from ft8_demodulator_tpu.protocol.message import _ARRL_SECTIONS
+
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        ntx = int(rng.integers(1, 33))
+        klass = "ABCDEF"[rng.integers(0, 6)]
+        sec = _ARRL_SECTIONS[rng.integers(0, len(_ARRL_SECTIONS))]
+        r = "R " if rng.integers(0, 2) else ""
+        txt = f"W9XYZ K1ABC {r}{ntx}{klass} {sec}"
+        assert unpack_message(pack_message(txt)) == txt
+
+
+def test_field_day_rejects_malformed():
+    # bad section / class / transmitter count fall through to free text
+    # (or raise when too long for free text) — never a silently-wrong 0.3
+    from ft8_demodulator_tpu.protocol.message import _try_pack_field_day
+
+    for txt in ("W9XYZ K1ABC 16A XXX",       # unknown section
+                "W9XYZ K1ABC 33A EMA",       # > 32 transmitters
+                "W9XYZ K1ABC 16G EMA",       # class G not in A-F
+                "W9XYZ K1ABC 0A EMA"):       # zero transmitters
+        assert _try_pack_field_day(txt.split()) is None
+
+
+# ---------------------------------------------------------------------------
+# EU VHF contest (i3=5) — new in r3 (VERDICT r2 next #3)
+
+def test_eu_vhf_roundtrip():
+    clear_hash_table()
+    txt = "<G4ABC> <PA9XYZ> R 570007 JO22DB"
+    p = pack_message(txt)
+    v = int.from_bytes(bytes(p.tolist()), "big") >> 3
+    assert v & 7 == 5
+    assert unpack_message(p) == txt           # hashes taught by packing
+    clear_hash_table()                        # cold receiver: unresolved
+    assert unpack_message(p) == "<...> <...> R 570007 JO22DB"
+
+
+def test_eu_vhf_random_roundtrip():
+    rng = np.random.default_rng(11)
+    calls = ["G4ABC", "PA9XYZ", "KH1/KH7Z", "VK9XX", "SP5ABC"]
+    for _ in range(50):
+        clear_hash_table()
+        c1, c2 = rng.choice(calls, 2, replace=False)
+        rpt = int(rng.integers(52, 60))
+        ser = int(rng.integers(0, 2048))
+        r = "R " if rng.integers(0, 2) else ""
+        g = (chr(65 + rng.integers(0, 18)) + chr(65 + rng.integers(0, 18))
+             + str(rng.integers(0, 10)) + str(rng.integers(0, 10))
+             + chr(65 + rng.integers(0, 24)) + chr(65 + rng.integers(0, 24)))
+        txt = f"<{c1}> <{c2}> {r}{rpt}{ser:04d} {g}"
+        assert unpack_message(pack_message(txt)) == txt
+
+
+def test_eu_vhf_field_layout():
+    """Bit-level golden for the i3=5 layout h12|h22|R1|r3|s11|g25."""
+    from ft8_demodulator_tpu.protocol.message import hash_callsign
+
+    p = pack_message("<G4ABC> <PA9XYZ> R 570007 JO22DB")
+    v = int.from_bytes(bytes(p.tolist()), "big") >> 3
+    assert v & 7 == 5
+    g25 = (v >> 3) & ((1 << 25) - 1)
+    s11 = (v >> 28) & 0x7FF
+    r3 = (v >> 39) & 7
+    r1 = (v >> 42) & 1
+    h22 = (v >> 43) & ((1 << 22) - 1)
+    h12 = (v >> 65) & 0xFFF
+    assert h12 == hash_callsign("G4ABC", 12)
+    assert h22 == hash_callsign("PA9XYZ", 22)
+    assert (r1, r3, s11) == (1, 57 - 52, 7)
+    # JO22DB: J=9,O=14,2,2,D=3,B=1 mixed-radix 18/18/10/10/24/24
+    assert g25 == ((((9 * 18 + 14) * 10 + 2) * 10 + 2) * 24 + 3) * 24 + 1
+
+
+def test_rtty_serial_must_be_canonical_4_digits():
+    """Advisor r2: a short free text that resembles an RTTY RU exchange
+    ("DE DE 529 01") must round-trip VERBATIM as free text — WSJT-X only
+    packs type 3 in contest mode, and serials render %04d."""
+    clear_hash_table()
+    p = pack_message("DE DE 529 01")
+    v = int.from_bytes(bytes(p.tolist()), "big") >> 3
+    assert v & 7 == 0 and (v >> 3) & 7 == 0          # free text, not i3=3
+    assert unpack_message(p) == "DE DE 529 01"
+    # the canonical 4-digit form still packs as RTTY RU
+    p = pack_message("DE DE 529 0001")
+    v = int.from_bytes(bytes(p.tolist()), "big") >> 3
+    assert v & 7 == 3
+    assert unpack_message(p) == "DE DE 529 0001"
+
+
+# ---------------------------------------------------------------------------
+# session-scoped, persistent hash tables (VERDICT r2 next #7)
+
+def test_hash_table_instances_isolated():
+    from ft8_demodulator_tpu.protocol.message import CallsignHashTable
+
+    clear_hash_table()
+    a, b = CallsignHashTable(), CallsignHashTable()
+    p = pack_message("<G4ABC> <PA9XYZ> 520000 AA00AA", hash_table=a)
+    assert a.calls() == ["G4ABC", "PA9XYZ"]
+    assert b.calls() == [] and len(b) == 0
+    # resolution follows the table, not the process
+    assert unpack_message(p, hash_table=a).startswith("<G4ABC>")
+    assert unpack_message(p, hash_table=b).startswith("<...>")
+    # the global table was never touched
+    assert unpack_message(p).startswith("<...>")
+
+
+def test_stream_session_hash_table_survives_checkpoint(tmp_path):
+    from ft8_demodulator_tpu.demod.stream_session import StreamSession
+
+    sess = StreamSession(2000.0)
+    # teach the session's table via a nonstandard-call message
+    sess.unpack(pack_message("PJ4/K1ABC <W9XYZ> RR73",
+                             hash_table=sess.hash_table))
+    assert "W9XYZ" in sess.hash_table.calls()
+    ck = str(tmp_path / "sess.npz")
+    sess.save(ck)
+    resumed = StreamSession.load(ck)
+    assert resumed.hash_table.calls() == sess.hash_table.calls()
+    # a <CALL> resolved before save still resolves after load
+    from ft8_demodulator_tpu.protocol.message import hash_callsign
+    h22 = hash_callsign("W9XYZ", 22)
+    assert resumed.hash_table.get(h22, 22) == "W9XYZ"
+
+
+def test_beacon_session_hash_table_survives_checkpoint(tmp_path):
+    from ft8_demodulator_tpu.demod.beacon_session import BeaconSession
+
+    sess = BeaconSession(2000.0, max_repeats=2)
+    sess.hash_table.add("KH1/KH7Z")
+    ck = str(tmp_path / "beacon.npz")
+    sess.save(ck)
+    resumed = BeaconSession.load(ck)
+    assert resumed.hash_table.calls() == ["KH1/KH7Z"]
