@@ -294,14 +294,22 @@ def decode_stream(audio: np.ndarray, sample_rate: float,
             jnp.asarray(audio[:, :pre_w]), p, max_candidates,
             float(min_score), max_iterations, use_mf, use_osd, mf_first,
             mf_refine))
-    if int(n_success) == 0 and (
-            pre_res is None or not pre_res.success.any()):
+    return _format_stream_results(
+        jax.tree_util.tree_map(np.asarray, res), pre_res, int(n_success),
+        p, block // p.hop)
+
+
+def _format_stream_results(res, pre_res, n_success: int, p: WaterfallParams,
+                           block_frames: int) -> list[FT8Decode]:
+    """Stacked device results (+optional pre-roll) -> deduped FT8Decode rows.
+
+    Shared by decode_stream and the composed-mesh decoder
+    (parallel/composed.py) so their host-side semantics cannot drift."""
+    if n_success == 0 and (pre_res is None or not pre_res.success.any()):
         return []
-    res = jax.tree_util.tree_map(np.asarray, res)
 
     hop_seconds = C.SYMBOL_PERIOD_S / p.time_osr
     freq_step = C.TONE_SPACING_HZ / p.freq_osr
-    block_frames = block // p.hop
     out: list[FT8Decode] = []
     seen: set[tuple[int, bytes, int]] = set()
     channels, blocks, k = res.success.shape
