@@ -113,7 +113,14 @@ def _flop_model(p, num_frames: int, k: int, bp_iters: int) -> dict:
     model = dict(dft=dft, waterfall_vpu=wf_vpu, sync_stencil=sync,
                  select=select, llr_matmul=llr, bp_matmul=bp_route + bp_check,
                  bp_vpu=bp_vpu)
-    mxu_hw = 3 * dft + 3 * llr + 3 * bp_route + 6 * bp_check
+    # hardware passes follow the live precision settings (bf16 passes per
+    # f32 matmul: DEFAULT=1, HIGH=3, HIGHEST=6); parity checks are HIGHEST
+    from ft8_demodulator_tpu.ops.ldpc_decode import _BP_PRECISION
+    from ft8_demodulator_tpu.ops.waterfall import _DFT_PRECISION
+    np_ = {"DEFAULT": 1, "HIGH": 3, "HIGHEST": 6}
+    dft_p = np_[_DFT_PRECISION.name]
+    bp_p = np_[_BP_PRECISION.name]
+    mxu_hw = dft_p * dft + 3 * llr + bp_p * bp_route + 6 * bp_check
     return {
         "stages": model,
         "total_model": sum(model.values()),

@@ -96,15 +96,25 @@ def _build_leave_one_out() -> np.ndarray:
 _M_LOO = jnp.asarray(_build_leave_one_out())                  # (522, 581)
 
 
+# Routing-matmul precision.  The routing matrices are 0/+-1 (exact at any
+# precision); the passes only round the message VALUES.  DEFAULT (bf16x1,
+# one MXU pass) rounds messages to ~4e-3 relative — far inside BP's
+# robustness margin (hardware decoders run 4-6 bit messages), measured
+# decode-set-identical to HIGH/HIGHEST at the sensitivity cliff and 3x
+# fewer MXU passes.  Override with FT8_BP_PRECISION=high|highest.
+_BP_PRECISION = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}[__import__("os").environ.get("FT8_BP_PRECISION", "default").lower()]
+
+
 def _route(x: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
     """Gather-by-matmul: x (..., S) routed through r (S, D).
 
-    The routing matrices are 0/+-1 (exact at any precision); HIGH (bf16x3)
-    carries the message VALUES with ~3e-4 relative rounding — measured
-    plain-identical to exact-f32 HIGHEST over 1280 sensitivity-cliff
-    codewords on v5e, at 2/3 the MXU passes.
+    Precision: see _BP_PRECISION note above.
     """
-    return jnp.matmul(x, r, precision=jax.lax.Precision.HIGH,
+    return jnp.matmul(x, r, precision=_BP_PRECISION,
                       preferred_element_type=jnp.float32)
 
 

@@ -156,17 +156,36 @@ def _block_combine_phases(p: WaterfallParams):
     return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
 
 
-# DFT matmul precision.  HIGH (bf16x3, 3 MXU passes) is the default: its
-# only deviation from exact f32 (HIGHEST, 6 passes) is ~1e-3 dB off spectral
-# nulls, and the SNR yield curve at the sensitivity cliff is point-identical
-# to HIGHEST (fs 2 kHz, 50 trials x 13 SNRs; see benchmarks/snr_curve.py).
-# DEFAULT (1 pass) loses ~37 dB on nulls — measurably wrong.  Override with
-# FT8_DFT_PRECISION=highest for exact f32.
+# DFT matmul precision.  DEFAULT (one bf16 pass) is the decode default:
+# bf16 input rounding perturbs a power cell ~0.5 % (~0.02 dB) — far below
+# any real capture's noise floor — and the decode is measured
+# MASK-IDENTICAL to HIGH over 512 slots at each of -20/-21/-22 dB on v5e
+# (cliff geometry, fs 12 kHz; +2 net decodes at -22), at 2.1x the DFT
+# stage throughput (3 MXU passes -> 1).  Its only real deviation is on
+# deep SPECTRAL NULLS of noiseless synthetic signals (~37 dB shallower
+# nulls), which carry no decode information and never survive a noise
+# floor; for instrument-grade dB readings (scipy-parity plots, golden
+# comparisons) set FT8_DFT_PRECISION=high (~1e-3 dB, 3 passes) or
+# =highest (exact f32, 6 passes), or pass precision= explicitly.
 _DFT_PRECISION = {
     "highest": jax.lax.Precision.HIGHEST,
     "high": jax.lax.Precision.HIGH,
     "default": jax.lax.Precision.DEFAULT,
-}[__import__("os").environ.get("FT8_DFT_PRECISION", "high").lower()]
+}[__import__("os").environ.get("FT8_DFT_PRECISION", "default").lower()]
+
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+def _resolve_precision(precision):
+    if precision is None:
+        return _DFT_PRECISION
+    if isinstance(precision, str):
+        return _PRECISIONS[precision.lower()]
+    return precision
 
 
 def _block_spectrum(wave: jnp.ndarray, p: WaterfallParams, num_frames: int,
@@ -178,8 +197,7 @@ def _block_spectrum(wave: jnp.ndarray, p: WaterfallParams, num_frames: int,
     dimension large and 128-friendly (Kx) — measured faster than the
     bin-major transpose on TPU.
     """
-    if precision is None:
-        precision = _DFT_PRECISION
+    precision = _resolve_precision(precision)
     nb = num_frames + p.time_osr - 1
     blocks = wave[..., : nb * p.hop].reshape(*wave.shape[:-1], nb, p.hop)
     cos_m, sin_m = _block_dft_matrices(p.hop, p.nfft, p.num_freq_bins,
@@ -220,7 +238,7 @@ def _block_power(frames_re_im, p: WaterfallParams,
 
 
 def _power_spectrum(frames_r: jnp.ndarray, frames_i, p: WaterfallParams,
-                    backend: str) -> jnp.ndarray:
+                    backend: str, precision=None) -> jnp.ndarray:
     """frames (..., T, nperseg) -> positive-freq power (..., T, nfft//2).
 
     For complex input x = r + j*i:  X = (R_r - I_i) + j(R_i + I_r) where
@@ -231,11 +249,11 @@ def _power_spectrum(frames_r: jnp.ndarray, frames_i, p: WaterfallParams,
         cos_m = jnp.asarray(cos_m)
         sin_m = jnp.asarray(sin_m)
 
-        # HIGHEST precision is required: the default lowering computes f32
-        # matmuls through bf16 passes, which puts ~0.1 amplitude error on
-        # spectral nulls — several dB once in log space.
+        # precision trade: see the _DFT_PRECISION note (nulls vs speed)
+        prec = _resolve_precision(precision)
+
         def mm(a, b):
-            return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST,
+            return jnp.matmul(a, b, precision=prec,
                               preferred_element_type=jnp.float32)
 
         rr = mm(frames_r, cos_m)
@@ -256,8 +274,9 @@ def _power_spectrum(frames_r: jnp.ndarray, frames_i, p: WaterfallParams,
     return jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
 
 
-def _waterfall(frames_r, frames_i, p: WaterfallParams, backend: str):
-    power = _power_spectrum(frames_r, frames_i, p, backend)
+def _waterfall(frames_r, frames_i, p: WaterfallParams, backend: str,
+               precision=None):
+    power = _power_spectrum(frames_r, frames_i, p, backend, precision)
     scale = 1.0 / float(np.sum(_hann_periodic(p.nperseg)) ** 2)
     mag_db = 10.0 * jnp.log10(_DB_FLOOR + power * scale)
     # waterfall layout is (freq, time) to match the reference indexing
@@ -296,16 +315,21 @@ def _block_waterfall(frames_re_im, p: WaterfallParams,
     return jnp.swapaxes(mag_db, -1, -2)
 
 
-@functools.partial(jax.jit, static_argnames=("p", "num_frames", "backend"))
+@functools.partial(jax.jit, static_argnames=("p", "num_frames", "backend",
+                                             "precision"))
 def waterfall_real(wave: jnp.ndarray, p: WaterfallParams, num_frames: int,
-                   backend: str | None = None) -> jnp.ndarray:
-    """Real audio (..., n) -> dB waterfall (..., nfft//2, num_frames)."""
+                   backend: str | None = None,
+                   precision: str | None = None) -> jnp.ndarray:
+    """Real audio (..., n) -> dB waterfall (..., nfft//2, num_frames).
+
+    precision: "default" | "high" | "highest" DFT-matmul precision; None
+    uses the module default (see _DFT_PRECISION note)."""
     backend = _pick_backend(p, backend)
     if backend == "block":
-        return _block_waterfall(_block_spectrum(wave, p, num_frames), p,
-                                num_frames)
+        return _block_waterfall(
+            _block_spectrum(wave, p, num_frames, precision), p, num_frames)
     frames = frame_signal(wave, p.nperseg, p.hop, num_frames)
-    return _waterfall(frames, None, p, backend)
+    return _waterfall(frames, None, p, backend, precision)
 
 
 def _pad_cols(m: np.ndarray, total: int) -> jnp.ndarray:
@@ -380,7 +404,7 @@ def waterfall_real_band(wave: jnp.ndarray, p: WaterfallParams,
                                 axis=-1)
 
         def mm(a, b):
-            return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST,
+            return jnp.matmul(a, b, precision=_DFT_PRECISION,
                               preferred_element_type=jnp.float32)
 
         rr = mm(frames, slc(_pad_cols(cos_m, total)))
@@ -398,19 +422,21 @@ def waterfall_real_band(wave: jnp.ndarray, p: WaterfallParams,
     return jnp.swapaxes(mag_db, -1, -2)
 
 
-@functools.partial(jax.jit, static_argnames=("p", "num_frames", "backend"))
+@functools.partial(jax.jit, static_argnames=("p", "num_frames", "backend",
+                                             "precision"))
 def waterfall_complex(wave_ri: jnp.ndarray, p: WaterfallParams,
                       num_frames: int,
-                      backend: str | None = None) -> jnp.ndarray:
+                      backend: str | None = None,
+                      precision: str | None = None) -> jnp.ndarray:
     """Complex signal (..., n, 2) [re, im] -> dB waterfall (..., F, T)."""
     backend = _pick_backend(p, backend)
     if backend == "block":
-        rr, ri = _block_spectrum(wave_ri[..., 0], p, num_frames)
-        ir, ii = _block_spectrum(wave_ri[..., 1], p, num_frames)
+        rr, ri = _block_spectrum(wave_ri[..., 0], p, num_frames, precision)
+        ir, ii = _block_spectrum(wave_ri[..., 1], p, num_frames, precision)
         return _block_waterfall((rr - ii, ri + ir), p, num_frames)
     frames_r = frame_signal(wave_ri[..., 0], p.nperseg, p.hop, num_frames)
     frames_i = frame_signal(wave_ri[..., 1], p.nperseg, p.hop, num_frames)
-    return _waterfall(frames_r, frames_i, p, backend)
+    return _waterfall(frames_r, frames_i, p, backend, precision)
 
 
 def calculate_spectrogram(wave_data: np.ndarray, sample_rate: float,
