@@ -214,3 +214,64 @@ def test_head_to_head_decode_parity_vs_live_reference(rng):
             assert got_ours          # -12 dB decodes on both
     finally:
         os.chdir(cwd)
+
+
+def test_head_to_head_grid_certificate():
+    """The committed full-grid certificate (benchmarks/results/
+    head_to_head_grid.json, VERDICT r2 next #2) covers the reference's
+    fs 2000-10500 step-500 benchmark grid with >= 10 identical-waveform
+    trials per (fs, snr) point and records this framework equal-or-better
+    than the live reference decoder at EVERY point."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchmarks", "results",
+        "head_to_head_grid.json")
+    with open(path) as f:
+        d = json.load(f)
+    fs_seen = {p["fs"] for p in d["points"]}
+    assert fs_seen == set(range(2000, 10501, 500))
+    assert all(p["trials"] >= 10 for p in d["points"])
+    assert len(d["points"]) >= 3 * len(fs_seen)      # cliff-window depth
+    assert d["ours_equal_or_better_everywhere"]
+    assert all(p["ours"] >= p["ref"] for p in d["points"])
+
+
+@pytest.mark.slow
+def test_head_to_head_grid_point_live(rng):
+    """Re-derive one mid-grid certificate point against the LIVE
+    reference decoder (3 trials; the full grid is benchmarks/
+    head_to_head_grid.py): ours decodes every waveform the reference
+    decodes."""
+    _reference_or_skip()
+    import os
+    import tempfile
+
+    import matplotlib
+    matplotlib.use("Agg")
+    from ft8_tools.ft8_demodulator.ft8_decode import \
+        decode_ft8_message as ref_decode
+
+    from ft8_demodulator_tpu.demod import decode_ft8_message as our_decode
+    from ft8_demodulator_tpu.ops.gfsk import ft8_passband
+
+    fs, snr = 4000.0, -16.0
+    cwd = os.getcwd()
+    os.chdir(tempfile.mkdtemp())
+    try:
+        for pl in _random_payloads(rng, 3):
+            w = np.asarray(ft8_passband(pl, fs, 300.0, 0.0), np.float64)
+            sp = float(np.mean(w ** 2))
+            sig = w + rng.standard_normal(len(w)) * np.sqrt(
+                sp / 10 ** (snr / 10))
+            ours = any(
+                r.message.payload[:9] == bytes(pl.tolist())[:9]
+                for r in our_decode(sig.astype(np.float32), fs,
+                                    min_score=1.0))
+            ref = any(
+                bytes(m.payload[:9]) == bytes(pl.tolist())[:9]
+                for m, *_ in ref_decode(sig, fs, min_score=1))
+            assert ours >= ref
+    finally:
+        os.chdir(cwd)
