@@ -37,10 +37,6 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
-
-if not os.environ.get("FT8_DEMO_TPU"):
-    jax.config.update("jax_platforms", "cpu")
-
 import jax.numpy as jnp  # noqa: E402
 
 from ft8_demodulator_tpu.beacon import (correct_frequency_drift,  # noqa: E402
@@ -72,7 +68,34 @@ DECIM = 5                     # -> 2 kHz decode rate
 CYCLE_S = 15.0
 
 
+def predict_pass_doppler(cycles: int, fs: float):
+    """Predict the best pass of the demo scenario and return its Doppler.
+
+    Returns (doppler_hz (cycles*15s*fs,), pass_info string).  Shared with
+    benchmarks/satellite_e2e.py so the measured floor and the narrative
+    demo exercise the identical channel.
+    """
+    import datetime
+
+    channel = Channel(STATION, TLE)
+    epoch = datetime.datetime(2024, 5, 31, 0, 0, 0)
+    passes = channel.satellite_overhead_time_prediction(
+        epoch, epoch + datetime.timedelta(days=1), 30.0)
+    t_enter, duration, max_elev = passes[0]
+    t0 = t_enter + duration / 2 - datetime.timedelta(
+        seconds=cycles * CYCLE_S / 2)       # centre of the best pass
+    n = cycles * int(CYCLE_S * fs)
+    jd0 = float(geo.datetime_to_jd(t0))
+    jd = jd0 + np.arange(n) / fs / 86400.0
+    doppler = channel.normalized_doppler_by_ecef_jd(jd) * FC_HZ
+    info = (f"{t_enter} UTC for {duration} (max elevation "
+            f"{max_elev:.0f} deg); capture at {t0}")
+    return doppler, info
+
+
 def main() -> int:
+    if not os.environ.get("FT8_DEMO_TPU"):
+        jax.config.update("jax_platforms", "cpu")
     argp = argparse.ArgumentParser()
     argp.add_argument("--esn0", type=float, default=-14.0,
                       help="signal-to-noise (dB, signal power over total "
@@ -92,22 +115,11 @@ def main() -> int:
     bb = np.asarray(ft8_baseband(payload, FS_RF, f0)).astype(np.complex128)
 
     # ---- channel: predict a real pass from the TLE ------------------------
-    channel = Channel(STATION, TLE)
-    import datetime
-    epoch = datetime.datetime(2024, 5, 31, 0, 0, 0)
-    passes = channel.satellite_overhead_time_prediction(
-        epoch, epoch + datetime.timedelta(days=1), 30.0)
-    t_enter, duration, max_elev = passes[0]
-    t0 = t_enter + duration / 2 - datetime.timedelta(
-        seconds=args.cycles * CYCLE_S / 2)       # centre of the best pass
-    print(f"pass predicted : {t_enter} UTC for {duration} "
-          f"(max elevation {max_elev:.0f} deg); capture at {t0}")
+    doppler, pass_info = predict_pass_doppler(args.cycles, FS_RF)
+    print(f"pass predicted : {pass_info}")
 
     n_cycle = int(CYCLE_S * FS_RF)
     n = args.cycles * n_cycle
-    jd0 = float(geo.datetime_to_jd(t0))
-    jd = jd0 + np.arange(n) / FS_RF / 86400.0
-    doppler = channel.normalized_doppler_by_ecef_jd(jd) * FC_HZ
     print(f"doppler        : {doppler[0]:+.0f} -> {doppler[-1]:+.0f} Hz "
           f"over {args.cycles} cycles "
           f"({(doppler[-1] - doppler[0]) / (n / FS_RF):+.1f} Hz/s mean)")
@@ -174,6 +186,20 @@ def main() -> int:
     print(f"coherent track : stat={fix.stat:.1f} "
           f"{'LOCKED' if fix.detected else 'no lock'} at "
           f"f={fix.freq_hz:.2f} Hz (holds to ~-29 dB single-cycle)")
+
+    # ---- measured system floor (benchmarks/satellite_e2e.py) --------------
+    floor_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchmarks", "results",
+        "satellite_e2e.json")
+    if os.path.exists(floor_path):
+        import json
+        with open(floor_path) as fh:
+            e2e = json.load(fh)
+        arms = {a["arm"]: a.get("min_esn0_50pct") for a in e2e["arms"]}
+        print("measured floor : "
+              + ", ".join(f"{k}={v:+.1f} dB" for k, v in arms.items()
+                          if v is not None)
+              + "  (this exact channel; benchmarks/satellite_e2e.py)")
 
     ok = any(bytes(r.message.payload) == payload.tobytes() for r in rows)
     print(f"[{time.perf_counter() - t_start:.1f}s] "

@@ -159,12 +159,22 @@ def _polyfit(x: np.ndarray, y: np.ndarray, degree: int) -> np.ndarray:
 def correct_frequency_drift(wave_complex, fs: float,
                             sym_bin: float = C.TONE_SPACING_HZ,
                             sym_t: float = C.SYMBOL_PERIOD_S,
-                            params: dict | None = None):
+                            params: dict | None = None,
+                            return_model: bool = False):
     """Estimate and remove frequency drift from a complex capture.
 
     Returns (corrected_wave, drift_rate_per_sample) like the reference
     (frequency_correction.py:118-659).  Input may be numpy complex or
     stacked (n, 2) [re, im]; output matches the input convention.
+
+    return_model=True appends the fitted frequency model as a third
+    element: a dict with ``f_center_hz`` (mean frequency of the detected
+    track after the linear stage — a beacon repeat's carrier estimate,
+    used to align repeats before cross-transmission stacking),
+    ``sync_time_s`` (stage-3 fine time sync, None before that stage),
+    ``rate_hz_per_s``/``acc_hz_per_s2`` (stage-4 polynomial), and
+    ``segment_s`` (detected signal span).  All fields are None on the
+    failure paths that fall back to earlier stages.
     """
     merged = dict(DEFAULT_PARAMS)
     if params:
@@ -178,10 +188,14 @@ def correct_frequency_drift(wave_complex, fs: float,
     else:
         ri = wave_in.astype(np.float32)
 
+    model: dict = {"f_center_hz": None, "sync_time_s": None,
+                   "rate_hz_per_s": None, "acc_hz_per_s2": None,
+                   "segment_s": None}
+
     def out(r, rate):
         if complex_in:
-            return r[..., 0] + 1j * r[..., 1], rate
-        return r, rate
+            r = r[..., 0] + 1j * r[..., 1]
+        return (r, rate, model) if return_model else (r, rate)
 
     bins_per_tone = p["bins_per_tone"]
     steps_per_symbol = p["steps_per_symbol"]
@@ -202,6 +216,7 @@ def correct_frequency_drift(wave_complex, fs: float,
 
     freq_step = sym_bin / wfp.freq_osr
     time_step = sym_t / wfp.time_osr
+    model["segment_s"] = (start_idx * time_step, end_idx * time_step)
     max_freqs = track.astype(np.float64) * freq_step
     time_axis = np.arange(len(max_freqs)) * time_step
 
@@ -249,11 +264,14 @@ def correct_frequency_drift(wave_complex, fs: float,
     seg_end = end_idx + window_size - 2
     masked = np.zeros_like(max_freqs2)
     masked[start_idx:seg_end] = max_freqs2[start_idx:seg_end]
+    model["f_center_hz"] = float(masked[start_idx:seg_end].mean())
     masked[start_idx:seg_end] -= masked[start_idx:seg_end].mean()
 
     corr = np.correlate(masked, template, mode="full")
     peak = int(np.argmax(corr))
     sync_block = peak - (len(template) - 1) + samples_per_sym // 2
+    model["sync_time_s"] = sync_block * time_step
+    model["rate_hz_per_s"] = f_shift_rate   # refined below if stage 4 runs
 
     # ---- stage 4: high-order fit over the three sync windows only
     reg_x, reg_y = [], []
@@ -282,6 +300,8 @@ def correct_frequency_drift(wave_complex, fs: float,
     cf = _polyfit(reg_x, reg_y, degree)
     rate_final = float(cf[1]) if len(cf) > 1 else 0.0
     acc_final = float(cf[2]) if len(cf) > 2 else 0.0
+    model["rate_hz_per_s"] = rate_final + f_shift_rate
+    model["acc_hz_per_s2"] = acc_final
 
     ri_final = np.asarray(apply_polynomial_drift(
         jnp.asarray(ri_linear), rate_final, acc_final, float(fs)))
