@@ -104,7 +104,7 @@ def run(trials: int, cycles: int, esn0s, seed: int = 0):
     arms = {"model_full": [], "drift_corr": [], "linear_only": []}
     align_fail = 0
     t_start = time.perf_counter()
-    for esn0 in esn0s:
+    for ei, esn0 in enumerate(esn0s):
         ok = {a: 0 for a in arms}
         for t in range(trials):
             payload = payloads[t]
@@ -115,7 +115,8 @@ def run(trials: int, cycles: int, esn0s, seed: int = 0):
             ri = jnp.asarray(
                 np.stack([tx.real, tx.imag], -1).astype(np.float32))
             shifted = apply_doppler(ri, dop_d, fs_rf)
-            key = jax.random.PRNGKey(seed * 100003 + t * 1009 + len(ok))
+            # independent noise per sweep point (ei term), per trial
+            key = jax.random.PRNGKey(seed * 100003 + t * 1009 + ei * 31)
             noisy = add_complex_awgn(shifted, key, float(esn0))
 
             # arm 1: full model compensation (upper bound)
@@ -134,8 +135,14 @@ def run(trials: int, cycles: int, esn0s, seed: int = 0):
             corrected, centers = [], []
             for c in range(cycles):
                 z = to_z(cyc[c])
+                # continuity threshold set for the 2-kHz band: the default
+                # max_variance_factor (fraction of freq_bins^2, the
+                # reference's convention at fs=32768) is stricter than FT8
+                # tone hopping at 320 freq bins (tests/test_drift.py::
+                # test_per_repeat_frequency_alignment_via_f_center)
                 zc, _rate, model = correct_frequency_drift(
-                    z, fs, return_model=True)
+                    z, fs, return_model=True,
+                    params={"max_variance_factor": 1e-3})
                 corrected.append(zc)
                 centers.append(model["f_center_hz"])
             # align every cycle's fitted carrier to the first resolved one
@@ -159,8 +166,16 @@ def run(trials: int, cycles: int, esn0s, seed: int = 0):
     wall = time.perf_counter() - t_start
 
     def floor(rates):
-        passing = [s for s, r in zip(esn0s, rates) if r >= 0.5]
-        return float(min(passing)) if passing else None
+        # scan from the high-SNR end down: the floor is the lowest Es/N0 of
+        # the CONTIGUOUS passing region, so one lucky outlier deep below the
+        # cliff cannot set the claimed sensitivity
+        lo = None
+        for s, r in sorted(zip(esn0s, rates), key=lambda p: -p[0]):
+            if r >= 0.5:
+                lo = float(s)
+            else:
+                break
+        return lo
 
     return {
         "benchmark": "satellite_beacon_e2e",
@@ -171,10 +186,15 @@ def run(trials: int, cycles: int, esn0s, seed: int = 0):
                      "doppler_span_hz": [float(doppler[0]),
                                          float(doppler[-1])],
                      "mean_drift_hz_per_s": float(mean_rate)},
-        "esn0_note": ("Es/N0 = signal power over TOTAL complex noise power "
-                      "at the 10 kHz capture rate; stride decimation folds "
+        "esn0_note": ("Es/N0 knob = signal power over the PER-QUADRATURE "
+                      "noise variance at the 10 kHz capture rate "
+                      "(add_complex_awgn draws noise with sigma^2 = "
+                      "P_sig/10^(snr/10) on each of real/imag, the "
+                      "reference's convention, test_signal_after_channel.py"
+                      ":42-43); signal over TOTAL complex noise power is "
+                      "3.01 dB below this number.  Stride decimation folds "
                       "all capture-band noise into the 2 kHz decode band, "
-                      "so the decode-band SNR equals this number"),
+                      "so decode-band figures inherit the same convention"),
         "trials_per_point": trials,
         "decoder": {"stack": "decode_ft8_stacked", "coherent": True,
                     "use_osd": True, "ap": False},

@@ -12,6 +12,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["apply_doppler", "compensate_linear_doppler", "add_complex_awgn",
            "decimate"]
@@ -25,28 +26,46 @@ def _to_ri(z: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([jnp.real(z), jnp.imag(z)], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("fs",))
-def apply_doppler(wave_ri: jnp.ndarray, doppler_hz: jnp.ndarray,
-                  fs: float) -> jnp.ndarray:
-    """y[i] = x[i] * exp(-j 2 pi f_d[i] * t_i), the reference's channel
-    convention (instantaneous shift times absolute time,
-    test_signal_after_channel.py:55-58)."""
-    n = wave_ri.shape[-2]
-    t = jnp.arange(n, dtype=jnp.float32) / fs
-    z = _to_complex(wave_ri) * jnp.exp(-2j * jnp.pi * doppler_hz * t)
+@jax.jit
+def _rotate_cycles(wave_ri: jnp.ndarray, cyc: jnp.ndarray) -> jnp.ndarray:
+    """x * exp(-j 2 pi cyc) with cyc already reduced mod 1."""
+    z = _to_complex(wave_ri) * jnp.exp(-2j * jnp.pi * cyc)
     return _to_ri(z)
 
 
-@functools.partial(jax.jit, static_argnames=("fs",))
+def _phase_to_cycles(phase_f64: np.ndarray) -> jnp.ndarray:
+    """Host-side float64 cycle count reduced mod 1 for the float32 rotate.
+
+    The cumulative phase f_d * t reaches ~1e6 cycles over a two-minute
+    capture, where float32 quantisation (ulp ~0.125 cycle) adds staircase
+    phase noise; the same precaution as beacon.drift.apply_polynomial_drift.
+    """
+    return jnp.asarray((phase_f64 - np.floor(phase_f64)).astype(np.float32))
+
+
+def apply_doppler(wave_ri: jnp.ndarray, doppler_hz, fs: float) -> jnp.ndarray:
+    """y[i] = x[i] * exp(-j 2 pi f_d[i] * t_i), the reference's channel
+    convention (instantaneous shift times absolute time,
+    test_signal_after_channel.py:55-58).  The phase is computed in float64
+    on the host (see _phase_to_cycles); only the rotate runs on device."""
+    n = np.shape(wave_ri)[-2]
+    t = np.arange(n, dtype=np.float64) / float(fs)
+    phase = np.asarray(doppler_hz, dtype=np.float64) * t
+    return _rotate_cycles(jnp.asarray(wave_ri), _phase_to_cycles(phase))
+
+
 def compensate_linear_doppler(wave_ri: jnp.ndarray, slope_hz_per_sample: float,
                               intercept_hz: float, fs: float) -> jnp.ndarray:
     """Undo a linear Doppler model: y = x * exp(+j 2 pi (a*t*fs + b) * t)
-    (test_signal_processing.py:45-46)."""
-    n = wave_ri.shape[-2]
-    t = jnp.arange(n, dtype=jnp.float32) / fs
-    phase = (slope_hz_per_sample * t * fs + intercept_hz) * t
-    z = _to_complex(wave_ri) * jnp.exp(2j * jnp.pi * phase)
-    return _to_ri(z)
+    (test_signal_processing.py:45-46).  Float64 host-side phase as in
+    apply_doppler — float32 accumulation over a long capture would bias
+    receiver arms that rely on this compensation by ~0.1-cycle staircase
+    noise."""
+    n = np.shape(wave_ri)[-2]
+    t = np.arange(n, dtype=np.float64) / float(fs)
+    phase = -(float(slope_hz_per_sample) * t * float(fs)
+              + float(intercept_hz)) * t
+    return _rotate_cycles(jnp.asarray(wave_ri), _phase_to_cycles(phase))
 
 
 @functools.partial(jax.jit, static_argnames=("snr_db",))

@@ -238,6 +238,36 @@ def test_head_to_head_grid_certificate():
     assert all(p["ours"] >= p["ref"] for p in d["points"])
 
 
+_OFFAIR_WAV = (_REF + "/ft8_tools/ft8_beacon_receiver/data/raw/"
+               "ft8_fs20k_f0_550_id_1.wav")
+
+
+def test_offair_wav_bit_exact_parity():
+    """The flagship parity claim (README), pinned as a standing test
+    (VERDICT r3 weak #6): the one surviving off-air capture in the
+    reference tree decodes bit-exactly to the payload/CRC/frequency/score
+    the reference decoder reports for it."""
+    import os
+
+    if not os.path.isfile(_OFFAIR_WAV):
+        pytest.skip("reference off-air WAV not mounted")
+
+    from ft8_demodulator_tpu.demod import decode_ft8_message
+    from ft8_demodulator_tpu.io import read_wave_file
+
+    wave, fs = read_wave_file(_OFFAIR_WAV)
+    assert fs == 20000
+    rows = decode_ft8_message(wave, float(fs), min_score=10.0)
+    assert len(rows) == 1
+    r = rows[0]
+    assert bytes(r.message.payload).hex() == "aa0203040506070809f8"
+    assert r.message.hash == 11187          # CRC-14 of the decoded frame
+    assert r.freq_hz == pytest.approx(550.0, abs=0.5)
+    assert r.score == pytest.approx(29.0, abs=0.5)
+    assert r.time_sec == pytest.approx(0.16, abs=0.08)
+    assert r.snr_db is not None and 20.0 <= r.snr_db <= 30.0
+
+
 @pytest.mark.slow
 def test_head_to_head_grid_point_live(rng):
     """Re-derive one mid-grid certificate point against the LIVE
