@@ -25,9 +25,10 @@ from ..ops.ldpc_decode import bp_decode_batch
 from ..ops.llr import (extract_llrs, extract_llrs_coherent,
                        extract_llrs_matched,
                        extract_llrs_matched_blocks,
-                       extract_llrs_matched_refined)
+                       extract_llrs_matched_refined, extract_llrs_tf)
 from ..ops.osd import osd_decode_batch
-from ..ops.sync import SearchGrid, find_candidates, search_grid, sync_scores
+from ..ops.sync import (SearchGrid, find_candidates, find_candidates_tf,
+                        search_grid, sync_scores, sync_scores_tf)
 from ..ops.waterfall import WaterfallParams, waterfall_params, waterfall_real, \
     waterfall_complex
 from ..protocol import constants as C
@@ -45,11 +46,16 @@ _BYTE_WEIGHTS = jnp.asarray(2 ** np.arange(7, -1, -1), dtype=jnp.int32)
 
 
 def _crc_of_plain(plain: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """(K, 174) hard bits -> (computed CRC-14, embedded CRC-14) per row."""
+    """(K, 174) hard bits -> (computed CRC-14, embedded CRC-14) per row.
+
+    DEFAULT matmul precision is exact for this GF(2) product: 0/1 operands
+    are bit-exact in bfloat16 and the MXU accumulates in float32 (integer
+    dot products <= 77 carry no rounding) — same argument as ldpc_check.
+    """
     bits77 = plain[:, : C.PAYLOAD_BITS].astype(jnp.float32)
     crc_bits = jnp.mod(
         jnp.matmul(bits77, _CRC_MATRIX_77_T,
-                   precision=jax.lax.Precision.HIGHEST), 2.0
+                   precision=jax.lax.Precision.DEFAULT), 2.0
     ).astype(jnp.int32)
     crc_calc = jnp.sum(crc_bits * _CRC_WEIGHTS, axis=-1)
     crc_extracted = jnp.sum(
@@ -279,22 +285,34 @@ def decode_slot(wave: jnp.ndarray, p: WaterfallParams, num_frames: int,
     the boxcar's off-grid quantisation loss (up to ~3 dB at grid-cell
     corners) on real-world signals.
     """
-    from ..ops.waterfall import (_block_spectrum, _block_waterfall,
+    from ..ops.waterfall import (_block_spectrum, _block_waterfall_tf,
                                  _pick_backend)
 
     g = search_grid(p.num_freq_bins, num_frames, p.time_osr, p.freq_osr)
     res = None
-    if mf_first and not mf_refine and not is_complex \
-            and _pick_backend(p, None) == "block":
+    if not is_complex and _pick_backend(p, None) == "block" \
+            and not (mf_first and mf_refine):
+        # time-major fast path: the waterfall's native (T, F) layout is
+        # kept through sync -> top-k -> LLRs (frequency = lane axis; the
+        # (F, T) stencil measured ~3.4x slower on v5e) — every stage
+        # bit-identical to the (F, T) pipeline, tests/test_tf_layout.py
         spec = _block_spectrum(wave, p, num_frames)
-        mag = _block_waterfall(spec, p, num_frames)
-        scores = sync_scores(mag, g)
-        abs_time, abs_freq, score, cand_valid = find_candidates(
+        mag_tf = _block_waterfall_tf(spec, p, num_frames)
+        scores = sync_scores_tf(mag_tf, g)
+        abs_time, abs_freq, score, cand_valid = find_candidates_tf(
             scores, g, max_candidates, min_score)
-        llrs = extract_llrs_matched_blocks(
-            spec[0], spec[1], abs_time, abs_freq, g.time_osr, g.freq_osr)
+        if mf_first:
+            llrs = extract_llrs_matched_blocks(
+                spec[0], spec[1], abs_time, abs_freq, g.time_osr,
+                g.freq_osr)
+        else:
+            llrs = extract_llrs_tf(mag_tf, abs_time, abs_freq, g.time_osr,
+                                   g.freq_osr, g.num_blocks)
         res = finish_decode(llrs, abs_time, abs_freq, score, cand_valid,
                             max_iterations, use_osd)
+        if not mf_first and use_mf:
+            res = mf_retry(wave, p, res, 0, 0, max_iterations,
+                           use_osd, is_complex, mf_refine)
     else:
         if is_complex:
             mag = waterfall_complex(wave, p, num_frames)

@@ -136,10 +136,17 @@ def fast_atanh(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def ldpc_check(plain: jnp.ndarray) -> jnp.ndarray:
-    """(..., 174) hard bits -> number of failed parity checks."""
+    """(..., 174) hard bits -> number of failed parity checks.
+
+    DEFAULT precision is EXACT here, not an approximation: both operands
+    are 0/1 (bit-exact in bfloat16) and the MXU accumulates partial sums
+    in float32, so the dot products (integers <= check degree 7) carry no
+    rounding at any precision.  One MXU pass instead of HIGHEST's six —
+    this matmul runs inside every BP iteration.
+    """
     syndrome = jnp.mod(
         jnp.matmul(plain.astype(jnp.float32), _PARITY_T,
-                   precision=jax.lax.Precision.HIGHEST), 2.0)
+                   precision=jax.lax.Precision.DEFAULT), 2.0)
     return jnp.sum(syndrome, axis=-1).astype(jnp.int32)
 
 

@@ -18,7 +18,7 @@ import numpy as np
 
 from ..protocol import constants as C
 
-__all__ = ["extract_llrs", "extract_llrs_matched",
+__all__ = ["extract_llrs", "extract_llrs_tf", "extract_llrs_matched",
            "extract_llrs_matched_blocks", "extract_llrs_matched_refined",
            "extract_llrs_matched_blocks_stacked",
            "extract_llrs_matched_stacked", "extract_llrs_coherent",
@@ -86,6 +86,51 @@ def extract_llrs(mag: jnp.ndarray, abs_time: jnp.ndarray,
         rows, t_hot, (((2,), (2,)), ((0,), (0,))),
         precision=jax.lax.Precision.HIGH)                 # (K, 8, 58)
     powers = jnp.swapaxes(powers, -1, -2)                 # (K, 58, 8)
+
+    base = jnp.floor_divide(abs_time, tau)                # (K,)
+    block_idx = base[:, None] + sym[None, :]
+    valid = (block_idx >= 0) & (block_idx < num_blocks)
+
+    s2 = jnp.take(powers, _GRAY, axis=-1)                 # Gray reorder
+    llr = _llr_from_powers(s2)                            # (K, 58, 3)
+    llr = jnp.where(valid[:, :, None], llr, 0.0)
+    return normalize_llrs(llr.reshape(llr.shape[0], C.LDPC_N))
+
+
+@functools.partial(jax.jit, static_argnames=("time_osr", "freq_osr",
+                                             "num_blocks"))
+def extract_llrs_tf(mag_tf: jnp.ndarray, abs_time: jnp.ndarray,
+                    abs_freq: jnp.ndarray, time_osr: int, freq_osr: int,
+                    num_blocks: int) -> jnp.ndarray:
+    """extract_llrs on a TIME-MAJOR (T, F) waterfall; values identical.
+
+    Both selection matmuls contract one-hot 0/1 routing against the same
+    dB cells as the (F, T) path at the same precision, so the gathered
+    powers (and therefore the LLRs) are bit-identical — only the operand
+    orientation changes, keeping the time-major fast path (waterfall ->
+    sync -> candidates -> LLRs) free of any grid transpose.
+    """
+    tau, phi = time_osr, freq_osr
+    num_frames, num_freqs = mag_tf.shape
+    k = abs_freq.shape[0]
+    sym = jnp.asarray(C.DATA_SYMBOL_POSITIONS)            # (58,)
+
+    # frequency select: (T, F) @ (F, K*8) one-hot — same contraction as
+    # the (F, T) path's f_hot @ mag, transposed
+    f_idx = (abs_freq[:, None] + jnp.arange(8) * phi).reshape(k * 8)
+    f_hot = (jnp.arange(num_freqs)[:, None] == f_idx[None, :]) \
+        .astype(jnp.float32)
+    sel = jnp.matmul(mag_tf, f_hot,
+                     precision=jax.lax.Precision.HIGH)    # (T, K*8)
+    rows = jnp.transpose(sel.reshape(num_frames, k, 8), (1, 0, 2))
+
+    # time select: K-batched one-hot contraction over frames -> (K, 58, 8)
+    t_idx = abs_time[:, None] + sym[None, :] * tau        # (K, 58)
+    t_hot = (t_idx[:, :, None]
+             == jnp.arange(num_frames)[None, None, :]).astype(jnp.float32)
+    powers = jax.lax.dot_general(
+        t_hot, rows, (((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGH)                 # (K, 58, 8)
 
     base = jnp.floor_divide(abs_time, tau)                # (K,)
     block_idx = base[:, None] + sym[None, :]

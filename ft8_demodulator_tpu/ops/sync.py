@@ -23,8 +23,8 @@ import numpy as np
 
 from ..protocol import constants as C
 
-__all__ = ["SearchGrid", "search_grid", "sync_scores", "sync_scores_z",
-           "find_candidates"]
+__all__ = ["SearchGrid", "search_grid", "sync_scores", "sync_scores_tf",
+           "sync_scores_z", "find_candidates", "find_candidates_tf"]
 
 # The reference scans start times from 10 symbols before the slot up to
 # num_blocks - 59 symbols (ft8_decode.py:108).
@@ -177,6 +177,85 @@ def _sync_scores_impl(mag: jnp.ndarray, g: SearchGrid) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("g",))
+def sync_scores_tf(mag_tf: jnp.ndarray, g: SearchGrid) -> jnp.ndarray:
+    """TIME-MAJOR waterfall (T, F) -> sync score grid (num_times, num_freqs).
+
+    Bit-identical to ``sync_scores(mag_tf.T, g).T`` — the same 84 masked
+    terms added in the same order per element — but laid out with FREQUENCY
+    as the minor (lane) axis.  At the 12 kHz geometry that axis is 1906
+    wide (15 full 128-lane vector tiles, stencil offsets are small even
+    lane shifts) where the (F, T) orientation's minor axis is only 88-206
+    wide (one ragged tile, stencil offsets straddle the 8-row sublane
+    tiling) — measured ~3.4x faster on v5e (see DESIGN_NOTES round 4).
+
+    The pre-roll/main split follows sync_scores: left-padding only a small
+    leading time slice keeps the main body reading the unpadded grid.
+    """
+    main_cols = g.num_times + g.t_start
+    main_right_pad = main_cols + (C.NUM_SYMBOLS - 1) * g.time_osr \
+        - mag_tf.shape[-2]
+    if g.t_start < 0 and main_cols > 0 and main_right_pad <= 0:
+        w_pre = min(mag_tf.shape[-2], (C.NUM_SYMBOLS - 1) * g.time_osr)
+        pre_g = SearchGrid(g.time_osr, g.freq_osr, g.num_blocks,
+                           g.t_start, -g.t_start, g.num_freqs)
+        main_g = SearchGrid(g.time_osr, g.freq_osr, g.num_blocks,
+                            0, main_cols, g.num_freqs)
+        pre = _sync_scores_tf_impl(mag_tf[..., :w_pre, :], pre_g)
+        main = _sync_scores_tf_impl(mag_tf, main_g)
+        return jnp.concatenate([pre, main], axis=-2)
+    return _sync_scores_tf_impl(mag_tf, g)
+
+
+def _sync_scores_tf_impl(mag_tf: jnp.ndarray, g: SearchGrid) -> jnp.ndarray:
+    tau, phi = g.time_osr, g.freq_osr
+    num_frames = mag_tf.shape[-2]
+    left = max(0, -g.t_start)
+    right = max(0, g.t_start + g.num_times
+                + (C.NUM_SYMBOLS - 1) * tau - num_frames)
+    padded = jnp.pad(mag_tf, ((left, right), (0, 0))).astype(_SYNC_DTYPE)
+
+    def cell_power(b: int, tone: int) -> jnp.ndarray:
+        start = left + g.t_start + b * tau
+        return jax.lax.dynamic_slice(
+            padded, (start, tone * phi), (g.num_times, g.num_freqs)
+        ).astype(jnp.float32)
+
+    cell_m, prev_m, next_m = _cell_masks(g)
+    total = jnp.zeros((g.num_times, g.num_freqs), jnp.float32)
+    count = jnp.zeros((g.num_times, 1), jnp.float32)
+
+    for m in range(C.NUM_COSTAS_SEQS):
+        for k in range(C.COSTAS_LEN):
+            i = m * C.COSTAS_LEN + k
+            b = m * C.SYNC_SEQ_STRIDE + k
+            tone = int(C.COSTAS_PATTERN[k])
+            cm = jnp.asarray(cell_m[i], jnp.float32)[:, None]
+            cur = cell_power(b, tone)
+
+            freq_contrib = jnp.zeros_like(cur)
+            n_freq = 0
+            if tone > 0:
+                freq_contrib += cur - cell_power(b, tone - 1)
+                n_freq += 1
+            if tone < 7:
+                freq_contrib += cur - cell_power(b, tone + 1)
+                n_freq += 1
+            total += cm * freq_contrib
+            count += cm * float(n_freq)
+
+            if k > 0:
+                pm = jnp.asarray(prev_m[i], jnp.float32)[:, None]
+                total += pm * (cur - cell_power(b - 1, tone))
+                count += pm
+            if k < C.COSTAS_LEN - 1:
+                nm = jnp.asarray(next_m[i], jnp.float32)[:, None]
+                total += nm * (cur - cell_power(b + 1, tone))
+                count += nm
+
+    return jnp.where(count > 0, total / jnp.maximum(count, 1.0), -jnp.inf)
+
+
+@functools.partial(jax.jit, static_argnames=("g",))
 def sync_scores_z(linpow: jnp.ndarray, g: SearchGrid) -> jnp.ndarray:
     """LINEAR power grid (F, T) -> normalised Costas detection z (nF, nT).
 
@@ -283,6 +362,37 @@ def find_candidates(scores: jnp.ndarray, g: SearchGrid, max_candidates: int,
         row_max = jnp.max(masked, axis=-1)             # (F,)
         _, rows = jax.lax.top_k(row_max, rows_needed)  # candidate rows
         sub = masked[rows]                             # (rows_needed, T)
+        vals, i2 = jax.lax.top_k(sub.reshape(-1), max_candidates)
+        idx = rows[i2 // num_times] * num_times + i2 % num_times
+    abs_freq = idx // g.num_times
+    abs_time = g.t_start + idx % g.num_times
+    valid = jnp.isfinite(vals)
+    return abs_time, abs_freq, vals, valid
+
+
+@functools.partial(jax.jit, static_argnames=("g", "max_candidates"))
+def find_candidates_tf(scores_tf: jnp.ndarray, g: SearchGrid,
+                       max_candidates: int, min_score: float):
+    """find_candidates on a TIME-MAJOR (num_times, num_freqs) score grid.
+
+    Returns exactly what ``find_candidates(scores_tf.T, ...)`` returns —
+    including tie order: the row screen reduces over the time (sublane)
+    axis to the same per-frequency maxima, and the flat top-k runs over
+    the small screened submatrix TRANSPOSED back to (rows, T) so flat
+    indices (and therefore jax.lax.top_k's lowest-index tie-breaking)
+    coincide with the (F, T) path.
+    """
+    masked = jnp.where(scores_tf >= min_score, scores_tf, -jnp.inf)
+    num_times, num_freqs = masked.shape
+    rows_needed = max_candidates + 12                  # tie slack
+    if num_freqs <= rows_needed or num_freqs * num_times == 0 \
+            or num_times == 0:
+        vals, idx = jax.lax.top_k(
+            jnp.swapaxes(masked, -1, -2).reshape(-1), max_candidates)
+    else:
+        row_max = jnp.max(masked, axis=-2)             # (F,)
+        _, rows = jax.lax.top_k(row_max, rows_needed)  # candidate freqs
+        sub = jnp.swapaxes(masked[:, rows], -1, -2)    # (rows_needed, T)
         vals, i2 = jax.lax.top_k(sub.reshape(-1), max_candidates)
         idx = rows[i2 // num_times] * num_times + i2 % num_times
     abs_freq = idx // g.num_times

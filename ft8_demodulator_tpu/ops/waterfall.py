@@ -308,11 +308,24 @@ def _pick_backend(p: WaterfallParams, backend: str | None) -> str:
 
 def _block_waterfall(frames_re_im, p: WaterfallParams,
                      num_frames: int) -> jnp.ndarray:
+    # waterfall layout is (freq, time) to match the reference indexing
+    return jnp.swapaxes(_block_waterfall_tf(frames_re_im, p, num_frames),
+                        -1, -2)
+
+
+def _block_waterfall_tf(frames_re_im, p: WaterfallParams,
+                        num_frames: int) -> jnp.ndarray:
+    """Block spectra -> dB waterfall in NATIVE (time, freq) layout.
+
+    (T, K) is the layout the epilogue produces anyway; keeping it makes
+    frequency the minor (lane) axis — 15 full 128-lane tiles at the 12 kHz
+    geometry vs a single ragged 88-wide tile for the (F, T) orientation —
+    which is what the time-major sync stencil (ops/sync.py sync_scores_tf)
+    wants.  Values are bit-identical to _block_waterfall transposed.
+    """
     power = _block_power(frames_re_im, p, num_frames)   # (..., T, K)
     scale = 1.0 / float(np.sum(_hann_periodic(p.nperseg)) ** 2)
-    mag_db = 10.0 * jnp.log10(_DB_FLOOR + power * scale)
-    # waterfall layout is (freq, time) to match the reference indexing
-    return jnp.swapaxes(mag_db, -1, -2)
+    return 10.0 * jnp.log10(_DB_FLOOR + power * scale)
 
 
 @functools.partial(jax.jit, static_argnames=("p", "num_frames", "backend",
