@@ -155,7 +155,7 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from ft8_demodulator_tpu.demod.decode import decode_slot
+    from ft8_demodulator_tpu.demod.decode import decode_slots
     from ft8_demodulator_tpu.ops.waterfall import waterfall_params
 
     rng = np.random.default_rng(42)
@@ -167,17 +167,16 @@ def main() -> None:
 
     @jax.jit
     def decode_batch(waves):
-        # chunked execution inside one jit: XLA's fusions for this decode
-        # are markedly better at small vmap widths (measured per-slot device
-        # time: chunk 16 -> 113 us, 64 -> 136 us, flat 256 -> 165 us), and
-        # lax.map keeps it a single compiled program / single dispatch.
-        one = lambda w: decode_slot(
-            w, p, num_frames, max_candidates=MAX_CANDIDATES,
-            min_score=10.0, max_iterations=20)
-        chunks = waves.reshape(-1, CHUNK, waves.shape[-1])
-        res = jax.lax.map(jax.vmap(one), chunks)
-        return jax.tree_util.tree_map(
-            lambda x: x.reshape(-1, *x.shape[2:]), res)
+        # decode_slots: the front half (STFT -> sync -> top-K -> LLR) runs
+        # in vmap-CHUNK pieces (XLA's fusions for this pipeline are
+        # markedly better at small widths: chunk 16 -> 113 us/slot,
+        # 64 -> 136, flat 256 -> 165), while LDPC BP + CRC run once over
+        # all BATCH*K candidate rows, where the routing matmuls sit much
+        # closer to their MXU roofline (measured 81.7 -> 73.0 us/slot at
+        # batch 256 on v5e).  One jit, one dispatch.
+        return decode_slots(waves, p, num_frames,
+                            max_candidates=MAX_CANDIDATES, min_score=10.0,
+                            max_iterations=20, chunk=CHUNK)
 
     def sink(res):
         """Force full device completion: reduce to a scalar and fetch it.

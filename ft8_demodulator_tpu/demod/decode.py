@@ -36,8 +36,8 @@ from ..protocol.encode import encode_tones
 from .types import FT8Decode, FT8DecodeStatus, FT8Message, SlotDecodeResult
 
 __all__ = ["decode_waterfall", "decode_waterfall_mf", "decode_slot",
-           "decode_ft8_message", "finish_decode", "mf_retry",
-           "ap_retry", "coherent_retry", "estimate_snr"]
+           "decode_slots", "decode_ft8_message", "finish_decode",
+           "mf_retry", "ap_retry", "coherent_retry", "estimate_snr"]
 
 _CRC_MATRIX_77_T = jnp.asarray(C.CRC_MATRIX_77.T, dtype=jnp.float32)
 _CRC_WEIGHTS = jnp.asarray(2 ** np.arange(C.CRC_BITS - 1, -1, -1),
@@ -333,6 +333,84 @@ def decode_slot(wave: jnp.ndarray, p: WaterfallParams, num_frames: int,
         res = coherent_retry(wave, p, res, 0, 0, max_iterations, use_osd,
                              is_complex)
     return res
+
+
+def _front_slot_tf(wave: jnp.ndarray, p: WaterfallParams, num_frames: int,
+                   g: SearchGrid, max_candidates: int, min_score: float):
+    """One slot's decode front half on the time-major fast path:
+    spectra -> dB grid -> sync -> top-K -> LLRs (no BP)."""
+    from ..ops.waterfall import _block_spectrum, _block_waterfall_tf
+
+    spec = _block_spectrum(wave, p, num_frames)
+    mag_tf = _block_waterfall_tf(spec, p, num_frames)
+    scores = sync_scores_tf(mag_tf, g)
+    abs_time, abs_freq, score, cand_valid = find_candidates_tf(
+        scores, g, max_candidates, min_score)
+    llrs = extract_llrs_tf(mag_tf, abs_time, abs_freq, g.time_osr,
+                           g.freq_osr, g.num_blocks)
+    return llrs, abs_time, abs_freq, score, cand_valid
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "p", "num_frames", "max_candidates", "max_iterations", "use_osd",
+    "chunk", "bp_chunk"))
+def decode_slots(waves: jnp.ndarray, p: WaterfallParams, num_frames: int,
+                 max_candidates: int = 20, min_score: float = 10.0,
+                 max_iterations: int = 20, use_osd: bool = False,
+                 chunk: int = 16, bp_chunk: int = 256) -> SlotDecodeResult:
+    """Batched real audio (B, n) -> SlotDecodeResult with (B, K) rows.
+
+    Decode-identical to ``vmap(decode_slot)`` over the batch, but
+    structured for single-chip throughput (the bench.py shape):
+
+    * the front half (STFT -> sync -> top-K -> LLRs) runs in vmap-CHUNK
+      pieces under one ``lax.map`` — XLA's fusions for the stencil and
+      selection stages are markedly better at small widths;
+    * LDPC BP + CRC run over groups of `bp_chunk` slots (bp_chunk * K
+      candidate rows at once).  BP's routing matmuls are far off their
+      MXU roofline at front-chunk width (320 rows: ~15 us/slot on v5e)
+      and ~2.5x faster at ~5k rows — but the while-loop's all-halted
+      early exit waits for the SLOWEST row in the group, so past ~256
+      slots the extra iterations cost more than the width gains
+      (measured 12.6k slots/s with one flat 20480-row group vs 13.9k
+      fused at batch 1024).  256 slots/group is the measured sweet
+      spot.
+
+    Falls back to chunked ``vmap(decode_slot)`` when the block fast
+    path does not apply (non-block STFT geometry).  B must be a
+    multiple of `chunk` (pick chunk=1 for odd batches); `bp_chunk`
+    is clamped to B and rounded down to a divisor of B.
+    """
+    from ..ops.waterfall import _pick_backend
+
+    b = waves.shape[0]
+    if b % chunk:
+        raise ValueError(f"batch {b} not a multiple of chunk {chunk}")
+    chunked = waves.reshape(-1, chunk, waves.shape[-1])
+    if _pick_backend(p, None) != "block":
+        res = jax.lax.map(
+            jax.vmap(lambda w: decode_slot(
+                w, p, num_frames, max_candidates, min_score,
+                max_iterations, use_osd=use_osd)), chunked)
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape(b, *x.shape[2:]), res)
+
+    g = search_grid(p.num_freq_bins, num_frames, p.time_osr, p.freq_osr)
+    llrs, abs_time, abs_freq, score, cand_valid = jax.lax.map(
+        jax.vmap(lambda w: _front_slot_tf(
+            w, p, num_frames, g, max_candidates, min_score)), chunked)
+
+    bp_chunk = min(bp_chunk, b)
+    while b % bp_chunk:
+        bp_chunk -= 1
+    rows = bp_chunk * max_candidates
+    grp = lambda a: a.reshape(b // bp_chunk, rows, *a.shape[3:])
+    res = jax.lax.map(
+        lambda t: finish_decode(*t, max_iterations, use_osd),
+        (llrs.reshape(b // bp_chunk, rows, C.LDPC_N), grp(abs_time),
+         grp(abs_freq), grp(score), grp(cand_valid)))
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape(b, max_candidates, *x.shape[2:]), res)
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -58,6 +58,85 @@ def test_pallas_sync_kernel_on_chip(tpu):
     assert np.abs(ref[finite] - got[finite]).max() < 1e-3
 
 
+def test_pallas_sync_tf_kernel_on_chip(tpu):
+    """Non-interpret Mosaic compile + parity of the TIME-MAJOR sync
+    kernel (ops/sync_pallas_tf.py — the retained r4 negative result;
+    this guards its compile path and value parity, not its speed)."""
+    import jax.numpy as jnp
+
+    from ft8_demodulator_tpu.ops.sync import (find_candidates_tf,
+                                              search_grid, sync_scores_tf)
+    from ft8_demodulator_tpu.ops.sync_pallas_tf import sync_scores_tf_pallas
+    from ft8_demodulator_tpu.ops.waterfall import (_block_spectrum,
+                                                   _block_waterfall_tf,
+                                                   waterfall_params)
+
+    fs = 12000.0
+    p = waterfall_params(fs, 2, 2)
+    n = int(fs * 15)
+    num_frames = p.num_frames(n)
+    g = search_grid(p.num_freq_bins, num_frames, p.time_osr, p.freq_osr)
+    rng = np.random.default_rng(7)
+    wave = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    mag = _block_waterfall_tf(_block_spectrum(wave, p, num_frames), p,
+                              num_frames)
+
+    ref = np.asarray(sync_scores_tf(mag, g))
+    got = np.asarray(sync_scores_tf_pallas(mag, g, interpret=False))
+    finite = np.isfinite(ref)
+    assert (finite == np.isfinite(got[:, : g.num_freqs])).all()
+    assert np.abs(np.where(finite, ref - got[:, : g.num_freqs],
+                           0.0)).max() < 1e-4
+    o_ref = find_candidates_tf(jnp.asarray(ref), g, 20, 10.0)
+    o_pal = find_candidates_tf(jnp.asarray(got), g, 20, 10.0)
+    for a, b in zip(o_ref, o_pal):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_decode_slots_split_bp_on_chip(tpu):
+    """The batched split-BP pipeline (bench.py's shape) is decode-set
+    identical to per-slot decode_slot ON CHIP, where DEFAULT-precision
+    matmuls really run single-pass bf16."""
+    import jax
+    import jax.numpy as jnp
+
+    from ft8_demodulator_tpu.demod.decode import decode_slot, decode_slots
+    from ft8_demodulator_tpu.ops.gfsk import ft8_passband
+    from ft8_demodulator_tpu.ops.waterfall import waterfall_params
+
+    fs = 12000.0
+    p = waterfall_params(fs, 2, 2)
+    n = int(fs * 15)
+    rng = np.random.default_rng(11)
+    b = 8
+    waves = rng.standard_normal((b, n)).astype(np.float32)
+    payloads = rng.integers(0, 256, size=(b, 10), dtype=np.uint8)
+    payloads[:, 9] &= 0xF8
+    for i in range(b):
+        sig = np.asarray(ft8_passband(payloads[i], fs,
+                                      500.0 + 300.0 * i, 0.0))
+        sp = float(np.mean(sig ** 2))
+        waves[i] *= np.sqrt(sp / 10 ** (-14.0 / 10))
+        waves[i, 900: 900 + len(sig)] += sig
+    waves_d = jnp.asarray(waves)
+    num_frames = p.num_frames(n)
+
+    ref = jax.vmap(lambda w: decode_slot(w, p, num_frames,
+                                         max_candidates=20,
+                                         min_score=10.0))(waves_d)
+    got = decode_slots(waves_d, p, num_frames, max_candidates=20,
+                       min_score=10.0, chunk=4)
+    np.testing.assert_array_equal(np.asarray(ref.success),
+                                  np.asarray(got.success))
+    np.testing.assert_array_equal(np.asarray(ref.payload),
+                                  np.asarray(got.payload))
+    ok = np.asarray(got.success)
+    dec = np.asarray(got.payload)
+    hits = sum(any((row == payloads[i]).all() for row in dec[i][ok[i]])
+               for i in range(b))
+    assert hits >= 6   # -14 dB: most planted signals decode
+
+
 def test_pallas_osd_elimination_on_chip(tpu):
     """The VMEM-resident GF(2) elimination matches the jnp fori_loop path
     and accepts noisy-but-decodable LLRs on the real chip."""
