@@ -274,12 +274,16 @@ def correct_frequency_drift(wave_complex, fs: float,
     model["rate_hz_per_s"] = f_shift_rate   # refined below if stage 4 runs
 
     # ---- stage 4: high-order fit over the three sync windows only
+    # sync_block can be NEGATIVE when the correlation peak sits at the
+    # very start of the capture (weak signal, partial first sync group);
+    # a negative python slice start wraps around, so clamp both ends or
+    # reg_x/reg_y lengths diverge and the lstsq below raises.
     reg_x, reg_y = [], []
     for i in range(3):
         s = i * (nsync + ndata // 2) * time_osr + sync_block
-        e = s + (nsync - 1) * time_osr
-        if s < len(masked):
-            e = min(e, len(masked))
+        e = min(s + (nsync - 1) * time_osr, len(masked))
+        s = max(s, 0)
+        if s < e:
             reg_x.append(np.arange(s, e) * time_step)
             reg_y.append(masked[s:e])
     reg_x = np.concatenate(reg_x) if reg_x else np.array([])

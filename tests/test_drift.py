@@ -84,6 +84,25 @@ def test_no_signal_returns_input():
     np.testing.assert_allclose(corrected.real, noise.real, atol=1e-5)
 
 
+def test_truncated_start_capture_negative_sync_block():
+    """Regression: a capture that begins mid-transmission puts the stage-3
+    correlation peak at the left edge, so sync_block goes NEGATIVE.  The
+    stage-4 window slices must clamp to [0, len): a negative python slice
+    start wraps around, giving reg_x/reg_y different lengths and crashing
+    the polynomial fit (seen live in benchmarks/satellite_e2e.py)."""
+    sig = _chirped_signal(300.0, 35.0, seed=44, pad_s=0.0)
+    hit_negative = False
+    for trim_s in (2.5, 3.0, 3.5):
+        cut = sig[int(trim_s * FS):]
+        corrected, rate, model = correct_frequency_drift(
+            cut, FS, return_model=True)
+        assert corrected.shape == cut.shape
+        assert np.isfinite(rate)
+        if model["sync_time_s"] is not None and model["sync_time_s"] < 0:
+            hit_negative = True
+    assert hit_negative, "probe never exercised the negative-sync_block path"
+
+
 def test_stacked_real_imag_convention():
     sig = _chirped_signal(568.0, 35.0, seed=44)
     ri = np.stack([sig.real, sig.imag], -1).astype(np.float32)
