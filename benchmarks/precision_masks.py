@@ -44,6 +44,10 @@ CHUNK = 16
 K = 20
 BP_ITERS = 20
 SNRS = (-20.0, -21.0, -22.0)
+# the sensitivity-sweep threshold: min_score=10 rejects every candidate at
+# these cliff SNRs (first committed run was 0/512 everywhere — maximally
+# uninformative); 1.0 is what benchmarks/snr_curve.py measures with
+MIN_SCORE = 1.0
 
 ARMS = {
     "high_high": {"FT8_DFT_PRECISION": "high", "FT8_BP_PRECISION": "high"},
@@ -96,7 +100,8 @@ def child(slots: int, out_path: str) -> None:
     @jax.jit
     def decode_batch(waves):
         one = lambda w: decode_slot(w, p, num_frames, max_candidates=K,
-                                    min_score=10.0, max_iterations=BP_ITERS)
+                                    min_score=MIN_SCORE,
+                                    max_iterations=BP_ITERS)
         chunks = waves.reshape(-1, CHUNK, waves.shape[-1])
         res = jax.lax.map(jax.vmap(one), chunks)
         return jax.tree_util.tree_map(
@@ -155,7 +160,7 @@ def main() -> None:
         "slots_per_snr": args.slots,
         "snr_db": list(SNRS),
         "geometry": {"fs": FS, "osr": [2, 2], "max_candidates": K,
-                     "bp_iterations": BP_ITERS, "min_score": 10.0},
+                     "bp_iterations": BP_ITERS, "min_score": MIN_SCORE},
         "baseline_arm": "high_high (DFT=HIGH bf16x3, BP=HIGH bf16x3)",
         "arms": {},
         "wall_seconds": None,
@@ -174,6 +179,14 @@ def main() -> None:
             }
         result["arms"][arm] = {"env": ARMS[arm], "per_snr": rows}
     result["wall_seconds"] = round(time.perf_counter() - t0, 1)
+    # informativeness guard: the experiment proves nothing unless the
+    # baseline arm actually decodes some (but not all) slots somewhere in
+    # the sweep — refuse to emit an all-zero/all-one certificate
+    totals = [int(base[s].sum()) for s in base]
+    if not any(0 < t_ < args.slots for t_ in totals):
+        print(f"UNINFORMATIVE: baseline decode counts {totals} — every "
+              "SNR saturated; adjust SNRS/MIN_SCORE", file=sys.stderr)
+        sys.exit(2)
     text = json.dumps(result, indent=1)
     if args.out:
         with open(args.out, "w") as fh:

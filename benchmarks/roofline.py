@@ -142,12 +142,13 @@ def main():
                 ("ldpc-bp+crc(flat)", full)]
 
     def timeit(fn, *args, per=BATCH):
-        out = fn(*args)
-        jax.block_until_ready(out)
+        # host-fetch the scalar: block_until_ready can return early
+        # through the tunneled backend (DESIGN_NOTES methodology note)
+        float(fn(*args))
         t0 = time.perf_counter()
         for _ in range(REPS):
             out = fn(*args)
-        jax.block_until_ready(out)
+        float(out)
         return (time.perf_counter() - t0) / REPS / per
 
     times = []
@@ -220,9 +221,12 @@ def main():
         "dft-absolute-best-variant": {
             "us": timeit(dft_best, blocks_bf) * 1e6,
             "how": "cos|sin fused single matmul, operands pre-bf16 — "
-                   "faster standalone but SLOWER in-pipeline (breaks "
-                   "the epilogue producer fusion); recorded as the "
-                   "shape's demonstrated MXU ceiling"},
+                   "the earlier 'wins standalone' reading came from "
+                   "early-returning block_until_ready timing; "
+                   "host-fetched it loses both standalone (vs the "
+                   "two-matmul form above) and in-pipeline (breaks "
+                   "the epilogue producer fusion; exp G interleaved "
+                   "A/B: 73.7 vs 82.5 us/slot)"},
         "sync-stencil": {
             "us": timeit(stencil_standalone, mags) * 1e6,
             "how": "jnp sync_scores_tf standalone on resident dB grids "
