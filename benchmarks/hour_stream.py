@@ -81,6 +81,7 @@ def main():
     fed_at_steady = 0
     carry = np.zeros(0, np.float32)
     fed = 0
+    peak_live = 0
     for s in range(n_slots):
         audio = np.asarray(synth_slot(
             jnp.asarray(payloads[s]), jnp.float32(f0s[s]),
@@ -91,6 +92,10 @@ def main():
             found.extend(sess.feed(carry[:chunk_len]))
             carry = carry[chunk_len:]
             fed += chunk_len
+        # per-slot sample of device-resident arrays held by the session
+        # (the tunneled backend exposes no allocator stats, see below)
+        peak_live = max(peak_live,
+                        sum(a.nbytes for a in jax.live_arrays()))
         if t_steady is None and s >= 2:
             t_steady = time.perf_counter()
             fed_at_steady = fed
@@ -114,6 +119,17 @@ def main():
                 mem[k] = int(stats[k])
     except Exception as e:  # tunneled backends may not expose stats
         mem["error"] = str(e)
+    if not mem:
+        # the axon tunnel returns memory_stats()=None and its heap
+        # profile RPC is unimplemented (fatal if called), so the best
+        # available figure is the peak of per-slot samples of all
+        # device-resident jax arrays (session ring + hash tables +
+        # in-flight chunk); XLA's transient working set is additive on
+        # top but bounded by one slot-decode program (~tens of MB at
+        # batch 1)
+        mem = {"peak_live_array_bytes": int(peak_live),
+               "note": "allocator stats unavailable on tunneled "
+                       "backend; peak over per-slot live-array samples"}
 
     audio_seconds = fed / fs
     out = {

@@ -57,6 +57,13 @@ ARMS = {
                    "FT8_BP_PRECISION": "default"},
     "default_default": {"FT8_DFT_PRECISION": "default",
                         "FT8_BP_PRECISION": "default"},
+    # the MXU recast of the sync stencil (ops/sync.py sync_scores_tf_mxu)
+    # on top of the shipping precision defaults: same 84 terms folded
+    # into matmuls, so this arm certifies both the accumulation-order
+    # change and the bf16 operand pass of the score matmul
+    "sync_mxu": {"FT8_DFT_PRECISION": "default",
+                 "FT8_BP_PRECISION": "default",
+                 "FT8_SYNC_BACKEND": "mxu"},
 }
 
 
@@ -131,16 +138,26 @@ def main() -> None:
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--child-out", type=str, default=None,
                     help="internal: run the decode arm, write masks npz")
+    ap.add_argument("--arms", type=str, default=None,
+                    help="comma list of arms to run (default: all); "
+                         "baseline high_high always included")
+    ap.add_argument("--merge-into", type=str, default=None,
+                    help="existing result JSON to merge new arms into")
     args = ap.parse_args()
 
     if args.child_out:
         child(args.slots, args.child_out)
         return
 
+    arms = dict(ARMS)
+    if args.arms:
+        keep = set(args.arms.split(",")) | {"high_high"}
+        arms = {k: v for k, v in arms.items() if k in keep}
+
     tmp = tempfile.mkdtemp(prefix="precision_masks_")
     masks = {}
     t0 = time.perf_counter()
-    for arm, env in ARMS.items():
+    for arm, env in arms.items():
         out = os.path.join(tmp, arm + ".npz")
         t_arm = time.perf_counter()
         subprocess.run(
@@ -165,7 +182,7 @@ def main() -> None:
         "arms": {},
         "wall_seconds": None,
     }
-    for arm in ARMS:
+    for arm in arms:
         rows = {}
         for snr in base:
             a, b = base[snr], masks[arm][snr]
@@ -177,7 +194,14 @@ def main() -> None:
                 "n_slots_differing": int(diff.sum()),
                 "net_decode_delta": int(b.sum()) - int(a.sum()),
             }
-        result["arms"][arm] = {"env": ARMS[arm], "per_snr": rows}
+        result["arms"][arm] = {"env": arms[arm], "per_snr": rows}
+    if args.merge_into and os.path.exists(args.merge_into):
+        with open(args.merge_into) as fh:
+            prior = json.load(fh)
+        merged_arms = {**prior.get("arms", {}), **result["arms"]}
+        prior.update(result)
+        prior["arms"] = merged_arms
+        result = prior
     result["wall_seconds"] = round(time.perf_counter() - t0, 1)
     # informativeness guard: the experiment proves nothing unless the
     # baseline arm actually decodes some (but not all) slots somewhere in

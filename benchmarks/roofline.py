@@ -38,6 +38,7 @@ Writes benchmarks/results/roofline_v5e.json.
 """
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -54,6 +55,12 @@ CHUNK = 16
 K = 20
 BP_ITERS = 20
 REPS = 8
+
+# DEEP preset geometry (config.DEEP_SEARCH): osr 4x4, K=40, min_score 1,
+# OSD on; measured in its fastest production form (mf_first single-pass)
+DEEP_BATCH = 64
+DEEP_K = 40
+DEEP_MIN_SCORE = 1.0
 
 _HBM_GBS = 819e9          # v5e HBM bandwidth
 _MXU_PEAK = 197e12        # v5e bf16 MXU peak
@@ -322,11 +329,189 @@ def main():
     out["slots_per_sec"] = round(1.0 / times[-1], 1)
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "results", "roofline_v5e.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            prior = json.load(f)
+        if "deep" in prior:          # keep a previously measured section
+            out["deep"] = prior["deep"]
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print("full decode:", out["full_decode_us_per_slot"], "us/slot =",
           out["slots_per_sec"], "slots/s", flush=True)
 
 
+def deep():
+    """DEEP-preset roofline rows (VERDICT r3 #8): cumulative prefixes of
+    the mf_first production pipeline at osr 4x4 / K=40 / min_score=1 +
+    OSD, with model bounds from the same formulas at the DEEP geometry
+    (OSD/MF stages carry coarse models, labelled)."""
+    from ft8_demodulator_tpu.utils.cache import setup
+    setup()
+    import jax
+    import jax.numpy as jnp
+
+    import ft8_demodulator_tpu.ops.ldpc_decode as ld
+    from ft8_demodulator_tpu.demod.decode import decode_slot
+    from ft8_demodulator_tpu.ops.llr import extract_llrs_matched_blocks
+    from ft8_demodulator_tpu.ops.sync import (find_candidates_tf,
+                                              search_grid, sync_scores_tf)
+    from ft8_demodulator_tpu.ops.waterfall import (_block_spectrum,
+                                                   _block_waterfall_tf,
+                                                   _DFT_PRECISION,
+                                                   waterfall_params)
+
+    n = int(FS * SLOT_S)
+    p = waterfall_params(FS, 4, 4)
+    num_frames = p.num_frames(n)
+    nb = num_frames + p.time_osr - 1
+    kx = p.num_freq_bins + 2 * p.freq_osr
+    g = search_grid(p.num_freq_bins, num_frames, p.time_osr, p.freq_osr)
+    K_, MS = DEEP_K, DEEP_MIN_SCORE
+
+    rng = np.random.default_rng(0)
+    waves = jnp.asarray(rng.standard_normal(
+        (DEEP_BATCH, n)).astype(np.float32) * 0.1)
+
+    def _r(x):
+        return jnp.sum(x.astype(jnp.float32).ravel()[:128])
+
+    def pre_spectra(w):
+        pr, pi = _block_spectrum(w, p, num_frames)
+        return _r(pr) + _r(pi)
+
+    def pre_mag(w):
+        return _r(_block_waterfall_tf(_block_spectrum(w, p, num_frames),
+                                      p, num_frames))
+
+    def pre_scores(w):
+        mag = _block_waterfall_tf(_block_spectrum(w, p, num_frames), p,
+                                  num_frames)
+        return _r(sync_scores_tf(mag, g))
+
+    def pre_cands(w):
+        mag = _block_waterfall_tf(_block_spectrum(w, p, num_frames), p,
+                                  num_frames)
+        t, f, v, ok = find_candidates_tf(sync_scores_tf(mag, g), g, K_, MS)
+        return _r(t) + _r(f) + _r(v)
+
+    def pre_mf_llrs(w):
+        spec = _block_spectrum(w, p, num_frames)
+        mag = _block_waterfall_tf(spec, p, num_frames)
+        t, f, v, ok = find_candidates_tf(sync_scores_tf(mag, g), g, K_, MS)
+        return _r(extract_llrs_matched_blocks(
+            spec[0], spec[1], t, f, g.time_osr, g.freq_osr))
+
+    def full_one(w):
+        res = decode_slot(w, p, num_frames, max_candidates=K_,
+                          min_score=MS, max_iterations=BP_ITERS,
+                          use_osd=True, mf_first=True)
+        return _r(res.success) + _r(res.payload)
+
+    def chunked(fn):
+        @jax.jit
+        def run(x):
+            return jnp.sum(jax.lax.map(
+                jax.vmap(fn), x.reshape(-1, CHUNK, x.shape[-1])))
+        return run
+
+    def timeit(fn, *args, per=DEEP_BATCH):
+        float(fn(*args))
+        t0 = time.perf_counter()
+        for _ in range(REPS):
+            out_ = fn(*args)
+        float(out_)
+        return (time.perf_counter() - t0) / REPS / per
+
+    prefixes = [("retile+block-DFT", chunked(pre_spectra)),
+                ("waterfall-epilogue", chunked(pre_mag)),
+                ("sync-stencil", chunked(pre_scores)),
+                ("top-k-select", chunked(pre_cands)),
+                ("mf-llr-extract", chunked(pre_mf_llrs)),
+                ("bp+osd+crc", chunked(full_one))]
+    times = []
+    for name, fn in prefixes:
+        times.append(timeit(fn, waves))
+        print(f"DEEP prefix through {name}: {times[-1] * 1e6:8.2f} "
+              "us/slot", flush=True)
+
+    passes = {"HIGHEST": 6, "HIGH": 3, "DEFAULT": 1}
+    dft_p = passes[_DFT_PRECISION.name]
+    bp_p = passes[ld._BP_PRECISION.name]
+    f32 = 4
+    grid_b = p.num_freq_bins * num_frames * f32
+    score_b = g.num_freqs * g.num_times * f32
+    tau = p.time_osr
+    models = {
+        "retile+block-DFT": dict(
+            mxu=dft_p * 2 * (2 * nb * p.hop * kx), vpu=0,
+            bytes=2 * n * f32 + nb * p.hop * f32 + 2 * nb * kx * f32,
+            note=""),
+        "waterfall-epilogue": dict(
+            mxu=0, vpu=(tau * 6 + 12 + 3 + 10) * num_frames * kx,
+            bytes=2 * nb * kx * f32 + grid_b, note=""),
+        "sync-stencil": dict(
+            mxu=0, vpu=84 * 4 * g.num_freqs * g.num_times,
+            bytes=grid_b + score_b, note=""),
+        "top-k-select": dict(
+            mxu=0, vpu=2 * g.num_freqs * g.num_times, bytes=score_b,
+            note=""),
+        "mf-llr-extract": dict(
+            mxu=0, vpu=K_ * 79 * 8 * tau * 12,
+            bytes=2 * nb * kx * f32 + K_ * 174 * f32,
+            note="coarse: per-candidate column gather + (tau, 8) phase "
+                 "combine over the resident block spectra"),
+        "bp+osd+crc": dict(
+            mxu=BP_ITERS * K_ * (bp_p * 2 * (2 * 522 * 581)
+                                 + 2 * 174 * 83),
+            vpu=BP_ITERS * K_ * (581 + 522) * 12
+                + K_ * 174 * 96 * 6 * 8,
+            bytes=K_ * 174 * f32 * 4,
+            note="coarse: BP at max iterations + packed GF(2) basis "
+                 "reduction (174 steps x 96x6 words) per candidate"),
+    }
+
+    _HBM, _MXU, _VPU = _HBM_GBS, _MXU_PEAK, _VPU_PEAK
+    rows = {}
+    prev = 0.0
+    for (name, _), t in zip(prefixes, times):
+        stage_t = max(t - prev, 1e-9)
+        prev = t
+        m = models[name]
+        bound = max(m["mxu"] / _MXU, m["vpu"] / _VPU, m["bytes"] / _HBM)
+        binds = ("MXU" if bound == m["mxu"] / _MXU and m["mxu"] else
+                 "VPU" if bound == m["vpu"] / _VPU and m["vpu"] else "HBM")
+        rows[name] = {
+            "us_per_slot": round(stage_t * 1e6, 2),
+            "model_bound_us": round(bound * 1e6, 2),
+            "pct_of_model": round(100 * bound / stage_t, 1),
+            "binds": binds,
+            "model_note": m["note"],
+        }
+        print("DEEP", name, rows[name], flush=True)
+
+    deep_out = {
+        "preset": "DEEP_SEARCH (osr 4x4, K=40, min_score=1, OSD, "
+                  "mf_first)",
+        "batch": DEEP_BATCH, "chunk": CHUNK, "reps": REPS,
+        "stages": rows,
+        "full_decode_us_per_slot": round(times[-1] * 1e6, 2),
+        "slots_per_sec": round(1.0 / times[-1], 1),
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "results", "roofline_v5e.json")
+    with open(path) as f:
+        out = json.load(f)
+    out["deep"] = deep_out
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print("DEEP full:", deep_out["full_decode_us_per_slot"], "us/slot =",
+          deep_out["slots_per_sec"], "slots/s", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--deep", action="store_true",
+                    help="measure the DEEP-preset rows only (appends a "
+                         "'deep' section to the committed JSON)")
+    a = ap.parse_args()
+    deep() if a.deep else main()

@@ -190,7 +190,13 @@ def sync_scores_tf(mag_tf: jnp.ndarray, g: SearchGrid) -> jnp.ndarray:
 
     The pre-roll/main split follows sync_scores: left-padding only a small
     leading time slice keeps the main body reading the unpadded grid.
+
+    FT8_SYNC_BACKEND=mxu routes to :func:`sync_scores_tf_mxu` (stencil
+    folded into per-residue matmuls; same scores up to accumulation
+    order — see the MXU-recast comment block below).
     """
+    if _SYNC_BACKEND == "mxu" and g.num_times > 0:
+        return sync_scores_tf_mxu(mag_tf, g)
     main_cols = g.num_times + g.t_start
     main_right_pad = main_cols + (C.NUM_SYMBOLS - 1) * g.time_osr \
         - mag_tf.shape[-2]
@@ -253,6 +259,135 @@ def _sync_scores_tf_impl(mag_tf: jnp.ndarray, g: SearchGrid) -> jnp.ndarray:
                 count += nm
 
     return jnp.where(count > 0, total / jnp.maximum(count, 1.0), -jnp.inf)
+
+
+# ---------------------------------------------------------------------------
+# MXU recast of the sync stencil (time-major layout)
+# ---------------------------------------------------------------------------
+# The 84 masked stencil terms are all LINEAR in the grid, and every term's
+# time offset (left + t_start + b*tau, b' in {b-1, b, b+1}) shares one
+# residue mod tau — so the whole stencil folds into tau banded weight
+# matrices per tone offset, stacked into ONE matmul per time residue:
+#
+#     M_s = W_s @ P_s        W_s: (8*n_out, n_in)   P_s: (n_in, kx)
+#     S[s::tau, f] = sum_df M_s[df*n_out + o, f + df*phi]
+#
+# The dB grid is read ONCE from HBM per residue (vs ~84 shifted VPU reads,
+# each unaligned lane access costing a vector rotate), the masks are baked
+# into W on the host (exact), and the df combination is 8 lane-shifted
+# adds fused into the matmul epilogue.  ~0.33 GFLOP/slot on the MXU
+# replaces ~0.09 GFLOP/slot of rotate-heavy VPU work.
+#
+# NOT bit-identical to the stencil (matmul accumulation order + one bf16
+# operand pass at DEFAULT); decode-mask equivalence at cliff SNRs is the
+# acceptance test (benchmarks/precision_masks.py pattern), and CPU tests
+# assert allclose + identical decode sets.  Opt in with
+# FT8_SYNC_BACKEND=mxu; precision via FT8_SYNC_MXU_PRECISION.
+
+_SYNC_BACKEND = __import__("os").environ.get(
+    "FT8_SYNC_BACKEND", "stencil").lower()
+_SYNC_MXU_PRECISION = getattr(
+    jax.lax.Precision,
+    __import__("os").environ.get("FT8_SYNC_MXU_PRECISION",
+                                 "default").upper())
+
+
+@functools.lru_cache(maxsize=None)
+def _sync_mxu_weights(g: SearchGrid, num_frames: int):
+    """Host-built stencil-as-matmul weights for one static geometry.
+
+    Returns (per-residue list of (W_stack, in_residue, n_out), count,
+    left, right).  W_stack[s] is the (8*n_out, n_in) float32 stack of the
+    8 tone-offset banded matrices for output rows o = s, s+tau, ...;
+    entries replicate the _sync_scores_tf_impl loop exactly (same masks,
+    same per-term coefficients), so W @ grid equals the stencil sum in
+    exact arithmetic."""
+    tau, phi = g.time_osr, g.freq_osr
+    left = max(0, -g.t_start)
+    right = max(0, g.t_start + g.num_times
+                + (C.NUM_SYMBOLS - 1) * tau - num_frames)
+    t_pad = left + num_frames + right
+    cell_m, prev_m, next_m = _cell_masks(g)
+
+    w = np.zeros((8, g.num_times, t_pad), np.float32)
+    count = np.zeros(g.num_times, np.float32)
+    o = np.arange(g.num_times)
+
+    def add(df_tone: int, b: int, coeff: np.ndarray) -> None:
+        idx = left + g.t_start + b * tau + o
+        ok = (idx >= 0) & (idx < t_pad) & (coeff != 0)
+        w[df_tone, o[ok], idx[ok]] += coeff[ok]
+
+    for m in range(C.NUM_COSTAS_SEQS):
+        for k in range(C.COSTAS_LEN):
+            i = m * C.COSTAS_LEN + k
+            b = m * C.SYNC_SEQ_STRIDE + k
+            tone = int(C.COSTAS_PATTERN[k])
+            cm = cell_m[i].astype(np.float32)
+            n_freq = 0
+            if tone > 0:
+                add(tone, b, cm)
+                add(tone - 1, b, -cm)
+                n_freq += 1
+            if tone < 7:
+                add(tone, b, cm)
+                add(tone + 1, b, -cm)
+                n_freq += 1
+            count += cm * n_freq
+            if k > 0:
+                pm = prev_m[i].astype(np.float32)
+                add(tone, b, pm)
+                add(tone, b - 1, -pm)
+                count += pm
+            if k < C.COSTAS_LEN - 1:
+                nm = next_m[i].astype(np.float32)
+                add(tone, b, nm)
+                add(tone, b + 1, -nm)
+                count += nm
+
+    # every tap shares residue c mod tau -> per-residue compaction is
+    # lossless (asserted); output rows s::tau read input rows (s+c)::tau
+    c = (left + g.t_start) % tau
+    per_residue = []
+    for s in range(tau):
+        rs = (s + c) % tau
+        rows = w[:, s::tau, :]                    # (8, n_out, t_pad)
+        drop = np.delete(rows, np.arange(rs, t_pad, tau), axis=2)
+        assert not drop.any(), "stencil tap off the expected residue"
+        ws = rows[:, :, rs::tau]                  # (8, n_out, n_in)
+        n_out = ws.shape[1]
+        per_residue.append((ws.reshape(8 * n_out, ws.shape[2]), rs, n_out))
+    return per_residue, count, left, right
+
+
+@functools.partial(jax.jit, static_argnames=("g",))
+def sync_scores_tf_mxu(mag_tf: jnp.ndarray, g: SearchGrid) -> jnp.ndarray:
+    """TIME-MAJOR waterfall (T, F) -> sync score grid via MXU matmuls.
+
+    Same scores as :func:`sync_scores_tf` up to matmul accumulation order
+    (and one bf16 operand pass at DEFAULT precision); see the module
+    comment above for the recast and its acceptance evidence."""
+    tau, phi = g.time_osr, g.freq_osr
+    num_frames = mag_tf.shape[-2]
+    per_residue, count, left, right = _sync_mxu_weights(g, num_frames)
+    padded = jnp.pad(mag_tf, ((left, right), (0, 0)))
+
+    scores = jnp.zeros((g.num_times, g.num_freqs), jnp.float32)
+    for s, (ws, rs, n_out) in enumerate(per_residue):
+        if n_out == 0:
+            continue
+        p_s = padded[rs::tau]                     # (n_in, kx)
+        m_s = jnp.matmul(jnp.asarray(ws), p_s,
+                         precision=_SYNC_MXU_PRECISION,
+                         preferred_element_type=jnp.float32)
+        s_s = jnp.zeros((n_out, g.num_freqs), jnp.float32)
+        for df in range(8):
+            s_s = s_s + jax.lax.dynamic_slice(
+                m_s, (df * n_out, df * phi), (n_out, g.num_freqs))
+        scores = scores.at[s::tau].set(s_s)
+
+    cnt = jnp.asarray(count, jnp.float32)[:, None]
+    return jnp.where(cnt > 0, scores / jnp.maximum(cnt, 1.0), -jnp.inf)
 
 
 @functools.partial(jax.jit, static_argnames=("g",))

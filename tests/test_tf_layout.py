@@ -133,3 +133,79 @@ def test_decode_slot_unchanged_by_tf_path(rng):
     assert np.asarray(res.success).any()
     ok_rows = np.asarray(res.payload)[np.asarray(res.success)]
     assert any((row == payload).all() for row in ok_rows)
+
+
+# ---------------------------------------------------------------------------
+# MXU recast of the sync stencil (FT8_SYNC_BACKEND=mxu)
+# ---------------------------------------------------------------------------
+
+def test_sync_scores_tf_mxu_allclose(rng):
+    """The stencil-as-matmul scores match the stencil to accumulation-order
+    tolerance, with identical -inf (no-valid-comparison) masks."""
+    from ft8_demodulator_tpu.ops.sync import sync_scores_tf_mxu
+
+    _, mag_tf, g = _mag_pair(rng)
+    a = np.asarray(sync_scores_tf(jnp.asarray(mag_tf), g))
+    b = np.asarray(sync_scores_tf_mxu(jnp.asarray(mag_tf), g))
+    np.testing.assert_array_equal(np.isneginf(a), np.isneginf(b))
+    fin = np.isfinite(a)
+    np.testing.assert_allclose(a[fin], b[fin], rtol=0, atol=1e-4)
+
+
+def test_sync_scores_tf_mxu_deep_geometry(rng):
+    """osr 4x4 (the DEEP preset): 4 residue matmuls instead of 2."""
+    from ft8_demodulator_tpu.ops.sync import sync_scores_tf_mxu
+
+    p = waterfall_params(FS, 4, 4)
+    n = int(FS * 15.0)
+    wave = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    num_frames = p.num_frames(n)
+    spec = _block_spectrum(wave, p, num_frames)
+    mag_tf = jnp.asarray(_block_waterfall_tf(spec, p, num_frames))
+    g = search_grid(p.num_freq_bins, num_frames, p.time_osr, p.freq_osr)
+    a = np.asarray(sync_scores_tf(mag_tf, g))
+    b = np.asarray(sync_scores_tf_mxu(mag_tf, g))
+    np.testing.assert_array_equal(np.isneginf(a), np.isneginf(b))
+    fin = np.isfinite(a)
+    np.testing.assert_allclose(a[fin], b[fin], rtol=0, atol=1e-4)
+
+
+def test_sync_mxu_decode_set_identical(rng):
+    """Planted-signal decode sets through the full front half are identical
+    under either sync backend (CPU: both run exact f32, so only summation
+    order differs; the chip-side bf16 evidence is the precision-mask
+    harness, benchmarks/precision_masks.py --sync-arms)."""
+    from ft8_demodulator_tpu.demod.decode import finish_decode
+    from ft8_demodulator_tpu.ops.gfsk import ft8_passband
+    from ft8_demodulator_tpu.ops.llr import extract_llrs_tf
+    from ft8_demodulator_tpu.ops.sync import (find_candidates_tf,
+                                              sync_scores_tf_mxu)
+
+    p = waterfall_params(FS, 2, 2)
+    n = int(FS * 15)
+    num_frames = p.num_frames(n)
+    g = search_grid(p.num_freq_bins, num_frames, p.time_osr, p.freq_osr)
+
+    decoded = {"stencil": set(), "mxu": set()}
+    for trial in range(4):
+        payload = np.asarray(rng.integers(0, 256, 10), np.uint8)
+        payload[9] &= 0xF8
+        w = np.zeros(n, np.float32)
+        sig = np.asarray(ft8_passband(payload, FS, 320.0 + 60.0 * trial,
+                                      0.0))
+        w[400: 400 + len(sig)] = sig
+        w += 0.35 * rng.standard_normal(n).astype(np.float32)
+        spec = _block_spectrum(jnp.asarray(w), p, num_frames)
+        mag_tf = _block_waterfall_tf(spec, p, num_frames)
+        for name, sync_fn in (("stencil", sync_scores_tf),
+                              ("mxu", sync_scores_tf_mxu)):
+            scores = sync_fn(mag_tf, g)
+            t, f, v, ok = find_candidates_tf(scores, g, 10, 1.0)
+            llrs = extract_llrs_tf(mag_tf, t, f, g.time_osr, g.freq_osr,
+                                   g.num_blocks)
+            res = finish_decode(llrs, t, f, v, ok, 20, False)
+            succ = np.asarray(res.success)
+            for row in np.asarray(res.payload)[succ]:
+                decoded[name].add(bytes(row))
+        assert bytes(payload) in decoded["stencil"], f"trial {trial}"
+    assert decoded["stencil"] == decoded["mxu"]
