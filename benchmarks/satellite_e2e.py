@@ -56,9 +56,9 @@ def run(trials: int, cycles: int, esn0s, seed: int = 0):
 
     import satellite_beacon_demo as demo
     from ft8_demodulator_tpu.beacon import correct_frequency_drift
-    from ft8_demodulator_tpu.channel import (add_complex_awgn, apply_doppler,
-                                             compensate_linear_doppler,
-                                             decimate)
+    from ft8_demodulator_tpu.channel import (
+        add_complex_awgn, apply_doppler_physical,
+        compensate_linear_doppler_physical, decimate)
     from ft8_demodulator_tpu.demod import decode_ft8_stacked
     from ft8_demodulator_tpu.ops.gfsk import ft8_baseband
 
@@ -75,7 +75,6 @@ def run(trials: int, cycles: int, esn0s, seed: int = 0):
     print(f"pass: {pass_info}", file=sys.stderr)
     print(f"doppler {doppler[0]:+.0f} -> {doppler[-1]:+.0f} Hz, mean "
           f"{mean_rate:+.1f} Hz/s", file=sys.stderr, flush=True)
-    dop_d = jnp.asarray(doppler.astype(np.float32))
 
     # receiver-side linear model: the regression the reference's channel
     # stage records (test_signal_processing.py:25-46)
@@ -114,20 +113,30 @@ def run(trials: int, cycles: int, esn0s, seed: int = 0):
                 tx[c * n_cycle: c * n_cycle + len(bb)] = bb
             ri = jnp.asarray(
                 np.stack([tx.real, tx.imag], -1).astype(np.float32))
-            shifted = apply_doppler(ri, dop_d, fs_rf)
+            # PHYSICAL Doppler (phase = integral of f_d dt).  The
+            # reference's f_d*t phase convention (apply_doppler,
+            # test_signal_after_channel.py:55-58) has instantaneous
+            # frequency f_d + t*f_d', which amplifies the residual left
+            # by partial compensation by ABSOLUTE capture time — by
+            # cycle 7 of this 2-minute pass the linear-residual arms
+            # would be detuned by several kHz purely by convention, so a
+            # composed multi-cycle benchmark is only physically
+            # meaningful in the integrated form (channel/doppler.py
+            # apply_doppler_physical).
+            shifted = apply_doppler_physical(ri, doppler, fs_rf)
             # independent noise per sweep point (ei term), per trial
             key = jax.random.PRNGKey(seed * 100003 + t * 1009 + ei * 31)
             noisy = add_complex_awgn(shifted, key, float(esn0))
 
             # arm 1: full model compensation (upper bound)
-            comp = apply_doppler(noisy, -dop_d, fs_rf)
+            comp = apply_doppler_physical(noisy, -doppler, fs_rf)
             stack = split_cycles(decimate(comp, decim))
             if stacked_ok(to_z(stack), payload.tobytes()):
                 ok["model_full"] += 1
 
             # arms 2+3: linear estimate removed, residual curvature stays
-            lin = compensate_linear_doppler(noisy, float(slope),
-                                            float(intercept), fs_rf)
+            lin = compensate_linear_doppler_physical(
+                noisy, float(slope), float(intercept), fs_rf)
             cyc = split_cycles(decimate(lin, decim))
             if stacked_ok(to_z(cyc), payload.tobytes()):
                 ok["linear_only"] += 1
@@ -186,6 +195,15 @@ def run(trials: int, cycles: int, esn0s, seed: int = 0):
                      "doppler_span_hz": [float(doppler[0]),
                                          float(doppler[-1])],
                      "mean_drift_hz_per_s": float(mean_rate)},
+        "convention_note": ("channel + compensations use the PHYSICAL "
+                            "phase = integral of f_d dt "
+                            "(apply_doppler_physical); the reference's "
+                            "f_d*t phase (apply_doppler, kept for "
+                            "parity tests) amplifies partial-"
+                            "compensation residuals by absolute capture "
+                            "time, detuning the late cycles of a "
+                            "2-minute pass by several kHz purely by "
+                            "convention"),
         "esn0_note": ("Es/N0 knob = signal power over the PER-QUADRATURE "
                       "noise variance at the 10 kHz capture rate "
                       "(add_complex_awgn draws noise with sigma^2 = "

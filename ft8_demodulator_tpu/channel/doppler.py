@@ -54,6 +54,46 @@ def apply_doppler(wave_ri: jnp.ndarray, doppler_hz, fs: float) -> jnp.ndarray:
     return _rotate_cycles(jnp.asarray(wave_ri), _phase_to_cycles(phase))
 
 
+def apply_doppler_physical(wave_ri: jnp.ndarray, doppler_hz,
+                           fs: float) -> jnp.ndarray:
+    """y[i] = x[i] * exp(-j phi_i), phi = 2 pi INTEGRAL of f_d dt — the
+    PHYSICAL Doppler channel (instantaneous frequency offset = -f_d(t)).
+
+    The reference's convention (:func:`apply_doppler`) writes the phase
+    as f_d(t) * t (test_signal_after_channel.py:55-58), whose
+    instantaneous frequency is f_d + t * f_d' — identical only for
+    constant f_d.  Over a long multi-cycle capture the t * f_d' term
+    amplifies any RESIDUAL after partial compensation by absolute
+    capture time (hundreds of Hz by the late cycles of a 2-minute LEO
+    pass), which makes composed experiments under that convention
+    physically meaningless; benchmarks/satellite_e2e.py uses this
+    integrated form for all arms.  Trapezoid-integrated float64
+    host-side phase (exact for linear f_d, so
+    :func:`compensate_linear_doppler_physical`'s closed form cancels it
+    analytically); only the rotate runs on device."""
+    n = np.shape(wave_ri)[-2]
+    f = np.broadcast_to(np.asarray(doppler_hz, np.float64), (n,))
+    phase = np.empty(n, np.float64)
+    phase[0] = 0.0
+    np.cumsum((f[1:] + f[:-1]) * (0.5 / float(fs)), out=phase[1:])
+    return _rotate_cycles(jnp.asarray(wave_ri), _phase_to_cycles(phase))
+
+
+def compensate_linear_doppler_physical(wave_ri: jnp.ndarray,
+                                       slope_hz_per_sample: float,
+                                       intercept_hz: float,
+                                       fs: float) -> jnp.ndarray:
+    """Exact inverse of :func:`apply_doppler_physical` for a linear model
+    f_d(k) = slope * k + intercept: phase = -2 pi (slope * fs * t^2 / 2
+    + intercept * t) (the closed-form integral; the channel's trapezoid
+    rule is exact for linear f_d, so the cancellation is analytic)."""
+    n = np.shape(wave_ri)[-2]
+    t = np.arange(n, dtype=np.float64) / float(fs)
+    phase = -(float(slope_hz_per_sample) * float(fs) * t * t * 0.5
+              + float(intercept_hz) * t)
+    return _rotate_cycles(jnp.asarray(wave_ri), _phase_to_cycles(phase))
+
+
 def compensate_linear_doppler(wave_ri: jnp.ndarray, slope_hz_per_sample: float,
                               intercept_hz: float, fs: float) -> jnp.ndarray:
     """Undo a linear Doppler model: y = x * exp(+j 2 pi (a*t*fs + b) * t)

@@ -153,3 +153,57 @@ def test_awgn_power(rng):
     measured = (noise ** 2).sum(-1).mean()
     # per-quadrature sigma^2 = P/SNR -> total complex noise power 2*P/SNR
     assert abs(measured - 2 * 0.1) < 0.01
+
+
+def test_apply_doppler_physical_constant_matches_reference_convention(rng):
+    """For CONSTANT f_d the reference's f*t phase and the physical
+    integral coincide, so the two operators must agree."""
+    from ft8_demodulator_tpu.channel import (apply_doppler,
+                                             apply_doppler_physical)
+
+    fs = 8000.0
+    n = 4000
+    z = (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    ri = jnp.asarray(np.stack([z.real, z.imag], -1).astype(np.float32))
+    a = np.asarray(apply_doppler(ri, 123.0, fs))
+    b = np.asarray(apply_doppler_physical(ri, 123.0, fs))
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_apply_doppler_physical_linear_roundtrip(rng):
+    """apply_doppler_physical with a linear f_d is cancelled analytically
+    by compensate_linear_doppler_physical (trapezoid rule exact for
+    linear f), even over a long capture where the reference convention's
+    t*f_d' term would have moved the signal by hundreds of Hz."""
+    from ft8_demodulator_tpu.channel import (
+        apply_doppler_physical, compensate_linear_doppler_physical)
+
+    fs = 4000.0
+    n = int(120 * fs)                 # 2-minute capture
+    slope_per_sample = 5.0 / fs       # +5 Hz/s
+    intercept = 300.0
+    k = np.arange(n)
+    f = slope_per_sample * k + intercept
+    z = (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    ri = jnp.asarray(np.stack([z.real, z.imag], -1).astype(np.float32))
+    through = compensate_linear_doppler_physical(
+        apply_doppler_physical(ri, f, fs), slope_per_sample, intercept, fs)
+    np.testing.assert_allclose(np.asarray(through), np.asarray(ri),
+                               atol=5e-4)
+
+
+def test_apply_doppler_physical_inverse_pair(rng):
+    """apply(f) then apply(-f) is the identity for ANY f (the model_full
+    receiver arm of benchmarks/satellite_e2e.py)."""
+    from ft8_demodulator_tpu.channel import apply_doppler_physical
+
+    fs = 4000.0
+    n = 20000
+    t = np.arange(n) / fs
+    f = 800.0 * np.sin(2 * np.pi * t / 7.0) + 100.0 * t
+    z = (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    ri = jnp.asarray(np.stack([z.real, z.imag], -1).astype(np.float32))
+    through = apply_doppler_physical(
+        apply_doppler_physical(ri, f, fs), -f, fs)
+    np.testing.assert_allclose(np.asarray(through), np.asarray(ri),
+                               atol=5e-5)
