@@ -39,6 +39,7 @@ SLOT_S = 15.0
 # past 1024); chunks of 16 inside the jit hit XLA's best fusion regime
 BATCH = int(__import__("os").environ.get("FT8_BENCH_BATCH", "1024"))
 CHUNK = int(__import__("os").environ.get("FT8_BENCH_CHUNK", "16"))
+BP_CHUNK = int(__import__("os").environ.get("FT8_BENCH_BP_CHUNK", "256"))
 if BATCH % CHUNK:
     raise SystemExit(
         f"FT8_BENCH_BATCH ({BATCH}) must be a multiple of "
@@ -176,7 +177,8 @@ def main() -> None:
         # batch 256 on v5e).  One jit, one dispatch.
         return decode_slots(waves, p, num_frames,
                             max_candidates=MAX_CANDIDATES, min_score=10.0,
-                            max_iterations=20, chunk=CHUNK)
+                            max_iterations=20, chunk=CHUNK,
+                            bp_chunk=BP_CHUNK)
 
     def sink(res):
         """Force full device completion: reduce to a scalar and fetch it.

@@ -279,6 +279,16 @@ def main():
             vpu=BP_ITERS * K * (581 + 522) * 12 + K * 174 * 8,
             bytes=K * 174 * f32 * 2 + K * (174 + 10 + 16) * f32),
     }
+    from ft8_demodulator_tpu.ops.sync import (_SYNC_BACKEND,
+                                              _sync_mxu_weights)
+    if _SYNC_BACKEND == "mxu":
+        # stencil folded into per-residue matmuls: MXU model instead
+        per_res, _cnt, _l, _r = _sync_mxu_weights(g, num_frames)
+        mxu_flops = sum(2 * ws.shape[0] * ws.shape[1] * kx
+                        for ws, _rs, _no in per_res)
+        models["sync-stencil"] = dict(
+            mxu=mxu_flops, vpu=9 * g.num_freqs * g.num_times,
+            bytes=grid_b + score_b)
 
     out = {"batch": BATCH, "chunk": CHUNK, "fs": FS, "reps": REPS,
            "method": ("cumulative fused prefixes of the split-BP "
@@ -288,6 +298,9 @@ def main():
            "dft_precision": _DFT_PRECISION.name,
            "bp_precision": ld._BP_PRECISION.name,
            "sync_dtype": "bfloat16" if sync_b == 2 else "float32",
+           "sync_backend": __import__(
+               "ft8_demodulator_tpu.ops.sync",
+               fromlist=["_SYNC_BACKEND"])._SYNC_BACKEND,
            "hbm_gbs": _HBM_GBS / 1e9, "mxu_tflops": _MXU_PEAK / 1e12,
            "vpu_tflops": _VPU_PEAK / 1e12, "stages": {},
            "demonstrated_ideals": {

@@ -51,8 +51,9 @@ import jax.numpy as jnp  # noqa: E402
 from ft8_demodulator_tpu.beacon import (correct_frequency_drift,  # noqa: E402
                                         detect_known_payload)
 from ft8_demodulator_tpu.channel import (Channel, add_complex_awgn,  # noqa: E402
-                                         apply_doppler,
-                                         compensate_linear_doppler, decimate)
+                                         apply_doppler_physical,
+                                         compensate_linear_doppler_physical,
+                                         decimate)
 from ft8_demodulator_tpu.channel import geodesy as geo  # noqa: E402
 from ft8_demodulator_tpu.demod import decode_ft8_stacked  # noqa: E402
 from ft8_demodulator_tpu.demod.decode import decode_ft8_message  # noqa: E402
@@ -137,8 +138,10 @@ def main() -> int:
         tx[c * n_cycle: c * n_cycle + len(bb)] = bb
 
     ri = jnp.asarray(np.stack([tx.real, tx.imag], -1).astype(np.float32))
-    shifted = apply_doppler(ri, jnp.asarray(doppler.astype(np.float32)),
-                            FS_RF)
+    # physical integrated-phase Doppler (channel/doppler.py): the
+    # reference's f_d*t phase convention amplifies partial-compensation
+    # residuals by absolute capture time over a multi-cycle capture
+    shifted = apply_doppler_physical(ri, doppler, FS_RF)
     noisy = add_complex_awgn(shifted, jax.random.PRNGKey(args.seed),
                              args.esn0)
 
@@ -147,8 +150,8 @@ def main() -> int:
     # Doppler estimate and re-fit the residual per cycle (beacon.drift)
     k = np.arange(n)
     slope, intercept = np.polyfit(k, doppler, 1)
-    comp_a = compensate_linear_doppler(noisy, float(slope),
-                                       float(intercept), FS_RF)
+    comp_a = compensate_linear_doppler_physical(noisy, float(slope),
+                                                float(intercept), FS_RF)
     down_a = np.asarray(decimate(comp_a, DECIM))
     fs = FS_RF / DECIM
     m_cycle = int(CYCLE_S * fs)
@@ -167,8 +170,7 @@ def main() -> int:
     # it — every cycle lands at the same frequency and the R-cycle
     # noncoherent stack + known-call AP hypothesis reaches several dB
     # deeper than any single-cycle decode
-    comp_b = apply_doppler(noisy, jnp.asarray(-doppler.astype(np.float32)),
-                           FS_RF)
+    comp_b = apply_doppler_physical(noisy, -doppler, FS_RF)
     down_b = np.asarray(decimate(comp_b, DECIM))
     stack = np.stack([down_b[c * m_cycle: (c + 1) * m_cycle]
                       for c in range(args.cycles)])
