@@ -279,9 +279,9 @@ def main():
             vpu=BP_ITERS * K * (581 + 522) * 12 + K * 174 * 8,
             bytes=K * 174 * f32 * 2 + K * (174 + 10 + 16) * f32),
     }
-    from ft8_demodulator_tpu.ops.sync import (_SYNC_BACKEND,
+    from ft8_demodulator_tpu.ops.sync import (_sync_backend,
                                               _sync_mxu_weights)
-    if _SYNC_BACKEND == "mxu":
+    if _sync_backend() == "mxu":
         # stencil folded into per-residue matmuls: MXU model instead
         per_res, _cnt, _l, _r = _sync_mxu_weights(g, num_frames)
         mxu_flops = sum(2 * ws.shape[0] * ws.shape[1] * kx
@@ -300,7 +300,7 @@ def main():
            "sync_dtype": "bfloat16" if sync_b == 2 else "float32",
            "sync_backend": __import__(
                "ft8_demodulator_tpu.ops.sync",
-               fromlist=["_SYNC_BACKEND"])._SYNC_BACKEND,
+               fromlist=["_sync_backend"])._sync_backend(),
            "hbm_gbs": _HBM_GBS / 1e9, "mxu_tflops": _MXU_PEAK / 1e12,
            "vpu_tflops": _VPU_PEAK / 1e12, "stages": {},
            "demonstrated_ideals": {
@@ -483,29 +483,60 @@ def deep():
                  "reduction (174 steps x 96x6 words) per candidate"),
     }
 
+    # monotonicity repair: a prefix can measure FASTER than a shorter one
+    # when the shorter prefix materialises an intermediate the fused
+    # pipeline never writes (e.g. raw DEEP spectra consumed by a 128-lane
+    # probe) — difference attribution is then meaningless for that pair,
+    # so merge such stages into one fused row
+    merged = []                      # list of ([names], prefix_time)
+    for (name, _), t in zip(prefixes, times):
+        if merged and t <= merged[-1][1]:
+            merged[-1][0].append(name)
+            merged[-1][1] = max(merged[-1][1], t)
+        else:
+            merged.append([[name], t])
+
+    def _combine(names):
+        m = dict(mxu=0, vpu=0, bytes=0, note="")
+        notes = []
+        for nm in names:
+            for k2 in ("mxu", "vpu", "bytes"):
+                m[k2] += models[nm][k2]
+            if models[nm]["note"]:
+                notes.append(models[nm]["note"])
+        if len(names) > 1:
+            notes.append("merged: the shorter prefix materialised an "
+                         "intermediate the fused pipeline elides, so "
+                         "per-stage differences are not attributable")
+        m["note"] = "; ".join(notes)
+        return m
+
     _HBM, _MXU, _VPU = _HBM_GBS, _MXU_PEAK, _VPU_PEAK
     rows = {}
     prev = 0.0
-    for (name, _), t in zip(prefixes, times):
+    for names, t in merged:
         stage_t = max(t - prev, 1e-9)
         prev = t
-        m = models[name]
+        m = _combine(names)
         bound = max(m["mxu"] / _MXU, m["vpu"] / _VPU, m["bytes"] / _HBM)
         binds = ("MXU" if bound == m["mxu"] / _MXU and m["mxu"] else
                  "VPU" if bound == m["vpu"] / _VPU and m["vpu"] else "HBM")
-        rows[name] = {
+        label = "+".join(names)
+        rows[label] = {
             "us_per_slot": round(stage_t * 1e6, 2),
             "model_bound_us": round(bound * 1e6, 2),
             "pct_of_model": round(100 * bound / stage_t, 1),
             "binds": binds,
             "model_note": m["note"],
         }
-        print("DEEP", name, rows[name], flush=True)
+        print("DEEP", label, rows[label], flush=True)
 
+    from ft8_demodulator_tpu.ops.sync import _sync_backend
     deep_out = {
         "preset": "DEEP_SEARCH (osr 4x4, K=40, min_score=1, OSD, "
                   "mf_first)",
         "batch": DEEP_BATCH, "chunk": CHUNK, "reps": REPS,
+        "sync_backend": _sync_backend(),
         "stages": rows,
         "full_decode_us_per_slot": round(times[-1] * 1e6, 2),
         "slots_per_sec": round(1.0 / times[-1], 1),

@@ -191,11 +191,12 @@ def sync_scores_tf(mag_tf: jnp.ndarray, g: SearchGrid) -> jnp.ndarray:
     The pre-roll/main split follows sync_scores: left-padding only a small
     leading time slice keeps the main body reading the unpadded grid.
 
-    FT8_SYNC_BACKEND=mxu routes to :func:`sync_scores_tf_mxu` (stencil
+    On TPU this routes to :func:`sync_scores_tf_mxu` by default (stencil
     folded into per-residue matmuls; same scores up to accumulation
-    order — see the MXU-recast comment block below).
+    order — see the MXU-recast comment block below); on CPU the exact
+    stencil stays the default.  FT8_SYNC_BACKEND overrides either way.
     """
-    if _SYNC_BACKEND == "mxu" and g.num_times > 0:
+    if _sync_backend() == "mxu" and g.num_times > 0:
         return sync_scores_tf_mxu(mag_tf, g)
     main_cols = g.num_times + g.t_start
     main_right_pad = main_cols + (C.NUM_SYMBOLS - 1) * g.time_osr \
@@ -280,16 +281,34 @@ def _sync_scores_tf_impl(mag_tf: jnp.ndarray, g: SearchGrid) -> jnp.ndarray:
 #
 # NOT bit-identical to the stencil (matmul accumulation order + one bf16
 # operand pass at DEFAULT); decode-mask equivalence at cliff SNRs is the
-# acceptance test (benchmarks/precision_masks.py pattern), and CPU tests
-# assert allclose + identical decode sets.  Opt in with
-# FT8_SYNC_BACKEND=mxu; precision via FT8_SYNC_MXU_PRECISION.
+# acceptance evidence: per-slot decode masks IDENTICAL to the 3-pass
+# bf16 stencil baseline over 512 slots at each of -20/-21/-22 dB on v5e
+# (benchmarks/results/precision_masks_v5e.json, sync_mxu arm), and the
+# whole decode pipeline runs 1.5x faster (bench.py: 15,780 -> 23,687
+# slots/s at 1024/1024 yield).  Default on TPU; the CPU default stays
+# the stencil, which is exact f32 there and keeps the bit-identical
+# (F, T)/(T, F) parity guarantee the CPU tests pin.  Override with
+# FT8_SYNC_BACKEND={stencil,mxu}; precision via FT8_SYNC_MXU_PRECISION.
 
-_SYNC_BACKEND = __import__("os").environ.get(
-    "FT8_SYNC_BACKEND", "stencil").lower()
+_SYNC_BACKEND_ENV = __import__("os").environ.get(
+    "FT8_SYNC_BACKEND", "").lower()
 _SYNC_MXU_PRECISION = getattr(
     jax.lax.Precision,
     __import__("os").environ.get("FT8_SYNC_MXU_PRECISION",
                                  "default").upper())
+
+
+@functools.lru_cache(maxsize=None)
+def _sync_backend() -> str:
+    """Resolved sync backend (lazy: jax.default_backend() initialises the
+    platform, which must not happen at library import)."""
+    if _SYNC_BACKEND_ENV:
+        return _SYNC_BACKEND_ENV
+    try:
+        plat = jax.default_backend()
+    except Exception:        # no backend available at all
+        return "stencil"
+    return "stencil" if plat == "cpu" else "mxu"
 
 
 @functools.lru_cache(maxsize=None)
