@@ -64,6 +64,13 @@ ARMS = {
     "sync_mxu": {"FT8_DFT_PRECISION": "default",
                  "FT8_BP_PRECISION": "default",
                  "FT8_SYNC_BACKEND": "mxu"},
+    # the fused DFT->dB Pallas kernel (ops/waterfall_pallas.py) under
+    # the full shipping defaults (MXU sync included): certifies the
+    # kernel's MXU accumulation-split order vs the XLA matmuls
+    "dft_pallas": {"FT8_DFT_PRECISION": "default",
+                   "FT8_BP_PRECISION": "default",
+                   "FT8_SYNC_BACKEND": "mxu",
+                   "FT8_DFT_BACKEND": "pallas"},
 }
 
 

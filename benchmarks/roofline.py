@@ -103,28 +103,41 @@ def main():
     from ft8_demodulator_tpu.ops.llr import extract_llrs_tf
     from ft8_demodulator_tpu.ops.sync import find_candidates_tf
 
+    from ft8_demodulator_tpu.demod.decode import _dft_backend
+    if _dft_backend() == "pallas":
+        from ft8_demodulator_tpu.ops.waterfall_pallas import \
+            block_waterfall_tf_fused
+
+        def make_mag(w):
+            return block_waterfall_tf_fused(w, p, num_frames)
+    else:
+        def make_mag(w):
+            return _block_waterfall_tf(_block_spectrum(w, p, num_frames),
+                                       p, num_frames)
+
     def pre_spectra(w):
+        # NOTE: under the pallas front this prefix is the same fused
+        # kernel as pre_mag (the spectra never materialise); the
+        # spectra/epilogue split is then reported as one merged row
+        if _dft_backend() == "pallas":
+            return _r(make_mag(w))
         pr, pi = _block_spectrum(w, p, num_frames)
         return _r(pr) + _r(pi)
 
     def pre_mag(w):
-        mag = _block_waterfall_tf(_block_spectrum(w, p, num_frames), p,
-                                  num_frames)
-        return _r(mag)
+        return _r(make_mag(w))
 
     def pre_scores(w):
-        mag = _block_waterfall_tf(_block_spectrum(w, p, num_frames), p,
-                                  num_frames)
-        return _r(sync_scores_tf(mag, g))
+        return _r(sync_scores_tf(make_mag(w), g))
 
     def pre_cands(w):
-        mag = _block_waterfall_tf(_block_spectrum(w, p, num_frames), p,
-                                  num_frames)
-        t, f, v, ok = find_candidates_tf(sync_scores_tf(mag, g), g, K, 10.0)
+        t, f, v, ok = find_candidates_tf(
+            sync_scores_tf(make_mag(w), g), g, K, 10.0)
         return _r(t) + _r(f) + _r(v)
 
     def pre_llrs(w):
-        llrs, t, f, v, ok = _front_slot_tf(w, p, num_frames, g, K, 10.0)
+        from ft8_demodulator_tpu.demod.decode import _front_from_mag_tf
+        llrs, t, f, v, ok = _front_from_mag_tf(make_mag(w), g, K, 10.0)
         return _r(llrs)
 
     def chunked(fn):
@@ -301,6 +314,13 @@ def main():
            "sync_backend": __import__(
                "ft8_demodulator_tpu.ops.sync",
                fromlist=["_sync_backend"])._sync_backend(),
+           "dft_backend": _dft_backend(),
+           "dft_backend_note": (
+               "under the pallas DFT backend the spectra prefix IS the "
+               "fused mag kernel (spectra never materialise), so the "
+               "waterfall-epilogue row reads ~0 and the retile+block-DFT "
+               "row carries the whole fused pair"
+               if _dft_backend() == "pallas" else ""),
            "hbm_gbs": _HBM_GBS / 1e9, "mxu_tflops": _MXU_PEAK / 1e12,
            "vpu_tflops": _VPU_PEAK / 1e12, "stages": {},
            "demonstrated_ideals": {

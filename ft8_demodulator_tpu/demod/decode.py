@@ -296,8 +296,14 @@ def decode_slot(wave: jnp.ndarray, p: WaterfallParams, num_frames: int,
         # kept through sync -> top-k -> LLRs (frequency = lane axis; the
         # (F, T) stencil measured ~3.4x slower on v5e) — every stage
         # bit-identical to the (F, T) pipeline, tests/test_tf_layout.py
-        spec = _block_spectrum(wave, p, num_frames)
-        mag_tf = _block_waterfall_tf(spec, p, num_frames)
+        if mf_first or _dft_backend() != "pallas":
+            # mf_first reuses the raw block spectra for the MF symbol
+            # DFTs, so the fused grid-only kernel does not apply there
+            spec = _block_spectrum(wave, p, num_frames)
+            mag_tf = _block_waterfall_tf(spec, p, num_frames)
+        else:
+            from ..ops.waterfall_pallas import block_waterfall_tf_fused
+            mag_tf = block_waterfall_tf_fused(wave, p, num_frames)
         scores = sync_scores_tf(mag_tf, g)
         abs_time, abs_freq, score, cand_valid = find_candidates_tf(
             scores, g, max_candidates, min_score)
@@ -335,6 +341,17 @@ def decode_slot(wave: jnp.ndarray, p: WaterfallParams, num_frames: int,
     return res
 
 
+def _front_from_mag_tf(mag_tf: jnp.ndarray, g: SearchGrid,
+                       max_candidates: int, min_score: float):
+    """Time-major dB grid -> sync -> top-K -> LLRs (no BP)."""
+    scores = sync_scores_tf(mag_tf, g)
+    abs_time, abs_freq, score, cand_valid = find_candidates_tf(
+        scores, g, max_candidates, min_score)
+    llrs = extract_llrs_tf(mag_tf, abs_time, abs_freq, g.time_osr,
+                           g.freq_osr, g.num_blocks)
+    return llrs, abs_time, abs_freq, score, cand_valid
+
+
 def _front_slot_tf(wave: jnp.ndarray, p: WaterfallParams, num_frames: int,
                    g: SearchGrid, max_candidates: int, min_score: float):
     """One slot's decode front half on the time-major fast path:
@@ -343,12 +360,27 @@ def _front_slot_tf(wave: jnp.ndarray, p: WaterfallParams, num_frames: int,
 
     spec = _block_spectrum(wave, p, num_frames)
     mag_tf = _block_waterfall_tf(spec, p, num_frames)
-    scores = sync_scores_tf(mag_tf, g)
-    abs_time, abs_freq, score, cand_valid = find_candidates_tf(
-        scores, g, max_candidates, min_score)
-    llrs = extract_llrs_tf(mag_tf, abs_time, abs_freq, g.time_osr,
-                           g.freq_osr, g.num_blocks)
-    return llrs, abs_time, abs_freq, score, cand_valid
+    return _front_from_mag_tf(mag_tf, g, max_candidates, min_score)
+
+
+_DFT_BACKEND_ENV = __import__("os").environ.get(
+    "FT8_DFT_BACKEND", "").lower()
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_backend() -> str:
+    """Waterfall front-end for decode_slots: "xla" (spectra + epilogue
+    fusions) or "pallas" (ops/waterfall_pallas.py fused kernel, spectra
+    never leave VMEM).  FT8_DFT_BACKEND overrides; by default pallas is
+    used on TPU (bench.py A/B: see DESIGN_NOTES round 4) and xla on CPU
+    (interpret-mode pallas there is for tests only)."""
+    if _DFT_BACKEND_ENV:
+        return _DFT_BACKEND_ENV
+    try:
+        plat = jax.default_backend()
+    except Exception:
+        return "xla"
+    return "xla" if plat == "cpu" else "pallas"
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -396,9 +428,20 @@ def decode_slots(waves: jnp.ndarray, p: WaterfallParams, num_frames: int,
             lambda x: x.reshape(b, *x.shape[2:]), res)
 
     g = search_grid(p.num_freq_bins, num_frames, p.time_osr, p.freq_osr)
-    llrs, abs_time, abs_freq, score, cand_valid = jax.lax.map(
-        jax.vmap(lambda w: _front_slot_tf(
-            w, p, num_frames, g, max_candidates, min_score)), chunked)
+    if _dft_backend() == "pallas":
+        from ..ops.waterfall_pallas import block_waterfall_tf_fused_batch
+
+        def front_chunk(wchunk):
+            mags = block_waterfall_tf_fused_batch(wchunk, p, num_frames)
+            return jax.vmap(lambda m: _front_from_mag_tf(
+                m, g, max_candidates, min_score))(mags)
+
+        llrs, abs_time, abs_freq, score, cand_valid = jax.lax.map(
+            front_chunk, chunked)
+    else:
+        llrs, abs_time, abs_freq, score, cand_valid = jax.lax.map(
+            jax.vmap(lambda w: _front_slot_tf(
+                w, p, num_frames, g, max_candidates, min_score)), chunked)
 
     bp_chunk = min(bp_chunk, b)
     while b % bp_chunk:

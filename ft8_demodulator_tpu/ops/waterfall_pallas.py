@@ -1,0 +1,179 @@
+"""Fused block-DFT -> dB-waterfall Pallas kernel (time-major output).
+
+The XLA pipeline computes the two block-DFT matmuls (ops/waterfall.py
+`_block_spectrum`) and then the epilogue (`_block_waterfall_tf`:
+per-block phase combine -> 3-tap Hann frequency stencil -> |.|^2 ->
+log10) as separate fusions, materialising the raw block spectra
+(~2.9 MB/slot written + read back) in between — the roofline's dominant
+stage pair (`benchmarks/results/roofline_v5e.json`).
+
+This kernel keeps the whole chain in VMEM per slot: the two DFT
+matrices are pre-cast to bf16 once (identical rounding to the
+production DEFAULT one-pass matmul's operand cast) and stay
+VMEM-resident across the slot grid (~7.1 MB of the ~16 MB scoped
+budget); each grid step DMAs one slot's blocks in (0.35 MB bf16),
+runs the matmuls in K-splits sized to the remaining VMEM, applies the
+combine/Hann/log10 epilogue on the VPU (measured fully hidden under
+the MXU), and writes only the final dB grid (1.4 MB).  The raw
+spectra never leave the chip.
+
+Measured on v5e (batch 256, chip experiments exp_j/l/m): 23.7 us/slot
+vs 30.4 for the XLA spectra+epilogue pair standalone — the epilogue
+and the spectra round-trip are both eliminated; the residual is the
+DFT matmul itself, which Mosaic and XLA both run at ~60 TFLOP/s for
+this (192, 960) @ (960, 3848) bf16 shape (kernel stage attribution:
+one matmul 19.4 us, both 23.8, epilogue +0.0).
+
+Numerics: same bf16 operand rounding as the XLA DEFAULT path (on-chip
+max deviation vs the XLA grid measured 1.5e-5 dB); acceptance follows
+the sync-MXU pattern — CPU tests assert parity against a
+bf16-operand reference + identical decode sets, and the chip-side
+certificate is a precision-mask arm (benchmarks/precision_masks.py,
+dft_pallas).
+
+Opt in with FT8_DFT_BACKEND=pallas (resolved lazily per platform in
+demod/decode.py; XLA remains the default until the in-pipeline A/B
+says otherwise — see DESIGN_NOTES round 4).
+
+Reference semantics anchor: spectrogram_analyse.py (scipy STFT) via the
+block-DFT decomposition documented in ops/waterfall.py:142-210.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .waterfall import (WaterfallParams, _block_combine_phases,
+                        _block_dft_matrices, _DB_FLOOR, _hann_periodic)
+
+__all__ = ["block_waterfall_tf_fused_batch", "block_waterfall_tf_fused"]
+
+_ROW_PAD = 8          # pad nb block rows up to a multiple of this
+
+
+def _splits(nbins: int) -> int:
+    """K-split factor: VMEM scratch per split is ~4 arrays of
+    (rows, nbins/splits + halo) f32; 4 splits keeps a 1920-bin geometry
+    well inside the ~16 MB scoped-VMEM limit (2 splits measured equal
+    within noise; 4 is the safer default for larger geometries)."""
+    for k in (4, 2, 1):
+        if nbins % k == 0:
+            return k
+    return 1
+
+
+@functools.lru_cache(maxsize=8)
+def _fused_constants(p: WaterfallParams):
+    """(cos, sin) bf16 (hop, kx) and (wc, ws) f32 (time_osr, kx) host
+    constants plus the dB scale, cached per geometry."""
+    import ml_dtypes
+
+    cos_m, sin_m = _block_dft_matrices(p.hop, p.nfft, p.num_freq_bins,
+                                       p.freq_osr)
+    wc, ws = _block_combine_phases(p)
+    scale = 1.0 / float(np.sum(_hann_periodic(p.nperseg)) ** 2)
+    # pre-bf16 matrices: identical rounding to the DEFAULT one-pass MXU
+    # matmul's operand cast, and half the VMEM (they stay resident).
+    # HOST arrays (ml_dtypes), never jnp: this cache is populated inside
+    # jit traces and device arrays would leak tracers.
+    to_bf16 = lambda a: a.astype(ml_dtypes.bfloat16)
+    return to_bf16(cos_m), to_bf16(sin_m), wc, ws, scale
+
+
+def _kernel(p: WaterfallParams, num_frames: int, nbins: int, rows: int,
+            blocks_ref, cos_ref, sin_ref, wc_ref, ws_ref, out_ref):
+    tau, phi = p.time_osr, p.freq_osr
+    splits = _splits(nbins)
+    part = nbins // splits
+    ext_w = part + 2 * phi
+    scale = _fused_constants(p)[4]
+
+    bl = blocks_ref[0]
+    for h in range(splits):
+        e0 = h * part
+        pr = jnp.dot(bl, cos_ref[:, e0: e0 + ext_w],
+                     preferred_element_type=jnp.float32)
+        pi = jnp.dot(bl, sin_ref[:, e0: e0 + ext_w],
+                     preferred_element_type=jnp.float32)
+
+        ur = jnp.zeros((num_frames, ext_w), jnp.float32)
+        ui = ur
+        for s in range(tau):
+            prs = pr[s: s + num_frames]
+            pis = pi[s: s + num_frames]
+            c = wc_ref[s, e0: e0 + ext_w]
+            d = ws_ref[s, e0: e0 + ext_w]
+            ur = ur + prs * c - pis * d
+            ui = ui + prs * d + pis * c
+
+        def hann(u):
+            return (0.5 * u[:, phi: phi + part]
+                    - 0.25 * u[:, : part]
+                    - 0.25 * u[:, 2 * phi: 2 * phi + part])
+
+        xr = hann(ur)
+        xi = hann(ui)
+        power = xr * xr + xi * xi
+        out_ref[0, :num_frames, e0: e0 + part] = \
+            10.0 * jnp.log10(_DB_FLOOR + power * scale)
+        # rows >= num_frames exist only for sublane alignment; a defined
+        # finite value means downstream reductions can never see NaNs
+        if rows > num_frames:
+            out_ref[0, num_frames:, e0: e0 + part] = jnp.full(
+                (rows - num_frames, part), 10.0 * np.log10(_DB_FLOOR),
+                jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "num_frames",
+                                             "interpret"))
+def block_waterfall_tf_fused_batch(waves: jnp.ndarray, p: WaterfallParams,
+                                   num_frames: int,
+                                   interpret: bool = False) -> jnp.ndarray:
+    """Real audio (B, n) -> time-major dB waterfalls (B, num_frames, nbins).
+
+    Value-equivalent to ``vmap(_block_waterfall_tf(_block_spectrum(.)))``
+    up to MXU accumulation split order (~1.5e-5 dB measured on v5e;
+    bit-level bf16 operand rounding identical).  Requires the block
+    geometry (hop * time_osr == nperseg, nfft == freq_osr * nperseg).
+    """
+    if p.num_freq_bins % _splits(p.num_freq_bins):
+        raise ValueError("fused waterfall kernel needs a bin count "
+                         "divisible by its K-split factor")
+    nbins = p.num_freq_bins
+    nb = num_frames + p.time_osr - 1
+    rows = -(-nb // _ROW_PAD) * _ROW_PAD
+    b = waves.shape[0]
+
+    cos_m, sin_m, wc, ws, _ = _fused_constants(p)
+
+    blocks = waves[..., : nb * p.hop].reshape(b, nb, p.hop)
+    blocks = jnp.pad(blocks, ((0, 0), (0, rows - nb), (0, 0))) \
+        .astype(jnp.bfloat16)
+
+    kernel = functools.partial(_kernel, p, num_frames, nbins, rows)
+    grid_out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, rows, nbins), jnp.float32),
+        in_specs=[pl.BlockSpec((1, rows, p.hop), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=pl.BlockSpec((1, rows, nbins), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        grid=(b,),
+        interpret=interpret,
+    )(blocks, cos_m, sin_m, jnp.asarray(wc), jnp.asarray(ws))
+    return grid_out[:, :num_frames]
+
+
+def block_waterfall_tf_fused(wave: jnp.ndarray, p: WaterfallParams,
+                             num_frames: int,
+                             interpret: bool = False) -> jnp.ndarray:
+    """Single-slot convenience wrapper: (n,) -> (num_frames, nbins)."""
+    return block_waterfall_tf_fused_batch(wave[None], p, num_frames,
+                                          interpret=interpret)[0]
