@@ -117,11 +117,15 @@ def _flop_model(p, num_frames: int, k: int, bp_iters: int) -> dict:
     # hardware passes follow the live precision settings (bf16 passes per
     # f32 matmul: DEFAULT=1, HIGH=3, HIGHEST=6); parity checks are HIGHEST
     from ft8_demodulator_tpu.ops.ldpc_decode import _BP_PRECISION
+    from ft8_demodulator_tpu.ops.llr import _LLR_PRECISION
     from ft8_demodulator_tpu.ops.waterfall import _DFT_PRECISION
     np_ = {"DEFAULT": 1, "HIGH": 3, "HIGHEST": 6}
     dft_p = np_[_DFT_PRECISION.name]
     bp_p = np_[_BP_PRECISION.name]
-    mxu_hw = dft_p * dft + 3 * llr + bp_p * bp_route + 6 * bp_check
+    llr_p = np_[_LLR_PRECISION.name]
+    # parity/CRC check matmuls run at DEFAULT since round 4 (0/1
+    # operands are bf16-exact, integer dot products <= 77 in f32)
+    mxu_hw = dft_p * dft + llr_p * llr + bp_p * bp_route + 1 * bp_check
     return {
         "stages": model,
         "total_model": sum(model.values()),

@@ -49,28 +49,46 @@ SNRS = (-20.0, -21.0, -22.0)
 # uninformative); 1.0 is what benchmarks/snr_curve.py measures with
 MIN_SCORE = 1.0
 
+# every arm pins FT8_LLR_PRECISION explicitly: the LLR selection
+# matmuls moved HIGH -> DEFAULT in round 4, and the historical arms
+# keep their original meaning (LLR at high) so committed results stay
+# comparable across code versions
 ARMS = {
-    "high_high": {"FT8_DFT_PRECISION": "high", "FT8_BP_PRECISION": "high"},
+    "high_high": {"FT8_DFT_PRECISION": "high", "FT8_BP_PRECISION": "high",
+                  "FT8_LLR_PRECISION": "high"},
     "dft_default": {"FT8_DFT_PRECISION": "default",
-                    "FT8_BP_PRECISION": "high"},
+                    "FT8_BP_PRECISION": "high",
+                    "FT8_LLR_PRECISION": "high"},
     "bp_default": {"FT8_DFT_PRECISION": "high",
-                   "FT8_BP_PRECISION": "default"},
+                   "FT8_BP_PRECISION": "default",
+                   "FT8_LLR_PRECISION": "high"},
     "default_default": {"FT8_DFT_PRECISION": "default",
-                        "FT8_BP_PRECISION": "default"},
+                        "FT8_BP_PRECISION": "default",
+                        "FT8_LLR_PRECISION": "high"},
     # the MXU recast of the sync stencil (ops/sync.py sync_scores_tf_mxu)
     # on top of the shipping precision defaults: same 84 terms folded
     # into matmuls, so this arm certifies both the accumulation-order
     # change and the bf16 operand pass of the score matmul
     "sync_mxu": {"FT8_DFT_PRECISION": "default",
                  "FT8_BP_PRECISION": "default",
+                 "FT8_LLR_PRECISION": "high",
                  "FT8_SYNC_BACKEND": "mxu"},
     # the fused DFT->dB Pallas kernel (ops/waterfall_pallas.py) under
     # the full shipping defaults (MXU sync included): certifies the
     # kernel's MXU accumulation-split order vs the XLA matmuls
     "dft_pallas": {"FT8_DFT_PRECISION": "default",
                    "FT8_BP_PRECISION": "default",
+                   "FT8_LLR_PRECISION": "high",
                    "FT8_SYNC_BACKEND": "mxu",
                    "FT8_DFT_BACKEND": "pallas"},
+    # the FULL shipping defaults incl. LLR selection at DEFAULT (one
+    # bf16 pass on the selected dB values, ~0.1 dB -- the same rounding
+    # BP's DEFAULT applies to the very same LLRs one stage later)
+    "llr_default": {"FT8_DFT_PRECISION": "default",
+                    "FT8_BP_PRECISION": "default",
+                    "FT8_LLR_PRECISION": "default",
+                    "FT8_SYNC_BACKEND": "mxu",
+                    "FT8_DFT_BACKEND": "pallas"},
 }
 
 

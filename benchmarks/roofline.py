@@ -266,6 +266,8 @@ def main():
     passes = {"HIGHEST": 6, "HIGH": 3, "DEFAULT": 1}
     dft_p = passes[_DFT_PRECISION.name]
     bp_p = passes[ld._BP_PRECISION.name]
+    from ft8_demodulator_tpu.ops.llr import _LLR_PRECISION
+    llr_p = passes[_LLR_PRECISION.name]
     sync_b = 2 if _SYNC_DTYPE == jnp.bfloat16 else 4
     f32 = 4
     grid_b = p.num_freq_bins * num_frames * f32
@@ -284,8 +286,8 @@ def main():
         "top-k-select": dict(
             mxu=0, vpu=2 * g.num_freqs * g.num_times, bytes=score_b),
         "llr-extract": dict(
-            mxu=3 * 2 * (K * 8) * p.num_freq_bins * num_frames, vpu=0,
-            bytes=grid_b + K * 174 * f32),
+            mxu=llr_p * 2 * (K * 8) * p.num_freq_bins * num_frames,
+            vpu=0, bytes=grid_b + K * 174 * f32),
         "ldpc-bp+crc(flat)": dict(
             mxu=BP_ITERS * K * (bp_p * 2 * (2 * 522 * 581)
                                 + 1 * 2 * 174 * 83) + K * 2 * (2 * 174 * 14),

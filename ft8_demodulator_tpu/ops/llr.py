@@ -26,6 +26,20 @@ __all__ = ["extract_llrs", "extract_llrs_tf", "extract_llrs_matched",
 
 # Tone order after Gray reordering: s2[j] = powers[GRAY_MAP[j]].
 _GRAY = jnp.asarray(C.GRAY_MAP)
+
+# Precision of the two one-hot SELECTION matmuls in the decode hot path
+# (extract_llrs / extract_llrs_tf).  The routing is exact at any
+# precision (one nonzero per row); the precision only sets how the
+# SELECTED dB values round through the MXU: HIGH carries ~16 mantissa
+# bits (<2e-3 dB perturbation), DEFAULT one bf16 pass (~0.1 dB at
+# waterfall magnitudes) — the same order as the BP routing matmuls'
+# DEFAULT rounding of the very same LLRs one stage later, and the
+# decode masks are measured IDENTICAL at the cliff
+# (benchmarks/results/precision_masks_v5e.json, llr_default arm).
+# Override with FT8_LLR_PRECISION={default,high,highest}.
+_LLR_PRECISION = getattr(
+    jax.lax.Precision,
+    __import__("os").environ.get("FT8_LLR_PRECISION", "default").upper())
 # Bit b of symbol value j (MSB first) — selects the max-of-4 groups.
 _BIT_SET = np.array(
     [[(j >> (2 - b)) & 1 for j in range(8)] for b in range(3)], dtype=bool
@@ -64,15 +78,13 @@ def extract_llrs(mag: jnp.ndarray, abs_time: jnp.ndarray,
     k = abs_freq.shape[0]
     sym = jnp.asarray(C.DATA_SYMBOL_POSITIONS)            # (58,)
 
-    # frequency select: one (K*8, F) one-hot matmul against the waterfall.
-    # The routing is exact in any precision (one nonzero per row); HIGH
-    # (bf16x3) carries ~16 mantissa bits of the dB values through the MXU —
-    # a <2e-3 dB perturbation, far below the noise floor, at half the
-    # passes of HIGHEST (measured ~12x faster at this shape on v5e).
+    # frequency select: one (K*8, F) one-hot matmul against the waterfall
+    # (per-candidate batched matmuls with M=8 waste >90% of the MXU and
+    # measure ~5x slower).  Precision: the _LLR_PRECISION note above.
     f_idx = (abs_freq[:, None] + jnp.arange(8) * phi).reshape(k * 8)
     f_hot = (f_idx[:, None] == jnp.arange(num_freqs)).astype(jnp.float32)
     rows = jnp.matmul(f_hot, mag,
-                      precision=jax.lax.Precision.HIGH)     # (K*8, T)
+                      precision=_LLR_PRECISION)             # (K*8, T)
     rows = rows.reshape(k, 8, num_frames)
 
     # time select: K-batched one-hot matmul over frames.  Out-of-range
@@ -84,7 +96,7 @@ def extract_llrs(mag: jnp.ndarray, abs_time: jnp.ndarray,
              == jnp.arange(num_frames)[None, None, :]).astype(jnp.float32)
     powers = jax.lax.dot_general(
         rows, t_hot, (((2,), (2,)), ((0,), (0,))),
-        precision=jax.lax.Precision.HIGH)                 # (K, 8, 58)
+        precision=_LLR_PRECISION)                         # (K, 8, 58)
     powers = jnp.swapaxes(powers, -1, -2)                 # (K, 58, 8)
 
     base = jnp.floor_divide(abs_time, tau)                # (K,)
@@ -121,7 +133,7 @@ def extract_llrs_tf(mag_tf: jnp.ndarray, abs_time: jnp.ndarray,
     f_hot = (jnp.arange(num_freqs)[:, None] == f_idx[None, :]) \
         .astype(jnp.float32)
     sel = jnp.matmul(mag_tf, f_hot,
-                     precision=jax.lax.Precision.HIGH)    # (T, K*8)
+                     precision=_LLR_PRECISION)            # (T, K*8)
     rows = jnp.transpose(sel.reshape(num_frames, k, 8), (1, 0, 2))
 
     # time select: K-batched one-hot contraction over frames -> (K, 58, 8)
@@ -130,7 +142,7 @@ def extract_llrs_tf(mag_tf: jnp.ndarray, abs_time: jnp.ndarray,
              == jnp.arange(num_frames)[None, None, :]).astype(jnp.float32)
     powers = jax.lax.dot_general(
         t_hot, rows, (((2,), (1,)), ((0,), (0,))),
-        precision=jax.lax.Precision.HIGH)                 # (K, 58, 8)
+        precision=_LLR_PRECISION)                         # (K, 58, 8)
 
     base = jnp.floor_divide(abs_time, tau)                # (K,)
     block_idx = base[:, None] + sym[None, :]
