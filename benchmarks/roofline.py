@@ -100,7 +100,6 @@ def main():
     def _r(x):
         return jnp.sum(x.astype(jnp.float32).ravel()[:128])
 
-    from ft8_demodulator_tpu.ops.llr import extract_llrs_tf
     from ft8_demodulator_tpu.ops.sync import find_candidates_tf
 
     from ft8_demodulator_tpu.demod.decode import _dft_backend
