@@ -8,8 +8,8 @@ scalar SGP4 calls in the reference (channel.py:254-309) — is fully
 vectorised: one batched propagation over the whole time grid.
 
 Orbit propagation stays host-side NumPy by design (SURVEY §7.8); the Doppler
-*application* to signals lives in ft8_demodulator_tpu.channel.doppler as
-jitted JAX ops.
+*application* to signals lives in ft8_demodulator_tpu.channel.doppler
+(float64 host-side phase + device rotate — see that module's docstring).
 """
 
 from __future__ import annotations

@@ -1,9 +1,18 @@
-"""JAX channel ops: Doppler application/compensation and AWGN.
+"""Channel ops: Doppler application/compensation and AWGN.
 
-Device-side counterparts of the reference's channel test scripts
+Counterparts of the reference's channel test scripts
 (src/tests/channel/test_signal_after_channel.py:49-59,
 test_signal_processing.py:40-49).  Complex signals cross the host boundary
 as stacked (..., n, 2) float32 [real, imag].
+
+HOST-SIDE PHASE, by design: the Doppler/compensation ops compute their
+phase in float64 numpy on the host and only the final rotate runs on
+device (jit-compatible in the wave argument, NOT in doppler_hz/slope —
+those must be concrete).  A float32 device phase accumulates ~0.1-cycle
+staircase noise over a minutes-long capture (~1e5-1e6 cycles), which
+measurably biases any receiver arm that relies on the compensation
+(round-3 advisor finding; see _phase_to_cycles).  add_complex_awgn and
+decimate remain pure jitted device ops.
 """
 
 from __future__ import annotations
@@ -14,7 +23,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["apply_doppler", "compensate_linear_doppler", "add_complex_awgn",
+__all__ = ["apply_doppler", "apply_doppler_physical",
+           "compensate_linear_doppler",
+           "compensate_linear_doppler_physical", "add_complex_awgn",
            "decimate"]
 
 

@@ -296,7 +296,7 @@ def decode_slot(wave: jnp.ndarray, p: WaterfallParams, num_frames: int,
         # kept through sync -> top-k -> LLRs (frequency = lane axis; the
         # (F, T) stencil measured ~3.4x slower on v5e) — every stage
         # bit-identical to the (F, T) pipeline, tests/test_tf_layout.py
-        if mf_first or _dft_backend() != "pallas":
+        if mf_first or not _use_fused_waterfall(p):
             # mf_first reuses the raw block spectra for the MF symbol
             # DFTs, so the fused grid-only kernel does not apply there
             spec = _block_spectrum(wave, p, num_frames)
@@ -374,13 +374,21 @@ def _dft_backend() -> str:
     never leave VMEM).  FT8_DFT_BACKEND overrides; by default pallas is
     used on TPU (bench.py A/B: see DESIGN_NOTES round 4) and xla on CPU
     (interpret-mode pallas there is for tests only)."""
-    if _DFT_BACKEND_ENV:
-        return _DFT_BACKEND_ENV
-    try:
-        plat = jax.default_backend()
-    except Exception:
-        return "xla"
-    return "xla" if plat == "cpu" else "pallas"
+    from ..utils.backend import resolve_backend
+    return resolve_backend(_DFT_BACKEND_ENV, accel_default="pallas",
+                           cpu_default="xla")
+
+
+@functools.lru_cache(maxsize=32)
+def _use_fused_waterfall(p: WaterfallParams) -> bool:
+    """The fused kernel serves this decode only when the backend
+    preference says pallas AND the geometry fits its VMEM budget
+    (fused_waterfall_ok: e.g. fs >= 20 kHz at osr 2x2 overflows the
+    resident-matrix budget and falls back to the XLA pair)."""
+    if _dft_backend() != "pallas":
+        return False
+    from ..ops.waterfall_pallas import fused_waterfall_ok
+    return fused_waterfall_ok(p)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -428,7 +436,7 @@ def decode_slots(waves: jnp.ndarray, p: WaterfallParams, num_frames: int,
             lambda x: x.reshape(b, *x.shape[2:]), res)
 
     g = search_grid(p.num_freq_bins, num_frames, p.time_osr, p.freq_osr)
-    if _dft_backend() == "pallas":
+    if _use_fused_waterfall(p):
         from ..ops.waterfall_pallas import block_waterfall_tf_fused_batch
 
         def front_chunk(wchunk):

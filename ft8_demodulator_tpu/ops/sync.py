@@ -302,13 +302,9 @@ _SYNC_MXU_PRECISION = getattr(
 def _sync_backend() -> str:
     """Resolved sync backend (lazy: jax.default_backend() initialises the
     platform, which must not happen at library import)."""
-    if _SYNC_BACKEND_ENV:
-        return _SYNC_BACKEND_ENV
-    try:
-        plat = jax.default_backend()
-    except Exception:        # no backend available at all
-        return "stencil"
-    return "stencil" if plat == "cpu" else "mxu"
+    from ..utils.backend import resolve_backend
+    return resolve_backend(_SYNC_BACKEND_ENV, accel_default="mxu",
+                           cpu_default="stencil")
 
 
 @functools.lru_cache(maxsize=None)

@@ -52,9 +52,39 @@ from jax.experimental.pallas import tpu as pltpu
 from .waterfall import (WaterfallParams, _block_combine_phases,
                         _block_dft_matrices, _DB_FLOOR, _hann_periodic)
 
-__all__ = ["block_waterfall_tf_fused_batch", "block_waterfall_tf_fused"]
+__all__ = ["block_waterfall_tf_fused_batch", "block_waterfall_tf_fused",
+           "fused_waterfall_ok"]
 
 _ROW_PAD = 8          # pad nb block rows up to a multiple of this
+
+# The two bf16 DFT matrices stay VMEM-resident for the whole grid; the
+# chip's scoped VMEM budget caps how big they may be.  Measured on v5e:
+# 7.4 MB resident (12 kHz @ osr 4x4) compiles and runs; 20.5 MB
+# (20 kHz @ 2x2) fails Mosaic compilation.  12 MB leaves headroom for
+# the per-program blocks/out/scratch buffers.
+_MAX_RESIDENT_BYTES = 12 * 1024 * 1024
+
+
+def fused_waterfall_ok(p: WaterfallParams, platform: str | None = None
+                       ) -> bool:
+    """Can the fused kernel serve this geometry on this platform?
+
+    False on CPU (interpret mode is for tests only) and on any platform
+    other than TPU (the kernel uses pltpu memory spaces), and for
+    geometries whose resident DFT matrices exceed the measured VMEM
+    budget (e.g. fs >= 20 kHz at osr 2x2) — callers fall back to the
+    XLA spectra+epilogue pair there.  `platform` overrides the live
+    backend probe (for tests)."""
+    if platform is None:
+        try:
+            import jax as _jax
+            platform = _jax.default_backend()
+        except Exception:
+            return False
+    if platform not in ("tpu", "axon"):
+        return False
+    kx = p.num_freq_bins + 2 * p.freq_osr
+    return 2 * p.hop * kx * 2 <= _MAX_RESIDENT_BYTES
 
 
 def _splits(nbins: int) -> int:
@@ -142,9 +172,6 @@ def block_waterfall_tf_fused_batch(waves: jnp.ndarray, p: WaterfallParams,
     bit-level bf16 operand rounding identical).  Requires the block
     geometry (hop * time_osr == nperseg, nfft == freq_osr * nperseg).
     """
-    if p.num_freq_bins % _splits(p.num_freq_bins):
-        raise ValueError("fused waterfall kernel needs a bin count "
-                         "divisible by its K-split factor")
     nbins = p.num_freq_bins
     nb = num_frames + p.time_osr - 1
     rows = -(-nb // _ROW_PAD) * _ROW_PAD

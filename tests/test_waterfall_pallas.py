@@ -103,3 +103,26 @@ def test_fused_front_decode_set_identical(rng):
             decoded["pallas"].add(bytes(row))
         assert bytes(payload) in decoded["xla"], f"trial {trial}"
     assert decoded["xla"] == decoded["pallas"]
+
+
+def test_fused_waterfall_applicability_guard():
+    """Geometry/platform gate (code-review r4 finding): the fused kernel
+    keeps both bf16 DFT matrices VMEM-resident, and fs >= 20 kHz at
+    osr 2x2 exceeds the measured budget (20.5 MB resident fails Mosaic
+    compilation on v5e; 7.4 MB at 12 kHz 4x4 compiles) — decode must
+    fall back to the XLA pair there instead of failing to compile."""
+    from ft8_demodulator_tpu.ops.waterfall_pallas import fused_waterfall_ok
+
+    ok = lambda fs, osr: fused_waterfall_ok(
+        waterfall_params(fs, *osr), platform="tpu")
+    assert ok(12000.0, (2, 2))
+    assert ok(12000.0, (4, 4))
+    assert ok(2000.0, (2, 2))
+    assert not ok(20000.0, (2, 2))     # the off-air WAV capture rate
+    assert not ok(24000.0, (2, 2))
+    assert not ok(20000.0, (4, 4))
+    # never on CPU (interpret mode is test-only) or GPU (pltpu spaces)
+    assert not fused_waterfall_ok(waterfall_params(12000.0, 2, 2),
+                                  platform="cpu")
+    assert not fused_waterfall_ok(waterfall_params(12000.0, 2, 2),
+                                  platform="cuda")
