@@ -391,6 +391,29 @@ def _use_fused_waterfall(p: WaterfallParams) -> bool:
     return fused_waterfall_ok(p)
 
 
+_FUSED_SYNC_ENV = __import__("os").environ.get(
+    "FT8_FUSED_SYNC", "off").lower()
+
+
+@functools.lru_cache(maxsize=32)
+def _use_fused_waterfall_sync(p: WaterfallParams, g) -> bool:
+    """Combined waterfall+sync kernel (ops/waterfall_pallas.py),
+    OFF by default: the per-residue sync matmuls need a stride-tau
+    sublane read of the VMEM grid, which Mosaic cannot lower
+    ("strided_load: last dim size is not 128"), and the dense
+    workaround doubles the sync FLOPs to ~parity with the shipped
+    two-step form (XLA sync stage: ~4.6 us/slot at batch 256) — kept
+    as a documented experiment behind FT8_FUSED_SYNC=auto
+    (interpret-mode tests keep it correct; see DESIGN_NOTES r4)."""
+    if _FUSED_SYNC_ENV != "auto" or not _use_fused_waterfall(p):
+        return False
+    from ..ops.sync import _sync_backend
+    if _sync_backend() != "mxu":
+        return False
+    from ..ops.waterfall_pallas import fused_waterfall_sync_ok
+    return fused_waterfall_sync_ok(p, g)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "p", "num_frames", "max_candidates", "max_iterations", "use_osd",
     "chunk", "bp_chunk"))
@@ -436,7 +459,26 @@ def decode_slots(waves: jnp.ndarray, p: WaterfallParams, num_frames: int,
             lambda x: x.reshape(b, *x.shape[2:]), res)
 
     g = search_grid(p.num_freq_bins, num_frames, p.time_osr, p.freq_osr)
-    if _use_fused_waterfall(p):
+    if _use_fused_waterfall_sync(p, g):
+        from ..ops.waterfall_pallas import \
+            block_waterfall_sync_tf_fused_batch
+
+        def front_chunk(wchunk):
+            mags, scores = block_waterfall_sync_tf_fused_batch(
+                wchunk, p, num_frames, g)
+
+            def rest(m, s):
+                abs_time, abs_freq, sc, ok = find_candidates_tf(
+                    s, g, max_candidates, min_score)
+                llr = extract_llrs_tf(m, abs_time, abs_freq, g.time_osr,
+                                      g.freq_osr, g.num_blocks)
+                return llr, abs_time, abs_freq, sc, ok
+
+            return jax.vmap(rest)(mags, scores)
+
+        llrs, abs_time, abs_freq, score, cand_valid = jax.lax.map(
+            front_chunk, chunked)
+    elif _use_fused_waterfall(p):
         from ..ops.waterfall_pallas import block_waterfall_tf_fused_batch
 
         def front_chunk(wchunk):

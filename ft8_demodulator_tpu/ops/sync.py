@@ -375,6 +375,31 @@ def _sync_mxu_weights(g: SearchGrid, num_frames: int):
     return per_residue, count, left, right
 
 
+@functools.lru_cache(maxsize=None)
+def _sync_mxu_weights_frames(g: SearchGrid, num_frames: int):
+    """:func:`_sync_mxu_weights` re-based from padded-grid columns to
+    FRAME indices, for consumers that hold the unpadded
+    (num_frames, kx) grid in registers/VMEM (the fused waterfall+sync
+    Pallas kernel).  The stencil masks guarantee no weight ever reads
+    the zero padding, so trimming the pad columns is lossless
+    (asserted).  Returns (per-residue list of
+    (W_stack (8*n_out, n_in), frame0, n_out), count)."""
+    tau = g.time_osr
+    per_residue, count, left, right = _sync_mxu_weights(g, num_frames)
+    out = []
+    for ws, rs, n_out in per_residue:
+        # padded column q <-> padded index rs + q*tau <-> frame index
+        # rs + q*tau - left; keep only columns landing in [0, num_frames)
+        q_start = max(0, -(-(left - rs) // tau))
+        q_end = -(-(left + num_frames - rs) // tau)
+        assert not ws[:, :q_start].any(), "weight reads left padding"
+        assert not ws[:, q_end:].any(), "weight reads right padding"
+        frame0 = rs + q_start * tau - left
+        out.append((np.ascontiguousarray(ws[:, q_start:q_end]),
+                    frame0, n_out))
+    return out, count
+
+
 @functools.partial(jax.jit, static_argnames=("g",))
 def sync_scores_tf_mxu(mag_tf: jnp.ndarray, g: SearchGrid) -> jnp.ndarray:
     """TIME-MAJOR waterfall (T, F) -> sync score grid via MXU matmuls.

@@ -204,3 +204,108 @@ def block_waterfall_tf_fused(wave: jnp.ndarray, p: WaterfallParams,
     """Single-slot convenience wrapper: (n,) -> (num_frames, nbins)."""
     return block_waterfall_tf_fused_batch(wave[None], p, num_frames,
                                           interpret=interpret)[0]
+
+
+# ---------------------------------------------------------------------------
+# waterfall + sync in ONE kernel
+# ---------------------------------------------------------------------------
+# The MXU sync recast (ops/sync.py sync_scores_tf_mxu) consumes the dB
+# grid the waterfall kernel just wrote to HBM.  Fusing it into the same
+# kernel reads the grid straight from the VMEM out block — the sync
+# stage's HBM grid re-read and its separate XLA dispatch disappear; the
+# stencil-as-matmul weights are re-based to frame indices
+# (ops/sync.py _sync_mxu_weights_frames) so no padded copy is needed.
+
+
+def _kernel_with_sync(p: WaterfallParams, num_frames: int, nbins: int,
+                      rows: int, g, n_res: int, *refs):
+    (blocks_ref, cos_ref, sin_ref, wc_ref, ws_ref, count_ref,
+     *rest) = refs
+    w_refs = rest[:n_res]
+    grid_ref, scores_ref = rest[n_res], rest[n_res + 1]
+
+    _kernel(p, num_frames, nbins, rows,
+            blocks_ref, cos_ref, sin_ref, wc_ref, ws_ref, grid_ref)
+
+    from .sync import _sync_mxu_weights_frames
+    per_res, _count = _sync_mxu_weights_frames(g, num_frames)
+    tau, phi = g.time_osr, g.freq_osr
+    neg_inf = jnp.float32(-jnp.inf)
+    for s, ((w_np, frame0, n_out), w_ref) in enumerate(zip(per_res,
+                                                           w_refs)):
+        if n_out == 0:
+            continue
+        p_s = grid_ref[0, frame0::tau][:w_np.shape[1]] \
+            .astype(jnp.bfloat16)                      # (n_in, nbins)
+        m = jnp.dot(w_ref[...], p_s,
+                    preferred_element_type=jnp.float32)  # (8*n_out, nbins)
+        s_s = jnp.zeros((n_out, g.num_freqs), jnp.float32)
+        for df in range(8):
+            s_s = s_s + m[df * n_out: (df + 1) * n_out,
+                          df * phi: df * phi + g.num_freqs]
+        cnt = count_ref[s::tau][:n_out]                 # (n_out, 1)
+        s_s = jnp.where(cnt > 0, s_s / jnp.maximum(cnt, 1.0), neg_inf)
+        scores_ref[0, s::tau] = s_s
+
+
+@functools.partial(jax.jit, static_argnames=("p", "num_frames", "g",
+                                             "interpret"))
+def block_waterfall_sync_tf_fused_batch(waves: jnp.ndarray,
+                                        p: WaterfallParams,
+                                        num_frames: int, g,
+                                        interpret: bool = False):
+    """Real audio (B, n) -> (dB grids (B, num_frames, nbins),
+    sync scores (B, num_times, num_freqs)) in one kernel.
+
+    The grids equal :func:`block_waterfall_tf_fused_batch`; the scores
+    equal ``sync_scores_tf_mxu`` on those grids up to MXU accumulation
+    split order (same bf16 operand rounding).  Requires
+    ``g.num_times % 8 == 0`` sublane alignment (true for the standard
+    15-s geometries) — callers fall back otherwise.
+    """
+    nbins = p.num_freq_bins
+    nb = num_frames + p.time_osr - 1
+    rows = -(-nb // _ROW_PAD) * _ROW_PAD
+    b = waves.shape[0]
+
+    from .sync import _sync_mxu_weights_frames
+    per_res, count = _sync_mxu_weights_frames(g, num_frames)
+    cos_m, sin_m, wc, ws, _ = _fused_constants(p)
+
+    blocks = waves[..., : nb * p.hop].reshape(b, nb, p.hop)
+    blocks = jnp.pad(blocks, ((0, 0), (0, rows - nb), (0, 0))) \
+        .astype(jnp.bfloat16)
+    w_arrays = [np.ascontiguousarray(w_np, dtype=np.float32)
+                for (w_np, _f0, _no) in per_res]
+    import ml_dtypes
+    w_arrays = [w.astype(ml_dtypes.bfloat16) for w in w_arrays]
+    count_col = count.reshape(-1, 1).astype(np.float32)
+
+    kernel = functools.partial(_kernel_with_sync, p, num_frames, nbins,
+                               rows, g, len(per_res))
+    grid_out, scores_out = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((b, rows, nbins), jnp.float32),
+                   jax.ShapeDtypeStruct((b, g.num_times, g.num_freqs),
+                                        jnp.float32)),
+        in_specs=[pl.BlockSpec((1, rows, p.hop), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (4 + 1 + len(per_res)),
+        out_specs=(pl.BlockSpec((1, rows, nbins), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, g.num_times, g.num_freqs),
+                                lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        grid=(b,),
+        interpret=interpret,
+    )(blocks, cos_m, sin_m, jnp.asarray(wc), jnp.asarray(ws),
+      count_col, *w_arrays)
+    return grid_out[:, :num_frames], scores_out
+
+
+def fused_waterfall_sync_ok(p: WaterfallParams, g,
+                            platform: str | None = None) -> bool:
+    """Applicability of the combined waterfall+sync kernel: the base
+    kernel's geometry/platform gate plus sublane-aligned score rows."""
+    return (fused_waterfall_ok(p, platform=platform)
+            and g.num_times > 0 and g.num_times % _ROW_PAD == 0)

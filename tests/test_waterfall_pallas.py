@@ -126,3 +126,34 @@ def test_fused_waterfall_applicability_guard():
                                   platform="cpu")
     assert not fused_waterfall_ok(waterfall_params(12000.0, 2, 2),
                                   platform="cuda")
+
+
+def test_combined_waterfall_sync_kernel_interpret(rng):
+    """The combined waterfall+sync kernel (experimental, off by default:
+    Mosaic cannot lower its stride-tau sublane grid read on chip —
+    DESIGN_NOTES r4) stays correct in interpret mode: grids identical
+    to the waterfall kernel, scores matching sync_scores_tf_mxu to the
+    bf16-grid-operand tolerance with identical -inf masks."""
+    from ft8_demodulator_tpu.ops.sync import (search_grid,
+                                              sync_scores_tf_mxu)
+    from ft8_demodulator_tpu.ops.waterfall_pallas import (
+        block_waterfall_sync_tf_fused_batch, fused_waterfall_sync_ok)
+
+    p = waterfall_params(FS, 2, 2)
+    n = int(FS * 15)
+    num_frames = p.num_frames(n)
+    g = search_grid(p.num_freq_bins, num_frames, p.time_osr, p.freq_osr)
+    assert fused_waterfall_sync_ok(p, g, platform="tpu")
+    waves = jnp.asarray(rng.standard_normal((2, n)).astype(np.float32))
+    grids, scores = block_waterfall_sync_tf_fused_batch(
+        waves, p, num_frames, g, interpret=True)
+    ref_grids = block_waterfall_tf_fused_batch(waves, p, num_frames,
+                                               interpret=True)
+    np.testing.assert_array_equal(np.asarray(grids),
+                                  np.asarray(ref_grids))
+    for i in range(2):
+        ref = np.asarray(sync_scores_tf_mxu(ref_grids[i], g))
+        got = np.asarray(scores[i])
+        np.testing.assert_array_equal(np.isneginf(ref), np.isneginf(got))
+        fin = np.isfinite(ref)
+        np.testing.assert_allclose(got[fin], ref[fin], atol=0.15)
