@@ -416,10 +416,11 @@ def _use_fused_waterfall_sync(p: WaterfallParams, g) -> bool:
 
 @functools.partial(jax.jit, static_argnames=(
     "p", "num_frames", "max_candidates", "max_iterations", "use_osd",
-    "chunk", "bp_chunk"))
+    "mf_first", "chunk", "bp_chunk"))
 def decode_slots(waves: jnp.ndarray, p: WaterfallParams, num_frames: int,
                  max_candidates: int = 20, min_score: float = 10.0,
                  max_iterations: int = 20, use_osd: bool = False,
+                 mf_first: bool = False,
                  chunk: int = 16, bp_chunk: int = 256) -> SlotDecodeResult:
     """Batched real audio (B, n) -> SlotDecodeResult with (B, K) rows.
 
@@ -454,12 +455,34 @@ def decode_slots(waves: jnp.ndarray, p: WaterfallParams, num_frames: int,
         res = jax.lax.map(
             jax.vmap(lambda w: decode_slot(
                 w, p, num_frames, max_candidates, min_score,
-                max_iterations, use_osd=use_osd)), chunked)
+                max_iterations, use_osd=use_osd, mf_first=mf_first)),
+            chunked)
         return jax.tree_util.tree_map(
             lambda x: x.reshape(b, *x.shape[2:]), res)
 
     g = search_grid(p.num_freq_bins, num_frames, p.time_osr, p.freq_osr)
-    if _use_fused_waterfall_sync(p, g):
+    if mf_first:
+        # the DEEP production form: single-pass matched-filter LLRs off
+        # the raw block spectra (which the fused grid-only kernel cannot
+        # supply), then the SAME flat split-BP(+OSD) tail as the plain
+        # path — the batched tail is where the DEEP preset's per-slot
+        # structure was leaving BP/OSD matmul width on the table
+        from ..ops.waterfall import _block_spectrum, _block_waterfall_tf
+
+        def front_mf(w):
+            spec = _block_spectrum(w, p, num_frames)
+            mag_tf = _block_waterfall_tf(spec, p, num_frames)
+            scores = sync_scores_tf(mag_tf, g)
+            abs_time, abs_freq, sc, ok = find_candidates_tf(
+                scores, g, max_candidates, min_score)
+            llr = extract_llrs_matched_blocks(
+                spec[0], spec[1], abs_time, abs_freq, g.time_osr,
+                g.freq_osr)
+            return llr, abs_time, abs_freq, sc, ok
+
+        llrs, abs_time, abs_freq, score, cand_valid = jax.lax.map(
+            jax.vmap(front_mf), chunked)
+    elif _use_fused_waterfall_sync(p, g):
         from ..ops.waterfall_pallas import \
             block_waterfall_sync_tf_fused_batch
 
