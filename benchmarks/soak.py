@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--osd", action="store_true")
     ap.add_argument("--deep-every", type=int, default=8,
                     help="every Nth trial uses the DEEP (osr 4x4) preset")
+    ap.add_argument("--high-osr-every", type=int, default=10,
+                    help="every Nth trial draws osr from {3, 5, 10} "
+                         "(VERDICT r4 #5: exercises the matmul fallback "
+                         "at geometries the block backend rejects — osr "
+                         "3x3 — and the reference's 10x10 arm)")
     ap.add_argument("--complex-every", type=int, default=5,
                     help="every Nth trial decodes the COMPLEX (baseband, "
                          "drift-corrected-style) path instead of real "
@@ -56,6 +61,14 @@ def main():
         fs = float(rng.choice(RATES))
         deep = args.deep_every > 0 and trial % args.deep_every == 0
         osr = 4 if deep else 2
+        if args.high_osr_every > 0 and trial % args.high_osr_every == 3:
+            # high-osr arm on the two cheapest rates: each (n, osr, fs)
+            # is its own XLA program, and osr 10 grids are 25x the 2x2
+            # cell count — two rates keep the compile count bounded
+            # while covering both the block (5, 10) and matmul-fallback
+            # (3 at 2 kHz) backends
+            osr = int(rng.choice([3, 5, 10]))
+            fs = float(rng.choice(RATES[:2]))
         payload = rng.integers(0, 256, size=10, dtype=np.uint8)
         payload[9] &= 0xF8
         # base tone anywhere in the scanned band, off-grid placement

@@ -44,6 +44,21 @@ def _rotate_cycles(wave_ri: jnp.ndarray, cyc: jnp.ndarray) -> jnp.ndarray:
     return _to_ri(z)
 
 
+def _require_concrete(value, name: str, fn: str):
+    """Clear error for traced Doppler parameters (ADVICE r4: the round-4
+    float64 host-phase rewrite made doppler_hz/slope concreteness a hard
+    requirement; a raw TracerArrayConversionError does not say why)."""
+    if isinstance(value, jax.core.Tracer):
+        raise TypeError(
+            f"{fn}: `{name}` must be a concrete (host) value, not a JAX "
+            "tracer. Since round 4 the Doppler phase is computed in "
+            "float64 on the host (float32 device phase accumulates "
+            "~0.1-cycle staircase noise over minutes-long captures), so "
+            f"this function cannot be jitted over `{name}`. Pass the "
+            "wave as the traced argument and keep Doppler parameters "
+            "static, or precompute the rotation outside jit.")
+
+
 def _phase_to_cycles(phase_f64: np.ndarray) -> jnp.ndarray:
     """Host-side float64 cycle count reduced mod 1 for the float32 rotate.
 
@@ -59,6 +74,7 @@ def apply_doppler(wave_ri: jnp.ndarray, doppler_hz, fs: float) -> jnp.ndarray:
     convention (instantaneous shift times absolute time,
     test_signal_after_channel.py:55-58).  The phase is computed in float64
     on the host (see _phase_to_cycles); only the rotate runs on device."""
+    _require_concrete(doppler_hz, "doppler_hz", "apply_doppler")
     n = np.shape(wave_ri)[-2]
     t = np.arange(n, dtype=np.float64) / float(fs)
     phase = np.asarray(doppler_hz, dtype=np.float64) * t
@@ -82,6 +98,7 @@ def apply_doppler_physical(wave_ri: jnp.ndarray, doppler_hz,
     host-side phase (exact for linear f_d, so
     :func:`compensate_linear_doppler_physical`'s closed form cancels it
     analytically); only the rotate runs on device."""
+    _require_concrete(doppler_hz, "doppler_hz", "apply_doppler_physical")
     n = np.shape(wave_ri)[-2]
     f = np.broadcast_to(np.asarray(doppler_hz, np.float64), (n,))
     phase = np.empty(n, np.float64)
@@ -98,6 +115,9 @@ def compensate_linear_doppler_physical(wave_ri: jnp.ndarray,
     f_d(k) = slope * k + intercept: phase = -2 pi (slope * fs * t^2 / 2
     + intercept * t) (the closed-form integral; the channel's trapezoid
     rule is exact for linear f_d, so the cancellation is analytic)."""
+    for _nm, _v in (("slope_hz_per_sample", slope_hz_per_sample),
+                    ("intercept_hz", intercept_hz)):
+        _require_concrete(_v, _nm, "compensate_linear_doppler_physical")
     n = np.shape(wave_ri)[-2]
     t = np.arange(n, dtype=np.float64) / float(fs)
     phase = -(float(slope_hz_per_sample) * float(fs) * t * t * 0.5
@@ -112,6 +132,9 @@ def compensate_linear_doppler(wave_ri: jnp.ndarray, slope_hz_per_sample: float,
     apply_doppler — float32 accumulation over a long capture would bias
     receiver arms that rely on this compensation by ~0.1-cycle staircase
     noise."""
+    for _nm, _v in (("slope_hz_per_sample", slope_hz_per_sample),
+                    ("intercept_hz", intercept_hz)):
+        _require_concrete(_v, _nm, "compensate_linear_doppler")
     n = np.shape(wave_ri)[-2]
     t = np.arange(n, dtype=np.float64) / float(fs)
     phase = -(float(slope_hz_per_sample) * t * float(fs)

@@ -26,7 +26,7 @@ from ..ops.llr import (extract_llrs, extract_llrs_coherent,
                        extract_llrs_matched,
                        extract_llrs_matched_blocks,
                        extract_llrs_matched_refined, extract_llrs_tf)
-from ..ops.osd import osd_decode_batch
+from ..ops.osd import osd_decode_masked
 from ..ops.sync import (SearchGrid, find_candidates, find_candidates_tf,
                         search_grid, sync_scores, sync_scores_tf)
 from ..ops.waterfall import WaterfallParams, waterfall_params, waterfall_real, \
@@ -43,6 +43,19 @@ _CRC_MATRIX_77_T = jnp.asarray(C.CRC_MATRIX_77.T, dtype=jnp.float32)
 _CRC_WEIGHTS = jnp.asarray(2 ** np.arange(C.CRC_BITS - 1, -1, -1),
                            dtype=jnp.int32)
 _BYTE_WEIGHTS = jnp.asarray(2 ** np.arange(7, -1, -1), dtype=jnp.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _osd_gate() -> bool:
+    """FT8_OSD_GATE: "on" (default — OSD runs only on BP-failed
+    candidates via the compacted while_loop, ops/osd.py) or "off" (the
+    pre-round-5 unconditional OSD over every row, kept for A/B and the
+    gating mask certificate)."""
+    from ..utils.backend import resolve_backend
+    return resolve_backend(
+        __import__("os").environ.get("FT8_OSD_GATE", "").lower(),
+        accel_default="on", cpu_default="on",
+        allowed=("on", "off")) == "on"
 
 
 def _crc_of_plain(plain: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -107,8 +120,21 @@ def finish_decode(llrs: jnp.ndarray, abs_time: jnp.ndarray,
     if use_osd:
         bp_crc_calc, bp_crc_ext = _crc_of_plain(plain)
         bp_success = (ldpc_errors == 0) & (bp_crc_calc == bp_crc_ext)
-        osd_plain, osd_ok = osd_decode_batch(llrs)
-        take = ~bp_success & osd_ok
+        if _osd_gate():
+            # OSD only the candidates BP could not crack (and only real
+            # candidates): rows that already validated — at operating
+            # SNRs that is most of the group — skip the GF(2)
+            # elimination entirely (ops/osd.py osd_decode_masked; final
+            # success masks are unchanged because success requires
+            # cand_valid anyway)
+            need = cand_valid & ~bp_success
+            osd_plain, take = osd_decode_masked(llrs, need)
+        else:
+            # FT8_OSD_GATE=off: the pre-round-5 unconditional form,
+            # kept for A/B and the gating mask certificate
+            from ..ops.osd import osd_decode_batch
+            osd_plain, osd_ok = osd_decode_batch(llrs)
+            take = ~bp_success & osd_ok
         plain = jnp.where(take[:, None], osd_plain, plain)
         ldpc_errors = jnp.where(take, 0, ldpc_errors)
 
@@ -376,7 +402,7 @@ def _dft_backend() -> str:
     (interpret-mode pallas there is for tests only)."""
     from ..utils.backend import resolve_backend
     return resolve_backend(_DFT_BACKEND_ENV, accel_default="pallas",
-                           cpu_default="xla")
+                           cpu_default="xla", allowed=("pallas", "xla"))
 
 
 @functools.lru_cache(maxsize=32)

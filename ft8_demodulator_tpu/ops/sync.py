@@ -304,7 +304,8 @@ def _sync_backend() -> str:
     platform, which must not happen at library import)."""
     from ..utils.backend import resolve_backend
     return resolve_backend(_SYNC_BACKEND_ENV, accel_default="mxu",
-                           cpu_default="stencil")
+                           cpu_default="stencil",
+                           allowed=("mxu", "stencil"))
 
 
 @functools.lru_cache(maxsize=None)
@@ -550,12 +551,18 @@ def find_candidates_tf(scores_tf: jnp.ndarray, g: SearchGrid,
                        max_candidates: int, min_score: float):
     """find_candidates on a TIME-MAJOR (num_times, num_freqs) score grid.
 
-    Returns exactly what ``find_candidates(scores_tf.T, ...)`` returns —
-    including tie order: the row screen reduces over the time (sublane)
+    Returns what ``find_candidates(scores_tf.T, ...)`` returns, up to
+    exact-value ties: the row screen reduces over the time (sublane)
     axis to the same per-frequency maxima, and the flat top-k runs over
     the small screened submatrix TRANSPOSED back to (rows, T) so flat
     indices (and therefore jax.lax.top_k's lowest-index tie-breaking)
-    coincide with the (F, T) path.
+    coincide with the (F, T) path for every screened row.  Degenerate
+    grids can still diverge in tie ORDER: the +12 row slack admits at
+    most 12 exactly-tied row maxima beyond max_candidates (13+ rows
+    tied exactly at the cutoff may drop a tied cell the full scan would
+    keep), and within the screen tied rows follow row-max rank rather
+    than flat index — same VALUE set in every non-degenerate case
+    (tests/test_tf_layout.py asserts set equality on random grids).
     """
     masked = jnp.where(scores_tf >= min_score, scores_tf, -jnp.inf)
     num_times, num_freqs = masked.shape

@@ -31,9 +31,10 @@ bf16-operand reference + identical decode sets, and the chip-side
 certificate is a precision-mask arm (benchmarks/precision_masks.py,
 dft_pallas).
 
-Opt in with FT8_DFT_BACKEND=pallas (resolved lazily per platform in
-demod/decode.py; XLA remains the default until the in-pipeline A/B
-says otherwise — see DESIGN_NOTES round 4).
+This kernel IS the TPU default since round 4 (the in-pipeline A/B in
+bench.py decided it; resolved lazily per platform in demod/decode.py
+_dft_backend).  FT8_DFT_BACKEND=xla opts back out; on CPU the XLA
+pair stays the default (interpret-mode pallas there is for tests).
 
 Reference semantics anchor: spectrogram_analyse.py (scipy STFT) via the
 block-DFT decomposition documented in ops/waterfall.py:142-210.

@@ -16,11 +16,23 @@ from __future__ import annotations
 __all__ = ["resolve_backend"]
 
 
-def resolve_backend(env_value: str, accel_default: str,
-                    cpu_default: str) -> str:
+def resolve_backend(env_value: str, accel_default: str, cpu_default: str,
+                    allowed: tuple[str, ...] | None = None) -> str:
     """env override if set, else per-platform default (CPU vs anything
-    else); `cpu_default` also covers the no-backend-available case."""
+    else); `cpu_default` also covers the no-backend-available case.
+
+    `allowed` (recommended) validates the override: a typo like
+    ``FT8_SYNC_BACKEND=mxuu`` or a stray trailing space would otherwise
+    silently fail every downstream equality check and fall back to the
+    other backend, defeating the override the operator thought they set
+    (ADVICE r4).  Whitespace is stripped; unknown values raise.
+    """
+    env_value = env_value.strip()
     if env_value:
+        if allowed is not None and env_value not in allowed:
+            raise ValueError(
+                f"unknown backend override {env_value!r}: expected one of "
+                f"{sorted(allowed)}")
         return env_value
     try:
         import jax

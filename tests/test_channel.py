@@ -207,3 +207,15 @@ def test_apply_doppler_physical_inverse_pair(rng):
         apply_doppler_physical(ri, f, fs), -f, fs)
     np.testing.assert_allclose(np.asarray(through), np.asarray(ri),
                                atol=5e-5)
+
+
+def test_doppler_params_must_be_concrete():
+    """Traced Doppler parameters raise a clear TypeError naming the
+    float64 host-phase concreteness requirement (ADVICE r4), not a raw
+    TracerArrayConversionError."""
+    wave = jnp.zeros((100, 2), jnp.float32)
+    with pytest.raises(TypeError, match="concrete"):
+        jax.jit(lambda d: apply_doppler(wave, d, 1000.0))(5.0)
+    with pytest.raises(TypeError, match="concrete"):
+        jax.jit(lambda s: compensate_linear_doppler(wave, s, 0.0, 1000.0))(
+            1e-3)

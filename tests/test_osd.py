@@ -4,7 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ft8_demodulator_tpu.ops.ldpc_decode import bp_decode_batch, ldpc_check
-from ft8_demodulator_tpu.ops.osd import osd_decode_batch
+from ft8_demodulator_tpu.ops.osd import osd_decode_batch, osd_decode_masked
 from ft8_demodulator_tpu.protocol import constants as C
 
 
@@ -170,3 +170,101 @@ def test_osd_order3_below_three_is_a_noop():
     import pytest
     with pytest.raises(ValueError):
         osd_decode_batch(llr, order2=4, order3=8)
+
+
+def test_osd_masked_matches_batch_on_needed_rows():
+    """osd_decode_masked == osd_decode_batch on need rows; (0, False)
+    elsewhere — across multi-chunk, single-chunk and all/none masks."""
+    rng = np.random.default_rng(13)
+    cw = _codewords(rng, 300)
+    llr = jnp.asarray(((2 * cw - 1) * 2.0
+                       + 1.8 * rng.standard_normal(cw.shape))
+                      .astype(np.float32))
+    p_all, ok_all = osd_decode_batch(llr)
+
+    for seed in (0, 1):
+        need = jnp.asarray(np.random.default_rng(seed)
+                           .random(300) < (0.3 if seed == 0 else 1.0))
+        p_m, ok_m = osd_decode_masked(llr, need, chunk=128)
+        needn = np.asarray(need)
+        np.testing.assert_array_equal(np.asarray(ok_m)[needn],
+                                      np.asarray(ok_all)[needn])
+        np.testing.assert_array_equal(np.asarray(p_m)[needn],
+                                      np.asarray(p_all)[needn])
+        assert not np.asarray(ok_m)[~needn].any()
+        assert (np.asarray(p_m)[~needn] == 0).all()
+
+    # nothing needed: no chunk runs, everything comes back empty
+    p_z, ok_z = osd_decode_masked(llr, jnp.zeros(300, bool), chunk=128)
+    assert not np.asarray(ok_z).any() and (np.asarray(p_z) == 0).all()
+
+    # single-chunk shape (the lax.cond branch) and 2-D leading shape
+    p_s, ok_s = osd_decode_masked(llr[:40].reshape(2, 20, 174),
+                                  need[:40].reshape(2, 20), chunk=128)
+    np.testing.assert_array_equal(
+        np.asarray(ok_s).ravel() & np.asarray(need[:40]),
+        np.asarray(ok_all[:40]) & np.asarray(need[:40]))
+
+
+def test_osd_masked_under_vmap():
+    """decode_slots' non-block fallback vmaps finish_decode, so the
+    masked OSD's while_loop + scatter must batch correctly."""
+    import jax
+
+    rng = np.random.default_rng(14)
+    cw = _codewords(rng, 24)
+    llr = jnp.asarray(((2 * cw - 1) * 2.0
+                       + 1.6 * rng.standard_normal(cw.shape))
+                      .astype(np.float32)).reshape(3, 8, 174)
+    need = jnp.asarray(rng.random((3, 8)) < 0.5)
+    p_v, ok_v = jax.vmap(lambda l, m: osd_decode_masked(l, m, chunk=128))(
+        llr, need)
+    p_f, ok_f = osd_decode_masked(llr.reshape(-1, 174), need.reshape(-1),
+                                  chunk=128)
+    np.testing.assert_array_equal(np.asarray(ok_v).ravel(),
+                                  np.asarray(ok_f))
+    np.testing.assert_array_equal(np.asarray(p_v).reshape(-1, 174),
+                                  np.asarray(p_f))
+
+
+def test_finish_decode_gated_osd_mask_identity():
+    """finish_decode(use_osd=True) success masks and surviving payloads
+    are identical to the pre-gating unconditional-OSD formulation."""
+    import jax
+
+    from ft8_demodulator_tpu.demod.decode import _crc_of_plain, \
+        finish_decode
+    from ft8_demodulator_tpu.ops.ldpc_decode import bp_decode_batch
+
+    rng = np.random.default_rng(15)
+    cw = _codewords(rng, 160)
+    llr = jnp.asarray(((2 * cw - 1) * 2.0
+                       + 1.9 * rng.standard_normal(cw.shape))
+                      .astype(np.float32))
+    k = llr.shape[0]
+    abs_t = jnp.zeros(k, jnp.int32)
+    abs_f = jnp.zeros(k, jnp.int32)
+    score = jnp.zeros(k, jnp.float32)
+    valid = jnp.asarray(rng.random(k) < 0.9)
+
+    res = finish_decode(llr, abs_t, abs_f, score, valid, 20, use_osd=True)
+
+    # reference formulation: unconditional OSD over every row
+    plain, errs = bp_decode_batch(llr, 20)
+    cc, ce = _crc_of_plain(plain)
+    bp_ok = (errs == 0) & (cc == ce)
+    op, ook = osd_decode_batch(llr)
+    take = ~bp_ok & ook
+    plain = jnp.where(take[:, None], op, plain)
+    cc, ce = _crc_of_plain(plain)
+    want = np.asarray(valid & jnp.where(take, True, errs == 0)
+                      & (cc == ce))
+
+    got = np.asarray(res.success)
+    np.testing.assert_array_equal(got, want)
+    # payloads agree on every surviving row
+    bits77 = np.asarray(plain)[:, :77]
+    weights = 2 ** np.arange(7, -1, -1)
+    pay = (np.pad(bits77, ((0, 0), (0, 3))).reshape(-1, 10, 8)
+           * weights).sum(-1).astype(np.uint8)
+    np.testing.assert_array_equal(np.asarray(res.payload)[got], pay[got])
