@@ -26,6 +26,14 @@ are visited centre-SNR-first across all fs, then +1 dB, then -1 dB, so the
 full fs range is covered early.
 
 Usage:  python benchmarks/head_to_head_grid.py [--trials 10] [--out PATH]
+
+--harden N (VERDICT r4 weak #4): re-visits the committed grid's CLIFF
+rows — margin <= 2 decodes, not unanimous — and accumulates fresh
+independent trials until each has N total, so no "ours >= reference"
+conclusion rests on n < 20.  New trials use a fresh deterministic seed
+stream (zlib.crc32-based, disjoint from any prior run's salted-hash
+stream); counts add because trials are i.i.d. waveforms under the
+identical protocol.  Results stream to the JSON after every row.
 """
 from __future__ import annotations
 
@@ -65,6 +73,97 @@ def payload_key(raw) -> bytes:
     return b[:9] + bytes([b[9] & 0xF8]) if len(b) >= 10 else b
 
 
+def _run_trials(fs, snr, n, rng, our_decode, ref_decode, ft8_passband,
+                workdir):
+    """n fresh trials at one grid point; returns (ours, ref, ours_any,
+    ref_any) counts."""
+    ours_ok = ref_ok = ref_any = ours_any = 0
+    for _ in range(n):
+        pl = rng.integers(0, 256, 10, dtype=np.uint8)
+        pl[9] &= 0xF8
+        w = np.asarray(ft8_passband(pl, float(fs), 300.0, 0.0),
+                       dtype=np.float64)
+        sp = float(np.mean(w ** 2))
+        sig = w + rng.standard_normal(len(w)) * np.sqrt(
+            sp / 10 ** (snr / 10))
+        want = payload_key(pl)
+
+        rows = our_decode(sig.astype(np.float32), float(fs),
+                          min_score=1.0, max_candidates=20,
+                          max_iterations=20)
+        ours_any += bool(rows)
+        ours_ok += any(payload_key(r.message.payload) == want
+                       for r in rows)
+
+        cwd = os.getcwd()
+        os.chdir(workdir)
+        try:
+            ref_rows = ref_decode(wave_data=sig, sample_rate=fs,
+                                  bins_per_tone=2, steps_per_symbol=2,
+                                  max_candidates=20, min_score=1,
+                                  max_iterations=20)
+        finally:
+            os.chdir(cwd)
+        ref_any += bool(ref_rows)
+        ref_ok += any(payload_key(m.payload) == want
+                      for m, *_ in ref_rows)
+    return ours_ok, ref_ok, ours_any, ref_any
+
+
+def _is_cliff(p) -> bool:
+    """A near-tie decided by small counts: margin <= 2 and not unanimous."""
+    o, r, n = p["ours"], p["ref"], p["trials"]
+    return abs(o - r) <= 2 and not (o == r == 0) and not (o == r == n)
+
+
+def harden(args, our_decode, ref_decode, ft8_passband) -> None:
+    import zlib
+
+    with open(args.out) as f:
+        results = json.load(f)
+    cliff = [p for p in results["points"] if _is_cliff(p)
+             and p["trials"] < args.harden]
+    print(f"hardening {len(cliff)} cliff rows to {args.harden} trials",
+          flush=True)
+    workdir = tempfile.mkdtemp(prefix="h2h_")
+    t_start = time.time()
+    for i, p in enumerate(cliff):
+        extra = args.harden - p["trials"]
+        seed = zlib.crc32(f"harden:{p['fs']}:{p['snr_db']}:"
+                          f"{p['trials']}".encode())
+        rng = np.random.default_rng(seed)
+        t0 = time.time()
+        o, r, oa, ra = _run_trials(p["fs"], p["snr_db"], extra, rng,
+                                   our_decode, ref_decode, ft8_passband,
+                                   workdir)
+        p["ours"] += o
+        p["ref"] += r
+        p["ours_any"] += oa
+        p["ref_any"] += ra
+        p["trials"] += extra
+        p["secs"] = round(p.get("secs", 0.0) + time.time() - t0, 1)
+        p["hardened"] = True
+        results["ours_equal_or_better_everywhere"] = all(
+            q["ours"] >= q["ref"] for q in results["points"])
+        results["hardened_trials"] = args.harden
+        results["harden_note"] = (
+            "cliff rows (margin <= 2, non-unanimous) re-accumulated with "
+            "fresh independent trials; counts are sums over all passes")
+        results["elapsed_secs"] = round(
+            results.get("elapsed_secs", 0.0) + time.time() - t_start, 1)
+        t_start = time.time()
+        tmp = args.out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(results, f, indent=1)
+        os.replace(tmp, args.out)
+        print(f"[{i + 1}/{len(cliff)}] fs={p['fs']} snr={p['snr_db']:+.1f}"
+              f" ours={p['ours']}/{p['trials']} ref={p['ref']}/{p['trials']}"
+              f" ({p['secs']}s total)", flush=True)
+    print("harden done:", "EQUAL-OR-BETTER everywhere"
+          if results["ours_equal_or_better_everywhere"] else
+          "reference won at least one point", flush=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--trials", type=int, default=10)
@@ -72,6 +171,9 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)),
         "results", "head_to_head_grid.json"))
     ap.add_argument("--offsets", type=float, nargs="*", default=[0.0, 1.0, -1.0])
+    ap.add_argument("--harden", type=int, default=0,
+                    help="re-run committed cliff rows, accumulating fresh "
+                         "trials to this total per point")
     args = ap.parse_args()
 
     sys.path.insert(0, _REF)
@@ -83,6 +185,9 @@ def main() -> None:
 
     from ft8_demodulator_tpu.demod import decode_ft8_message as our_decode
     from ft8_demodulator_tpu.ops.gfsk import ft8_passband
+
+    if args.harden:
+        return harden(args, our_decode, ref_decode, ft8_passband)
 
     points = []  # (fs, snr) in coverage-first order
     for off in args.offsets:
@@ -106,37 +211,10 @@ def main() -> None:
     t_start = time.time()
     for idx, (fs, snr) in enumerate(points):
         rng = np.random.default_rng(hash((fs, round(snr * 10))) & 0xFFFFFFFF)
-        ours_ok = ref_ok = ref_any = ours_any = 0
         t0 = time.time()
-        for trial in range(args.trials):
-            pl = rng.integers(0, 256, 10, dtype=np.uint8)
-            pl[9] &= 0xF8
-            w = np.asarray(ft8_passband(pl, float(fs), 300.0, 0.0),
-                           dtype=np.float64)
-            sp = float(np.mean(w ** 2))
-            sig = w + rng.standard_normal(len(w)) * np.sqrt(
-                sp / 10 ** (snr / 10))
-            want = payload_key(pl)
-
-            rows = our_decode(sig.astype(np.float32), float(fs),
-                              min_score=1.0, max_candidates=20,
-                              max_iterations=20)
-            ours_any += bool(rows)
-            ours_ok += any(payload_key(r.message.payload) == want
-                           for r in rows)
-
-            cwd = os.getcwd()
-            os.chdir(workdir)
-            try:
-                ref_rows = ref_decode(wave_data=sig, sample_rate=fs,
-                                      bins_per_tone=2, steps_per_symbol=2,
-                                      max_candidates=20, min_score=1,
-                                      max_iterations=20)
-            finally:
-                os.chdir(cwd)
-            ref_any += bool(ref_rows)
-            ref_ok += any(payload_key(m.payload) == want
-                          for m, *_ in ref_rows)
+        ours_ok, ref_ok, ours_any, ref_any = _run_trials(
+            fs, snr, args.trials, rng, our_decode, ref_decode,
+            ft8_passband, workdir)
 
         point = {"fs": fs, "snr_db": round(snr, 1),
                  "ours": ours_ok, "ref": ref_ok,

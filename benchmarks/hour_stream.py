@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--snr", type=float, default=-12.0)
     ap.add_argument("--chunk-seconds", type=float, default=1.0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--pipeline-depth", type=int, default=8,
+                    help="StreamSession pipeline_depth: blocks left in "
+                         "flight so their ~29 ms tunnel fetch hides "
+                         "behind later dispatch work (0 = fetch every "
+                         "block synchronously, the pre-r5 behaviour)")
     args = ap.parse_args()
 
     import jax
@@ -73,7 +78,7 @@ def main():
     dev = jax.devices()[0]
     platform = dev.platform
 
-    sess = StreamSession(fs)
+    sess = StreamSession(fs, pipeline_depth=args.pipeline_depth)
     chunk_len = int(args.chunk_seconds * fs)
     found: list = []
     t0 = time.perf_counter()
@@ -138,6 +143,7 @@ def main():
         "minutes": args.minutes,
         "fs_hz": fs,
         "chunk_seconds": args.chunk_seconds,
+        "pipeline_depth": args.pipeline_depth,
         "snr_db": args.snr,
         "slots": n_slots,
         "planted_decoded": yield_ok,

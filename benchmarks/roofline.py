@@ -54,7 +54,7 @@ BATCH = 256
 CHUNK = 16
 K = 20
 BP_ITERS = 20
-REPS = 8
+REPS = 24
 
 # DEEP preset geometry (config.DEEP_SEARCH): osr 4x4, K=40, min_score 1,
 # OSD on; measured in its fastest production form (mf_first single-pass)
@@ -66,6 +66,24 @@ _HBM_GBS = 819e9          # v5e HBM bandwidth
 _MXU_PEAK = 197e12        # v5e bf16 MXU peak
 _VPU_PEAK = 7.7e12
 
+
+
+def _sync_latency() -> float:
+    """Per-sync host-fetch latency of this session's backend (the axon
+    tunnel measured 1-30 ms depending on conditions).  Round-4 numbers
+    carried LAT/REPS/BATCH as a hidden per-slot offset (+14 us/slot at
+    batch 256 x 8 reps under a 29 ms tunnel) — every timeit now
+    subtracts one measured LAT from the loop total (prefix DIFFERENCES
+    were always clean; absolute rows were not)."""
+    import jax
+    import jax.numpy as jnp
+    x = jnp.ones((8, 128), jnp.float32)
+    f = jax.jit(lambda a: jnp.sum(a))
+    float(f(x))
+    t0 = time.perf_counter()
+    for _ in range(30):
+        float(f(x))
+    return (time.perf_counter() - t0) / 30
 
 def main():
     from ft8_demodulator_tpu.utils.cache import setup
@@ -98,7 +116,12 @@ def main():
 
     # ---- cumulative pipeline prefixes (tf fast path, chunked front) ------
     def _r(x):
-        return jnp.sum(x.astype(jnp.float32).ravel()[:128])
+        # FULL-array reduction: a 128-lane probe lets XLA dead-code-slice
+        # the producing matmul to the consumed columns (this fabricated a
+        # 0.39 us/slot "demonstrated DFT" row — and an 11.7 us one in
+        # round 4).  XLA fuses the reduce into the producer, so the extra
+        # cost is ~one output read at worst.
+        return jnp.sum(x.astype(jnp.float32))
 
     from ft8_demodulator_tpu.ops.sync import find_candidates_tf
 
@@ -160,15 +183,19 @@ def main():
                 ("llr-extract", chunked(pre_llrs)),
                 ("ldpc-bp+crc(flat)", full)]
 
+    lat = _sync_latency()
+    print(f"sync latency: {lat * 1e3:.2f} ms", flush=True)
+
     def timeit(fn, *args, per=BATCH):
         # host-fetch the scalar: block_until_ready can return early
-        # through the tunneled backend (DESIGN_NOTES methodology note)
+        # through the tunneled backend (DESIGN_NOTES methodology note);
+        # subtract the one end-of-loop fetch's measured latency
         float(fn(*args))
         t0 = time.perf_counter()
         for _ in range(REPS):
             out = fn(*args)
         float(out)
-        return (time.perf_counter() - t0) / REPS / per
+        return (time.perf_counter() - t0 - lat) / REPS / per
 
     times = []
     for name, fn in prefixes:
@@ -407,7 +434,12 @@ def deep():
         (DEEP_BATCH, n)).astype(np.float32) * 0.1)
 
     def _r(x):
-        return jnp.sum(x.astype(jnp.float32).ravel()[:128])
+        # FULL-array reduction: a 128-lane probe lets XLA dead-code-slice
+        # the producing matmul to the consumed columns (this fabricated a
+        # 0.39 us/slot "demonstrated DFT" row — and an 11.7 us one in
+        # round 4).  XLA fuses the reduce into the producer, so the extra
+        # cost is ~one output read at worst.
+        return jnp.sum(x.astype(jnp.float32))
 
     def pre_spectra(w):
         pr, pi = _block_spectrum(w, p, num_frames)
@@ -435,10 +467,16 @@ def deep():
         return _r(extract_llrs_matched_blocks(
             spec[0], spec[1], t, f, g.time_osr, g.freq_osr))
 
-    def full_one(w):
-        res = decode_slot(w, p, num_frames, max_candidates=K_,
-                          min_score=MS, max_iterations=BP_ITERS,
-                          use_osd=True, mf_first=True)
+    def full_batch(waves):
+        # the PRODUCTION deep form: decode_slots' flat split-BP tail.
+        # (A vmapped decode_slot would batch the gated OSD's while_loop
+        # per-lane — a shape the compacted gating is not built for and
+        # nothing ships.)
+        from ft8_demodulator_tpu.demod.decode import decode_slots
+        res = decode_slots(waves, p, num_frames, max_candidates=K_,
+                           min_score=MS, max_iterations=BP_ITERS,
+                           use_osd=True, mf_first=True, chunk=CHUNK,
+                           bp_chunk=256)
         return _r(res.success) + _r(res.payload)
 
     def chunked(fn):
@@ -448,20 +486,23 @@ def deep():
                 jax.vmap(fn), x.reshape(-1, CHUNK, x.shape[-1])))
         return run
 
+    lat = _sync_latency()
+    print(f"sync latency: {lat * 1e3:.2f} ms", flush=True)
+
     def timeit(fn, *args, per=DEEP_BATCH):
         float(fn(*args))
         t0 = time.perf_counter()
         for _ in range(REPS):
             out_ = fn(*args)
         float(out_)
-        return (time.perf_counter() - t0) / REPS / per
+        return (time.perf_counter() - t0 - lat) / REPS / per
 
     prefixes = [("retile+block-DFT", chunked(pre_spectra)),
                 ("waterfall-epilogue", chunked(pre_mag)),
                 ("sync-stencil", chunked(pre_scores)),
                 ("top-k-select", chunked(pre_cands)),
                 ("mf-llr-extract", chunked(pre_mf_llrs)),
-                ("bp+osd+crc", chunked(full_one))]
+                ("bp+osd+crc", jax.jit(full_batch))]
     times = []
     for name, fn in prefixes:
         times.append(timeit(fn, waves))

@@ -491,7 +491,6 @@ def osd_decode_masked(llrs: jnp.ndarray, need: jnp.ndarray,
     needf = need.reshape(-1)
     r = flat.shape[0]
     pad_r = -(-r // chunk) * chunk
-    nchunks = pad_r // chunk
 
     # stable sort: needed rows first, original order preserved within
     # each class (lax.sort is_stable defaults True)
@@ -512,19 +511,17 @@ def osd_decode_masked(llrs: jnp.ndarray, need: jnp.ndarray,
         ok_s = jax.lax.dynamic_update_slice(ok_s, o_, (i * chunk,))
         return i + jnp.int32(1), plain_s, ok_s
 
-    plain0 = jnp.zeros((pad_r, _N), jnp.int32)
-    ok0 = jnp.zeros((pad_r,), bool)
-    i0 = jnp.int32(0)
-    if nchunks <= 1:
-        # single chunk: the loop could only run 0 or 1 times — a cond is
-        # the same gate without the while_loop's carried buffers
-        plain_s, ok_s = jax.lax.cond(
-            n_need > 0,
-            lambda: body((i0, plain0, ok0))[1:],
-            lambda: (plain0, ok0))
-    else:
-        _, plain_s, ok_s = jax.lax.while_loop(cond, body,
-                                              (i0, plain0, ok0))
+    # derive the zero carries from `srt`/`n_need` so they inherit their
+    # varying manual axes — literal zeros are replicated and fail the
+    # while_loop carry-type check inside shard_map (same pattern as
+    # _reduce_basis_packed's fori_loop carries).  The while_loop also
+    # serves the single-chunk case (0 or 1 iterations): a lax.cond here
+    # trips jax 0.9's pvary insertion on the branch's closed-over
+    # constants under shard_map (invariant->variant collective error).
+    plain0 = (srt * 0.0).astype(jnp.int32)
+    ok0 = (srt[:, 0] * 0.0).astype(bool)
+    i0 = n_need * 0
+    _, plain_s, ok_s = jax.lax.while_loop(cond, body, (i0, plain0, ok0))
     # mask both outputs by need: the LAST processed chunk can straddle
     # n_need and carry results for rows that never asked for OSD
     plain = jnp.zeros((r, _N), jnp.int32).at[order].set(plain_s[:r])

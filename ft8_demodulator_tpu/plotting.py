@@ -131,6 +131,18 @@ def plot_snr_vs_bandwidth(bandwidth_hz, min_snr_db,
     return path
 
 
+def plot_rx_fft(sdr, path: str = "rx_fft.png",
+                center_freq: float = 0.0) -> str:
+    """Grab ONE buffer from an `io.sdr.SDRInterface` and plot its power
+    spectrum — the live RX-spectrum eyeball of the reference's SDR
+    diagnostic scripts (src/tests/pluto-sdr/plot_fft.py:1-85,
+    simple_fft_plot.py), hardware-agnostic behind the adapter seam
+    (works with LoopbackSDR in tests, PlutoSDR on real hardware)."""
+    samples = np.asarray(sdr.rx())
+    return plot_fft(samples, float(sdr.sample_rate), path=path,
+                    center_freq=center_freq)
+
+
 def plot_fft(samples, fs: float, path: str = "fft.png",
              center_freq: float = 0.0) -> str:
     """Averaged power spectrum of a capture (reference

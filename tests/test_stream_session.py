@@ -152,3 +152,42 @@ def test_stream_rows_carry_snr():
     assert hit and hit[0].snr_db is not None
     expect = -5.0 + 10.0 * np.log10((fs / 2) / 2500.0)
     assert abs(hit[0].snr_db - expect) < 2.0
+
+
+def test_pipeline_depth_defers_but_never_drops(rng):
+    """pipeline_depth > 0 may return a block's rows on a LATER feed, but
+    feed+flush deliver exactly the same row set as depth 0, and a
+    checkpoint taken with blocks in flight persists their rows."""
+    audio = _stream(rng, [
+        (PAYLOAD_A, 2.0, 400.0),
+        (PAYLOAD_B, 31.0, 700.0),
+    ], total_s=60.0)
+
+    base = StreamSession(FS, CFG)
+    want = []
+    for chunk in np.array_split(audio, 17):
+        want.extend(base.feed(chunk))
+    want.extend(base.flush())
+    key = lambda rows: {(r.message.payload.hex(), round(r.time_sec),
+                         round(r.freq_hz)) for r in rows}
+    assert len(want) == 2
+
+    piped = StreamSession(FS, CFG, pipeline_depth=4)
+    got = []
+    for chunk in np.array_split(audio, 17):
+        got.extend(piped.feed(chunk))
+    got.extend(piped.flush())
+    assert key(got) == key(want)
+
+
+def test_checkpoint_with_inflight_blocks(tmp_path, rng):
+    """save() fetches in-flight results and persists them as undelivered
+    rows: the resumed session still reports them exactly once."""
+    audio = _stream(rng, [(PAYLOAD_A, 2.0, 400.0)], total_s=40.0)
+    sess = StreamSession(FS, CFG, pipeline_depth=8)
+    early = sess.feed(audio)       # block decoded but result may be held
+    ckpt = str(tmp_path / "inflight.npz")
+    sess.save(ckpt)
+    resumed = StreamSession.load(ckpt)
+    rows = early + resumed.flush()
+    assert sum(r.message.payload == PAYLOAD_A.tobytes() for r in rows) == 1
