@@ -473,9 +473,11 @@ def deep():
         # per-lane — a shape the compacted gating is not built for and
         # nothing ships.)
         from ft8_demodulator_tpu.demod.decode import decode_slots
+        # chunk 8: measured best front width for the DEEP grid kernel
+        # (190.6 / 231.5 / 280.9 us/slot at chunk 8 / 16 / 32, v5e r5)
         res = decode_slots(waves, p, num_frames, max_candidates=K_,
                            min_score=MS, max_iterations=BP_ITERS,
-                           use_osd=True, mf_first=True, chunk=CHUNK,
+                           use_osd=True, mf_first=True, chunk=8,
                            bp_chunk=256)
         return _r(res.success) + _r(res.payload)
 

@@ -322,9 +322,18 @@ def decode_slot(wave: jnp.ndarray, p: WaterfallParams, num_frames: int,
         # kept through sync -> top-k -> LLRs (frequency = lane axis; the
         # (F, T) stencil measured ~3.4x slower on v5e) — every stage
         # bit-identical to the (F, T) pipeline, tests/test_tf_layout.py
-        if mf_first or not _use_fused_waterfall(p):
-            # mf_first reuses the raw block spectra for the MF symbol
-            # DFTs, so the fused grid-only kernel does not apply there
+        use_mf_grid = mf_first and _use_fused_mf(p)
+        if use_mf_grid:
+            # round 5: one Pallas pass emits the dB grid AND the boxcar
+            # MF power grid; LLRs gather from the grid (see decode_slots)
+            from ..ops.waterfall_pallas import \
+                block_waterfall_mf_tf_fused_batch
+            mag_b, box_b = block_waterfall_mf_tf_fused_batch(
+                wave[None], p, num_frames)
+            mag_tf, box_tf = mag_b[0], box_b[0]
+        elif mf_first or not _use_fused_waterfall(p):
+            # spectra-path mf_first reuses the raw block spectra for the
+            # MF symbol DFTs, so the grid-only kernel does not apply
             spec = _block_spectrum(wave, p, num_frames)
             mag_tf = _block_waterfall_tf(spec, p, num_frames)
         else:
@@ -333,7 +342,11 @@ def decode_slot(wave: jnp.ndarray, p: WaterfallParams, num_frames: int,
         scores = sync_scores_tf(mag_tf, g)
         abs_time, abs_freq, score, cand_valid = find_candidates_tf(
             scores, g, max_candidates, min_score)
-        if mf_first:
+        if use_mf_grid:
+            from ..ops.llr import extract_llrs_matched_grid
+            llrs = extract_llrs_matched_grid(
+                box_tf, abs_time, abs_freq, g.time_osr, g.freq_osr)
+        elif mf_first:
             llrs = extract_llrs_matched_blocks(
                 spec[0], spec[1], abs_time, abs_freq, g.time_osr,
                 g.freq_osr)
@@ -417,27 +430,28 @@ def _use_fused_waterfall(p: WaterfallParams) -> bool:
     return fused_waterfall_ok(p)
 
 
-_FUSED_SYNC_ENV = __import__("os").environ.get(
-    "FT8_FUSED_SYNC", "off").lower()
+_MF_FRONT_ENV = __import__("os").environ.get("FT8_MF_FRONT", "").lower()
 
 
 @functools.lru_cache(maxsize=32)
-def _use_fused_waterfall_sync(p: WaterfallParams, g) -> bool:
-    """Combined waterfall+sync kernel (ops/waterfall_pallas.py),
-    OFF by default: the per-residue sync matmuls need a stride-tau
-    sublane read of the VMEM grid, which Mosaic cannot lower
-    ("strided_load: last dim size is not 128"), and the dense
-    workaround doubles the sync FLOPs to ~parity with the shipped
-    two-step form (XLA sync stage: ~4.6 us/slot at batch 256) — kept
-    as a documented experiment behind FT8_FUSED_SYNC=auto
-    (interpret-mode tests keep it correct; see DESIGN_NOTES r4)."""
-    if _FUSED_SYNC_ENV != "auto" or not _use_fused_waterfall(p):
+def _use_fused_mf(p: WaterfallParams) -> bool:
+    """mf_first front-end: "grid" (TPU default since round 5 — the
+    dual-output Pallas kernel emits the Hann dB grid AND the boxcar MF
+    power grid in one pass, ops/waterfall_pallas.py; LLRs gather from
+    the grid) or "spectra" (materialised block spectra + per-candidate
+    column gathers, the round-4 form and the CPU default).  Measured at
+    the DEEP geometry the spectra epilogue alone ran at ~16 % of its
+    HBM bound and the gathers cost 130 us/slot; FT8_MF_FRONT overrides.
+    """
+    from ..utils.backend import resolve_backend
+    if resolve_backend(_MF_FRONT_ENV, accel_default="grid",
+                       cpu_default="spectra",
+                       allowed=("grid", "spectra")) != "grid":
         return False
-    from ..ops.sync import _sync_backend
-    if _sync_backend() != "mxu":
+    if _dft_backend() != "pallas":
         return False
-    from ..ops.waterfall_pallas import fused_waterfall_sync_ok
-    return fused_waterfall_sync_ok(p, g)
+    from ..ops.waterfall_pallas import fused_mf_waterfall_ok
+    return fused_mf_waterfall_ok(p)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -487,11 +501,36 @@ def decode_slots(waves: jnp.ndarray, p: WaterfallParams, num_frames: int,
             lambda x: x.reshape(b, *x.shape[2:]), res)
 
     g = search_grid(p.num_freq_bins, num_frames, p.time_osr, p.freq_osr)
-    if mf_first:
-        # the DEEP production form: single-pass matched-filter LLRs off
-        # the raw block spectra (which the fused grid-only kernel cannot
-        # supply), then the SAME flat split-BP(+OSD) tail as the plain
-        # path — the batched tail is where the DEEP preset's per-slot
+    if mf_first and _use_fused_mf(p):
+        # the DEEP production form since round 5: ONE Pallas pass emits
+        # the Hann dB grid (sync/search) and the boxcar MF power grid;
+        # LLRs are two routing matmuls on the boxcar grid — the round-4
+        # form's materialised spectra + per-candidate column gathers
+        # measured 197 + 130 us/slot at the DEEP geometry
+        from ..ops.llr import extract_llrs_matched_grid
+        from ..ops.waterfall_pallas import \
+            block_waterfall_mf_tf_fused_batch
+
+        def front_chunk(wchunk):
+            mags, boxes = block_waterfall_mf_tf_fused_batch(
+                wchunk, p, num_frames)
+
+            def rest(m, bx):
+                scores = sync_scores_tf(m, g)
+                abs_time, abs_freq, sc, ok = find_candidates_tf(
+                    scores, g, max_candidates, min_score)
+                llr = extract_llrs_matched_grid(
+                    bx, abs_time, abs_freq, g.time_osr, g.freq_osr)
+                return llr, abs_time, abs_freq, sc, ok
+
+            return jax.vmap(rest)(mags, boxes)
+
+        llrs, abs_time, abs_freq, score, cand_valid = jax.lax.map(
+            front_chunk, chunked)
+    elif mf_first:
+        # single-pass matched-filter LLRs off the raw block spectra,
+        # then the SAME flat split-BP(+OSD) tail as the plain path —
+        # the batched tail is where the DEEP preset's per-slot
         # structure was leaving BP/OSD matmul width on the table
         from ..ops.waterfall import _block_spectrum, _block_waterfall_tf
 
@@ -508,25 +547,6 @@ def decode_slots(waves: jnp.ndarray, p: WaterfallParams, num_frames: int,
 
         llrs, abs_time, abs_freq, score, cand_valid = jax.lax.map(
             jax.vmap(front_mf), chunked)
-    elif _use_fused_waterfall_sync(p, g):
-        from ..ops.waterfall_pallas import \
-            block_waterfall_sync_tf_fused_batch
-
-        def front_chunk(wchunk):
-            mags, scores = block_waterfall_sync_tf_fused_batch(
-                wchunk, p, num_frames, g)
-
-            def rest(m, s):
-                abs_time, abs_freq, sc, ok = find_candidates_tf(
-                    s, g, max_candidates, min_score)
-                llr = extract_llrs_tf(m, abs_time, abs_freq, g.time_osr,
-                                      g.freq_osr, g.num_blocks)
-                return llr, abs_time, abs_freq, sc, ok
-
-            return jax.vmap(rest)(mags, scores)
-
-        llrs, abs_time, abs_freq, score, cand_valid = jax.lax.map(
-            front_chunk, chunked)
     elif _use_fused_waterfall(p):
         from ..ops.waterfall_pallas import block_waterfall_tf_fused_batch
 

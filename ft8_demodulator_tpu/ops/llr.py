@@ -188,6 +188,48 @@ def _mf_mix_tables(sps: int, phi: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 @functools.partial(jax.jit, static_argnames=("time_osr", "freq_osr"))
+def extract_llrs_matched_grid(box_tf: jnp.ndarray, abs_time: jnp.ndarray,
+                              abs_freq: jnp.ndarray, time_osr: int,
+                              freq_osr: int) -> jnp.ndarray:
+    """Matched-filter LLRs gathered from a precomputed BOXCAR power grid.
+
+    box_tf: (num_frames + 2*(tau-1), num_freq_bins) linear |X|^2 of the
+    one-symbol boxcar DFT at every (start, bin) — row j is window start
+    t0 = j - (tau - 1) (ops/waterfall.py _block_boxcar_tf, or the fused
+    Pallas front's second output).  Value-equivalent to
+    extract_llrs_matched_blocks up to f32 summation order and the
+    selection matmuls' operand pass (the same one-hot routing idiom as
+    extract_llrs_tf; out-of-range symbol rows contract against all-zero
+    one-hots, reproducing the zero-padded-block edge semantics).
+
+    Why this exists (round 5): the per-candidate spectra column gathers
+    of extract_llrs_matched_blocks measured 130 us/slot at the DEEP
+    geometry — XLA lane-axis gathers — while the grid is ~free inside
+    the fused front (the Hann combine's `u` IS the boxcar value) and
+    this extraction is two small routing matmuls.
+    """
+    tau, phi = time_osr, freq_osr
+    nbrows, num_freqs = box_tf.shape
+    k = abs_freq.shape[0]
+    sym = jnp.asarray(C.DATA_SYMBOL_POSITIONS)            # (58,)
+
+    f_idx = (abs_freq[:, None] + jnp.arange(8) * phi).reshape(k * 8)
+    f_hot = (jnp.arange(num_freqs)[:, None] == f_idx[None, :]) \
+        .astype(jnp.float32)
+    sel = jnp.matmul(box_tf, f_hot,
+                     precision=_LLR_PRECISION)            # (rows, K*8)
+    rows = jnp.transpose(sel.reshape(nbrows, k, 8), (1, 0, 2))
+
+    t_idx = abs_time[:, None] + sym[None, :] * tau + (tau - 1)  # (K, 58)
+    t_hot = (t_idx[:, :, None]
+             == jnp.arange(nbrows)[None, None, :]).astype(jnp.float32)
+    powers = jax.lax.dot_general(
+        t_hot, rows, (((2,), (1,)), ((0,), (0,))),
+        precision=_LLR_PRECISION)                         # (K, 58, 8)
+    return _powers_to_llrs(powers)
+
+
+@functools.partial(jax.jit, static_argnames=("time_osr", "freq_osr"))
 def extract_llrs_matched_blocks(spec_re: jnp.ndarray, spec_im: jnp.ndarray,
                                 abs_time: jnp.ndarray,
                                 abs_freq: jnp.ndarray, time_osr: int,

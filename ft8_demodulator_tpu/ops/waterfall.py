@@ -313,6 +313,48 @@ def _block_waterfall(frames_re_im, p: WaterfallParams,
                         -1, -2)
 
 
+def _block_boxcar_tf(frames_re_im, p: WaterfallParams,
+                     num_frames: int) -> jnp.ndarray:
+    """Boxcar (no-window) one-symbol DFT POWER grid, time-major.
+
+    Row j holds |X|^2 of the boxcar symbol DFT whose window starts at
+    hop block t0 = j - (time_osr - 1); columns are bins
+    0..num_freq_bins-1.  The boxcar symbol DFT decomposes exactly over
+    the hop-block DFTs with the SAME per-block phase combine as the
+    Hann waterfall (ops/llr.py extract_llrs_matched_blocks:197-213) —
+    this is that combine WITHOUT the 3-tap Hann stencil, evaluated over
+    the extended start range [-(tau-1), nb) so partially-captured edge
+    symbols carry their exact partial sums (zero-padded-block
+    semantics, matching _mf_block_powers).  Rows:
+    num_frames + 2*(time_osr - 1).
+
+    With this grid, matched-filter LLR extraction is a tiny power
+    gather (ops/llr.py extract_llrs_matched_grid) instead of the
+    per-candidate spectra column gathers — and the fused Pallas front
+    (ops/waterfall_pallas.py) emits the grid almost for free, since
+    the Hann combine's `u` for frame t IS this grid's row t + tau - 1.
+    """
+    pr, pi = frames_re_im
+    tau, phi = p.time_osr, p.freq_osr
+    nb = num_frames + tau - 1
+    nbrows = nb + tau - 1
+    wc, ws = _block_combine_phases(p)
+    pad = [(0, 0)] * (pr.ndim - 2) + [(tau - 1, tau - 1), (0, 0)]
+    prx = jnp.pad(pr, pad)
+    pix = jnp.pad(pi, pad)
+    k0, k1 = phi, phi + p.num_freq_bins
+    ub = jnp.zeros(pr.shape[:-2] + (nbrows, k1 - k0), jnp.float32)
+    vb = ub
+    for s in range(tau):
+        prs = prx[..., s: s + nbrows, k0:k1]
+        pis = pix[..., s: s + nbrows, k0:k1]
+        c = jnp.asarray(wc[s, k0:k1])
+        d = jnp.asarray(ws[s, k0:k1])
+        ub = ub + prs * c - pis * d
+        vb = vb + prs * d + pis * c
+    return ub * ub + vb * vb
+
+
 def _block_waterfall_tf(frames_re_im, p: WaterfallParams,
                         num_frames: int) -> jnp.ndarray:
     """Block spectra -> dB waterfall in NATIVE (time, freq) layout.

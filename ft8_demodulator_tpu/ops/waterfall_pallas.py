@@ -54,7 +54,8 @@ from .waterfall import (WaterfallParams, _block_combine_phases,
                         _block_dft_matrices, _DB_FLOOR, _hann_periodic)
 
 __all__ = ["block_waterfall_tf_fused_batch", "block_waterfall_tf_fused",
-           "fused_waterfall_ok"]
+           "block_waterfall_mf_tf_fused_batch", "fused_waterfall_ok",
+           "fused_mf_waterfall_ok"]
 
 _ROW_PAD = 8          # pad nb block rows up to a multiple of this
 
@@ -208,105 +209,185 @@ def block_waterfall_tf_fused(wave: jnp.ndarray, p: WaterfallParams,
 
 
 # ---------------------------------------------------------------------------
-# waterfall + sync in ONE kernel
+# waterfall + boxcar MF grid in ONE kernel (round 5: the DEEP front)
 # ---------------------------------------------------------------------------
-# The MXU sync recast (ops/sync.py sync_scores_tf_mxu) consumes the dB
-# grid the waterfall kernel just wrote to HBM.  Fusing it into the same
-# kernel reads the grid straight from the VMEM out block — the sync
-# stage's HBM grid re-read and its separate XLA dispatch disappear; the
-# stencil-as-matmul weights are re-based to frame indices
-# (ops/sync.py _sync_mxu_weights_frames) so no padded copy is needed.
+# The mf_first pipeline needs two things per slot: the Hann dB grid
+# (sync/search) and matched-filter symbol powers (LLRs).  Round 4
+# materialised f32 block spectra and derived both from them — measured
+# at the DEEP geometry: the XLA phase-combine epilogue alone runs at
+# ~16 % of its HBM bound (197 us/slot standalone: XLA materialises the
+# combine intermediates and re-reads with 4x amplification at tau=4),
+# and the per-candidate spectra column gathers cost another 130 us.
+# The fix falls out of the math: the boxcar one-symbol DFT at window
+# start t0 equals the Hann combine's pre-stencil value u[t0 + tau -1]
+# — the kernel already computes it.  So this kernel emits BOTH grids
+# (Hann dB + boxcar |u|^2) from one combine, the spectra never touch
+# HBM, and LLR extraction becomes two small routing matmuls on the
+# boxcar grid (ops/llr.py extract_llrs_matched_grid).
+#
+# Schedule: one slot per grid row, DFT-matrix column STRIPS streamed
+# over a second grid axis (part 128-aligned; halo columns duplicated
+# into each strip so blocks never overlap), block rows revisited
+# across strips.  VMEM ~7 MB at the deep geometry — the two full-width
+# out grids would not fit resident.
 
 
-def _kernel_with_sync(p: WaterfallParams, num_frames: int, nbins: int,
-                      rows: int, g, n_res: int, *refs):
-    (blocks_ref, cos_ref, sin_ref, wc_ref, ws_ref, count_ref,
-     *rest) = refs
-    w_refs = rest[:n_res]
-    grid_ref, scores_ref = rest[n_res], rest[n_res + 1]
-
-    _kernel(p, num_frames, nbins, rows,
-            blocks_ref, cos_ref, sin_ref, wc_ref, ws_ref, grid_ref)
-
-    from .sync import _sync_mxu_weights_frames
-    per_res, _count = _sync_mxu_weights_frames(g, num_frames)
-    tau, phi = g.time_osr, g.freq_osr
-    neg_inf = jnp.float32(-jnp.inf)
-    for s, ((w_np, frame0, n_out), w_ref) in enumerate(zip(per_res,
-                                                           w_refs)):
-        if n_out == 0:
-            continue
-        p_s = grid_ref[0, frame0::tau][:w_np.shape[1]] \
-            .astype(jnp.bfloat16)                      # (n_in, nbins)
-        m = jnp.dot(w_ref[...], p_s,
-                    preferred_element_type=jnp.float32)  # (8*n_out, nbins)
-        s_s = jnp.zeros((n_out, g.num_freqs), jnp.float32)
-        for df in range(8):
-            s_s = s_s + m[df * n_out: (df + 1) * n_out,
-                          df * phi: df * phi + g.num_freqs]
-        cnt = count_ref[s::tau][:n_out]                 # (n_out, 1)
-        s_s = jnp.where(cnt > 0, s_s / jnp.maximum(cnt, 1.0), neg_inf)
-        scores_ref[0, s::tau] = s_s
+def _strip_part(nbins: int) -> int | None:
+    """Column-strip width: Mosaic requires the out-block minor dim be a
+    multiple of 128 (or the full array width), so pick a 128-multiple
+    dividing nbins; 384 first (halo costs ~2 % extra lanes, scratch
+    stays small).  None -> no clean division (small grids fall back)."""
+    for part in (384, 256, 512, 640, 128):
+        if nbins % part == 0:
+            return part
+    return None
 
 
-@functools.partial(jax.jit, static_argnames=("p", "num_frames", "g",
-                                             "interpret"))
-def block_waterfall_sync_tf_fused_batch(waves: jnp.ndarray,
-                                        p: WaterfallParams,
-                                        num_frames: int, g,
-                                        interpret: bool = False):
-    """Real audio (B, n) -> (dB grids (B, num_frames, nbins),
-    sync scores (B, num_times, num_freqs)) in one kernel.
-
-    The grids equal :func:`block_waterfall_tf_fused_batch`; the scores
-    equal ``sync_scores_tf_mxu`` on those grids up to MXU accumulation
-    split order (same bf16 operand rounding).  Requires
-    ``g.num_times % 8 == 0`` sublane alignment (true for the standard
-    15-s geometries) — callers fall back otherwise.
-    """
-    nbins = p.num_freq_bins
-    nb = num_frames + p.time_osr - 1
-    rows = -(-nb // _ROW_PAD) * _ROW_PAD
-    b = waves.shape[0]
-
-    from .sync import _sync_mxu_weights_frames
-    per_res, count = _sync_mxu_weights_frames(g, num_frames)
+@functools.lru_cache(maxsize=8)
+def _fused_strip_constants(p: WaterfallParams, part: int):
+    """Per-strip expanded constants: cos/sin (splits, hop, ext) bf16 and
+    wc/ws (splits, time_osr, ext) f32; strip j duplicates its
+    freq_osr-column halo so grid blocks never overlap."""
     cos_m, sin_m, wc, ws, _ = _fused_constants(p)
+    splits = p.num_freq_bins // part
+    ext = part + 2 * p.freq_osr
+    stack = lambda a: np.stack(
+        [np.ascontiguousarray(a[..., j * part: j * part + ext])
+         for j in range(splits)])
+    return stack(cos_m), stack(sin_m), stack(wc), stack(ws)
+
+
+def fused_mf_waterfall_ok(p: WaterfallParams,
+                          platform: str | None = None) -> bool:
+    """Applicability of the dual-output MF front kernel: the base
+    platform gate, a 128-aligned strip width, and the strip VMEM
+    budget (streamed weights make it far smaller than the resident
+    kernel's — every production geometry up to 48 kHz fits)."""
+    if not fused_waterfall_ok(p, platform=platform):
+        # reuse the platform probe; the resident-size term is stricter
+        # than this kernel needs, so re-check only on strip terms below
+        if platform is None:
+            try:
+                import jax as _jax
+                platform = _jax.default_backend()
+            except Exception:
+                return False
+        if platform not in ("tpu", "axon"):
+            return False
+    return _strip_part(p.num_freq_bins) is not None
+
+
+def _kernel_mf(p: WaterfallParams, num_frames: int, part: int,
+               rows_in: int, rows_db: int, rows_box: int, nbrows: int,
+               blocks_ref, cos_ref, sin_ref, wc_ref, ws_ref,
+               db_ref, box_ref):
+    tau, phi = p.time_osr, p.freq_osr
+    ext = part + 2 * phi
+    scale = _fused_constants(p)[4]
+
+    bl = blocks_ref[...]                    # (rows_in, hop) bf16
+    pr = jnp.dot(bl, cos_ref[0], preferred_element_type=jnp.float32)
+    pi = jnp.dot(bl, sin_ref[0], preferred_element_type=jnp.float32)
+
+    # ONE combine serves both outputs: boxcar row j (window start
+    # t0 = j - (tau-1)) sums blocks j..j+tau-1 of the (tau-1)-top-padded
+    # block rows; the Hann frame t is boxcar row t + tau - 1.
+    ub = jnp.zeros((nbrows, ext), jnp.float32)
+    vb = ub
+    for s in range(tau):
+        c = wc_ref[0, s]
+        d = ws_ref[0, s]
+        prs = pr[s: s + nbrows]
+        pis = pi[s: s + nbrows]
+        ub = ub + prs * c - pis * d
+        vb = vb + prs * d + pis * c
+
+    xb = ub[:, phi: phi + part]
+    yb = vb[:, phi: phi + part]
+    box_ref[0, :nbrows, :] = xb * xb + yb * yb
+    if rows_box > nbrows:
+        box_ref[0, nbrows:, :] = jnp.zeros((rows_box - nbrows, part),
+                                           jnp.float32)
+
+    ur = ub[tau - 1: tau - 1 + num_frames]
+    ui = vb[tau - 1: tau - 1 + num_frames]
+
+    def hann(u):
+        return (0.5 * u[:, phi: phi + part]
+                - 0.25 * u[:, : part]
+                - 0.25 * u[:, 2 * phi: 2 * phi + part])
+
+    xr = hann(ur)
+    xi = hann(ui)
+    power = xr * xr + xi * xi
+    db_ref[0, :num_frames, :] = 10.0 * jnp.log10(_DB_FLOOR + power * scale)
+    if rows_db > num_frames:
+        db_ref[0, num_frames:, :] = jnp.full(
+            (rows_db - num_frames, part), 10.0 * np.log10(_DB_FLOOR),
+            jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "num_frames",
+                                             "interpret"))
+def block_waterfall_mf_tf_fused_batch(waves: jnp.ndarray,
+                                      p: WaterfallParams, num_frames: int,
+                                      interpret: bool = False):
+    """Real audio (B, n) -> (Hann dB grids (B, num_frames, nbins),
+    boxcar power grids (B, num_frames + 2*(tau-1), nbins)).
+
+    The dB grids equal :func:`block_waterfall_tf_fused_batch` and the
+    boxcar grids equal ops/waterfall.py `_block_boxcar_tf` on the same
+    slot, each up to MXU accumulation split order (the usual bf16
+    operand rounding is identical).  Requires the block geometry and a
+    128-aligned strip width (`fused_mf_waterfall_ok`).
+    """
+    tau = p.time_osr
+    nbins = p.num_freq_bins
+    nb = num_frames + tau - 1
+    nbrows = nb + tau - 1
+    rows_in = -(-(nb + 2 * (tau - 1)) // _ROW_PAD) * _ROW_PAD
+    rows_db = -(-num_frames // _ROW_PAD) * _ROW_PAD
+    rows_box = -(-nbrows // _ROW_PAD) * _ROW_PAD
+    b = waves.shape[0]
+    part = _strip_part(nbins)
+    splits = nbins // part
+    ext = part + 2 * p.freq_osr
+
+    cos_e, sin_e, wc_e, ws_e = _fused_strip_constants(p, part)
 
     blocks = waves[..., : nb * p.hop].reshape(b, nb, p.hop)
-    blocks = jnp.pad(blocks, ((0, 0), (0, rows - nb), (0, 0))) \
-        .astype(jnp.bfloat16)
-    w_arrays = [np.ascontiguousarray(w_np, dtype=np.float32)
-                for (w_np, _f0, _no) in per_res]
-    import ml_dtypes
-    w_arrays = [w.astype(ml_dtypes.bfloat16) for w in w_arrays]
-    count_col = count.reshape(-1, 1).astype(np.float32)
+    blocks = jnp.pad(blocks, ((0, 0), (tau - 1,
+                                       rows_in - nb - (tau - 1)), (0, 0))) \
+        .astype(jnp.bfloat16).reshape(b * rows_in, p.hop)
 
-    kernel = functools.partial(_kernel_with_sync, p, num_frames, nbins,
-                               rows, g, len(per_res))
-    grid_out, scores_out = pl.pallas_call(
+    kernel = functools.partial(_kernel_mf, p, num_frames, part, rows_in,
+                               rows_db, rows_box, nbrows)
+    db, box = pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((b, rows, nbins), jnp.float32),
-                   jax.ShapeDtypeStruct((b, g.num_times, g.num_freqs),
-                                        jnp.float32)),
-        in_specs=[pl.BlockSpec((1, rows, p.hop), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (4 + 1 + len(per_res)),
-        out_specs=(pl.BlockSpec((1, rows, nbins), lambda i: (i, 0, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, g.num_times, g.num_freqs),
-                                lambda i: (i, 0, 0),
-                                memory_space=pltpu.VMEM)),
-        grid=(b,),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, rows_db, nbins), jnp.float32),
+            jax.ShapeDtypeStruct((b, rows_box, nbins), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec((rows_in, p.hop), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p.hop, ext), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p.hop, ext), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p.time_osr, ext), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p.time_osr, ext), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, rows_db, part), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows_box, part), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        grid=(b, splits),
         interpret=interpret,
-    )(blocks, cos_m, sin_m, jnp.asarray(wc), jnp.asarray(ws),
-      count_col, *w_arrays)
-    return grid_out[:, :num_frames], scores_out
-
-
-def fused_waterfall_sync_ok(p: WaterfallParams, g,
-                            platform: str | None = None) -> bool:
-    """Applicability of the combined waterfall+sync kernel: the base
-    kernel's geometry/platform gate plus sublane-aligned score rows."""
-    return (fused_waterfall_ok(p, platform=platform)
-            and g.num_times > 0 and g.num_times % _ROW_PAD == 0)
+    )(blocks, jnp.asarray(cos_e), jnp.asarray(sin_e), jnp.asarray(wc_e),
+      jnp.asarray(ws_e))
+    return db[:, :num_frames], box[:, :nbrows]

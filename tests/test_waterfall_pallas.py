@@ -126,34 +126,134 @@ def test_fused_waterfall_applicability_guard():
                                   platform="cpu")
     assert not fused_waterfall_ok(waterfall_params(12000.0, 2, 2),
                                   platform="cuda")
-
-
-def test_combined_waterfall_sync_kernel_interpret(rng):
-    """The combined waterfall+sync kernel (experimental, off by default:
-    Mosaic cannot lower its stride-tau sublane grid read on chip —
-    DESIGN_NOTES r4) stays correct in interpret mode: grids identical
-    to the waterfall kernel, scores matching sync_scores_tf_mxu to the
-    bf16-grid-operand tolerance with identical -inf masks."""
-    from ft8_demodulator_tpu.ops.sync import (search_grid,
-                                              sync_scores_tf_mxu)
+def test_mf_fused_kernel_grids_match_references(rng):
+    """The dual-output MF front kernel: dB grid == the single-output
+    kernel; boxcar grid == _block_boxcar_tf on bf16-operand spectra
+    (interpret mode; same operands, same combine order)."""
+    from ft8_demodulator_tpu.ops.waterfall import (_block_boxcar_tf,
+                                                   _block_spectrum)
     from ft8_demodulator_tpu.ops.waterfall_pallas import (
-        block_waterfall_sync_tf_fused_batch, fused_waterfall_sync_ok)
+        block_waterfall_mf_tf_fused_batch, fused_mf_waterfall_ok)
 
-    p = waterfall_params(FS, 2, 2)
-    n = int(FS * 15)
-    num_frames = p.num_frames(n)
-    g = search_grid(p.num_freq_bins, num_frames, p.time_osr, p.freq_osr)
-    assert fused_waterfall_sync_ok(p, g, platform="tpu")
-    waves = jnp.asarray(rng.standard_normal((2, n)).astype(np.float32))
-    grids, scores = block_waterfall_sync_tf_fused_batch(
-        waves, p, num_frames, g, interpret=True)
-    ref_grids = block_waterfall_tf_fused_batch(waves, p, num_frames,
-                                               interpret=True)
-    np.testing.assert_array_equal(np.asarray(grids),
-                                  np.asarray(ref_grids))
-    for i in range(2):
-        ref = np.asarray(sync_scores_tf_mxu(ref_grids[i], g))
-        got = np.asarray(scores[i])
-        np.testing.assert_array_equal(np.isneginf(ref), np.isneginf(got))
-        fin = np.isfinite(ref)
-        np.testing.assert_allclose(got[fin], ref[fin], atol=0.15)
+    for fs, osr in ((12000.0, (4, 4)), (12000.0, (2, 2))):
+        p = waterfall_params(fs, *osr)
+        assert fused_mf_waterfall_ok(p, platform="tpu")
+        n = int(fs * 15)
+        nf = p.num_frames(n)
+        waves = jnp.asarray((rng.standard_normal((2, n)) * 0.3)
+                            .astype(np.float32))
+        db, box = block_waterfall_mf_tf_fused_batch(waves, p, nf,
+                                                    interpret=True)
+        ref_db = block_waterfall_tf_fused_batch(waves, p, nf,
+                                                interpret=True)
+        np.testing.assert_allclose(np.asarray(db), np.asarray(ref_db),
+                                   atol=1e-3)
+
+        # boxcar reference from bf16-operand spectra (the kernel's own
+        # rounding), exact f32 combine
+        nb = nf + p.time_osr - 1
+        bl = np.asarray(waves)[:, : nb * p.hop].reshape(2, nb, p.hop)
+        bl16 = jnp.asarray(bl).astype(jnp.bfloat16)
+        from ft8_demodulator_tpu.ops.waterfall_pallas import \
+            _fused_constants
+        cos_m, sin_m, _, _, _ = _fused_constants(p)
+        pr = jnp.matmul(bl16, jnp.asarray(cos_m),
+                        preferred_element_type=jnp.float32)
+        pi = jnp.matmul(bl16, jnp.asarray(sin_m),
+                        preferred_element_type=jnp.float32)
+        ref_box = _block_boxcar_tf((pr, pi), p, nf)
+        assert box.shape == ref_box.shape
+        np.testing.assert_allclose(np.asarray(box), np.asarray(ref_box),
+                                   rtol=2e-5, atol=1e-5)
+
+
+def test_extract_llrs_matched_grid_matches_blocks(rng):
+    """Grid-gathered MF LLRs == spectra-gathered MF LLRs (within the
+    routing matmuls' operand tolerance), including pre-roll and
+    end-clipped candidate times."""
+    from ft8_demodulator_tpu.ops.llr import (extract_llrs_matched_blocks,
+                                             extract_llrs_matched_grid)
+    from ft8_demodulator_tpu.ops.waterfall import (_block_boxcar_tf,
+                                                   _block_spectrum)
+
+    fs = 2000.0
+    p = waterfall_params(fs, 2, 2)
+    n = int(fs * 15)
+    nf = p.num_frames(n)
+    tau, phi = p.time_osr, p.freq_osr
+    wave = jnp.asarray((rng.standard_normal(n) * 0.3).astype(np.float32))
+    spec = _block_spectrum(wave, p, nf)
+    box = _block_boxcar_tf(spec, p, nf)
+
+    nb = nf + tau - 1
+    abs_time = jnp.asarray(
+        np.concatenate([[-20, -1, 0, 1, nb - 79 * tau, nb - 40 * tau,
+                         nb - 2],
+                        rng.integers(0, nb - 79 * tau, 9)]).astype(np.int32))
+    abs_freq = jnp.asarray(rng.integers(
+        0, p.num_freq_bins - 7 * phi, len(abs_time)).astype(np.int32))
+
+    a = extract_llrs_matched_blocks(spec[0], spec[1], abs_time, abs_freq,
+                                    tau, phi)
+    b = extract_llrs_matched_grid(box, abs_time, abs_freq, tau, phi)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0.06,
+                               rtol=0.02)
+    # and the decode-relevant statistic: LLR signs agree on confident bits
+    an, bn = np.asarray(a), np.asarray(b)
+    strong = np.abs(an) > 1.0
+    assert (np.sign(an[strong]) == np.sign(bn[strong])).mean() > 0.999
+
+
+def test_mf_grid_front_decode_set_identical(rng):
+    """Planted signals decode to the same payload set through the
+    round-5 grid MF front (dual-output kernel + grid LLR gather) as
+    through the round-4 spectra front (CPU interpret)."""
+    from ft8_demodulator_tpu.demod.decode import finish_decode
+    from ft8_demodulator_tpu.ops.gfsk import ft8_passband
+    from ft8_demodulator_tpu.ops.llr import (extract_llrs_matched_blocks,
+                                             extract_llrs_matched_grid)
+    from ft8_demodulator_tpu.ops.sync import (find_candidates_tf,
+                                              search_grid, sync_scores_tf)
+    from ft8_demodulator_tpu.ops.waterfall import (_block_spectrum,
+                                                   _block_waterfall_tf)
+    from ft8_demodulator_tpu.ops.waterfall_pallas import \
+        block_waterfall_mf_tf_fused_batch
+
+    fs = 12000.0
+    p = waterfall_params(fs, 2, 2)
+    n = int(fs * 15)
+    nf = p.num_frames(n)
+    g = search_grid(p.num_freq_bins, nf, p.time_osr, p.freq_osr)
+
+    decoded = {"spectra": set(), "grid": set()}
+    for trial in range(2):
+        payload = np.asarray(rng.integers(0, 256, 10), np.uint8)
+        payload[9] &= 0xF8
+        w = np.zeros(n, np.float32)
+        sig = np.asarray(ft8_passband(payload, fs, 900.0 + 400.0 * trial,
+                                      0.0))
+        w[3000: 3000 + len(sig)] = sig
+        w += 0.3 * rng.standard_normal(n).astype(np.float32)
+        wd = jnp.asarray(w)
+
+        spec = _block_spectrum(wd, p, nf)
+        mag = _block_waterfall_tf(spec, p, nf)
+        t, f, sc, ok = find_candidates_tf(sync_scores_tf(mag, g), g, 10,
+                                          1.0)
+        llr = extract_llrs_matched_blocks(spec[0], spec[1], t, f,
+                                          p.time_osr, p.freq_osr)
+        res = finish_decode(llr, t, f, sc, ok, 20, False)
+        for row in np.asarray(res.payload)[np.asarray(res.success)]:
+            decoded["spectra"].add(bytes(row))
+
+        mag2, box = block_waterfall_mf_tf_fused_batch(wd[None], p, nf,
+                                                      interpret=True)
+        t2, f2, sc2, ok2 = find_candidates_tf(
+            sync_scores_tf(mag2[0], g), g, 10, 1.0)
+        llr2 = extract_llrs_matched_grid(box[0], t2, f2, p.time_osr,
+                                         p.freq_osr)
+        res2 = finish_decode(llr2, t2, f2, sc2, ok2, 20, False)
+        for row in np.asarray(res2.payload)[np.asarray(res2.success)]:
+            decoded["grid"].add(bytes(row))
+        assert bytes(payload) in decoded["spectra"], f"trial {trial}"
+    assert decoded["spectra"] == decoded["grid"]
