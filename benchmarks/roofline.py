@@ -441,31 +441,38 @@ def deep():
         # cost is ~one output read at worst.
         return jnp.sum(x.astype(jnp.float32))
 
-    def pre_spectra(w):
-        pr, pi = _block_spectrum(w, p, num_frames)
-        return _r(pr) + _r(pi)
+    # round-5 production front: the dual-output Pallas kernel (Hann dB
+    # grid + boxcar MF power grid in one pass) + grid-gathered MF LLRs —
+    # the prefixes measure the SHIPPING pipeline, not the retired
+    # spectra path (each chunk is 8 wide, the measured-best width)
+    from ft8_demodulator_tpu.ops.llr import extract_llrs_matched_grid
+    from ft8_demodulator_tpu.ops.waterfall_pallas import \
+        block_waterfall_mf_tf_fused_batch
 
-    def pre_mag(w):
-        return _r(_block_waterfall_tf(_block_spectrum(w, p, num_frames),
-                                      p, num_frames))
+    def chunked_grids(consume):
+        @jax.jit
+        def run(x):
+            def one(wc):
+                mags, boxes = block_waterfall_mf_tf_fused_batch(
+                    wc, p, num_frames)
+                return jnp.sum(jax.vmap(consume)(mags, boxes))
+            return jnp.sum(jax.lax.map(one, x.reshape(-1, 8, x.shape[-1])))
+        return run
 
-    def pre_scores(w):
-        mag = _block_waterfall_tf(_block_spectrum(w, p, num_frames), p,
-                                  num_frames)
-        return _r(sync_scores_tf(mag, g))
+    def pre_kernel(m, bx):
+        return _r(m) + _r(bx)
 
-    def pre_cands(w):
-        mag = _block_waterfall_tf(_block_spectrum(w, p, num_frames), p,
-                                  num_frames)
-        t, f, v, ok = find_candidates_tf(sync_scores_tf(mag, g), g, K_, MS)
+    def pre_scores(m, bx):
+        return _r(sync_scores_tf(m, g))
+
+    def pre_cands(m, bx):
+        t, f, v, ok = find_candidates_tf(sync_scores_tf(m, g), g, K_, MS)
         return _r(t) + _r(f) + _r(v)
 
-    def pre_mf_llrs(w):
-        spec = _block_spectrum(w, p, num_frames)
-        mag = _block_waterfall_tf(spec, p, num_frames)
-        t, f, v, ok = find_candidates_tf(sync_scores_tf(mag, g), g, K_, MS)
-        return _r(extract_llrs_matched_blocks(
-            spec[0], spec[1], t, f, g.time_osr, g.freq_osr))
+    def pre_mf_llrs(m, bx):
+        t, f, v, ok = find_candidates_tf(sync_scores_tf(m, g), g, K_, MS)
+        return _r(extract_llrs_matched_grid(bx, t, f, g.time_osr,
+                                            g.freq_osr))
 
     def full_batch(waves):
         # the PRODUCTION deep form: decode_slots' flat split-BP tail.
@@ -499,11 +506,10 @@ def deep():
         float(out_)
         return (time.perf_counter() - t0 - lat) / REPS / per
 
-    prefixes = [("retile+block-DFT", chunked(pre_spectra)),
-                ("waterfall-epilogue", chunked(pre_mag)),
-                ("sync-stencil", chunked(pre_scores)),
-                ("top-k-select", chunked(pre_cands)),
-                ("mf-llr-extract", chunked(pre_mf_llrs)),
+    prefixes = [("fused-grid+box-kernel", chunked_grids(pre_kernel)),
+                ("sync-stencil", chunked_grids(pre_scores)),
+                ("top-k-select", chunked_grids(pre_cands)),
+                ("mf-llr-from-grid", chunked_grids(pre_mf_llrs)),
                 ("bp+osd+crc", jax.jit(full_batch))]
     times = []
     for name, fn in prefixes:
@@ -518,25 +524,31 @@ def deep():
     grid_b = p.num_freq_bins * num_frames * f32
     score_b = g.num_freqs * g.num_times * f32
     tau = p.time_osr
+    # boxcar grid bytes: (num_frames + 2*(tau-1)) x nbins f32 written by
+    # the kernel and read back by the LLR routing matmuls
+    box_b = (num_frames + 2 * (tau - 1)) * p.num_freq_bins * f32
     models = {
-        "retile+block-DFT": dict(
-            mxu=dft_p * 2 * (2 * nb * p.hop * kx), vpu=0,
-            bytes=2 * n * f32 + nb * p.hop * f32 + 2 * nb * kx * f32,
-            note=""),
-        "waterfall-epilogue": dict(
-            mxu=0, vpu=(tau * 6 + 12 + 3 + 10) * num_frames * kx,
-            bytes=2 * nb * kx * f32 + grid_b, note=""),
+        "fused-grid+box-kernel": dict(
+            # DFT matmuls + both epilogues in VMEM; HBM: audio in, both
+            # grids out (spectra never materialise)
+            mxu=dft_p * 2 * (2 * nb * p.hop * kx),
+            vpu=(2 * tau * 6 + 12 + 3 + 10) * num_frames * kx,
+            bytes=n * f32 + nb * p.hop * 2 + grid_b + box_b,
+            note="dual-output Pallas kernel: Hann dB grid + boxcar MF "
+                 "power grid in one pass (round 5)"),
         "sync-stencil": dict(
             mxu=0, vpu=84 * 4 * g.num_freqs * g.num_times,
             bytes=grid_b + score_b, note=""),
         "top-k-select": dict(
             mxu=0, vpu=2 * g.num_freqs * g.num_times, bytes=score_b,
             note=""),
-        "mf-llr-extract": dict(
-            mxu=0, vpu=K_ * 79 * 8 * tau * 12,
-            bytes=2 * nb * kx * f32 + K_ * 174 * f32,
-            note="coarse: per-candidate column gather + (tau, 8) phase "
-                 "combine over the resident block spectra"),
+        "mf-llr-from-grid": dict(
+            # two one-hot routing matmuls over the boxcar grid
+            mxu=2 * (K_ * 8) * p.num_freq_bins
+                * (num_frames + 2 * (tau - 1)),
+            vpu=K_ * 174 * 12,
+            bytes=box_b + K_ * 174 * f32,
+            note="grid-gathered MF LLRs (extract_llrs_matched_grid)"),
         "bp+osd+crc": dict(
             mxu=BP_ITERS * K_ * (bp_p * 2 * (2 * 522 * 581)
                                  + 2 * 174 * 83),

@@ -14,7 +14,7 @@ from dataclasses import dataclass
 import numpy as np
 
 __all__ = ["SDRInterface", "LoopbackSDR", "PlutoSDR", "transmit_ft8",
-           "receive_and_decode"]
+           "receive_and_decode", "qpsk_loopback_check"]
 
 
 class SDRInterface:
@@ -121,3 +121,32 @@ def receive_and_decode(sdr: SDRInterface, num_buffers: int = 30,
     samples = np.concatenate(chunks)
     samples = samples - np.mean(samples)
     return decode_ft8_message(samples, sdr.sample_rate, **decode_kwargs)
+
+
+def qpsk_loopback_check(sdr: SDRInterface, num_symbols: int = 1000,
+                        sps: int = 16, seed: int = 0) -> float:
+    """Modulation-agnostic SDR-path sanity check: QPSK through tx/rx.
+
+    The reference's hardware smoke test (pluto-sdr/test_basic.py:24-46)
+    pushes 1000 rectangular-pulse QPSK symbols through the radio and
+    eyeballs the constellation; this is that check behind the
+    SDRInterface seam with an asserted statistic instead of a plot:
+    transmit `num_symbols` random QPSK symbols at `sps` samples/symbol,
+    receive one buffer, DC-remove, and hard-demod by quadrant at the
+    symbol centres.  Returns the fraction of symbols recovered (1.0 on
+    a clean loopback; a real radio with noise/gain error scores lower —
+    the reference treats >~0.9 as a healthy path).
+    """
+    rng = np.random.default_rng(seed)
+    x_int = rng.integers(0, 4, num_symbols)
+    ang = x_int * (np.pi / 2.0) + np.pi / 4.0       # 45/135/225/315 deg
+    symbols = np.exp(1j * ang).astype(np.complex64)
+    samples = np.repeat(symbols, sps)
+    sdr.tx(samples)
+    rx = np.asarray(sdr.rx())[: num_symbols * sps]
+    rx = rx - np.mean(rx)
+    centres = rx.reshape(-1, sps)[:, sps // 2]
+    got = (np.floor(np.mod(np.angle(centres), 2 * np.pi)
+                    / (np.pi / 2.0))).astype(int)
+    n = min(len(got), num_symbols)
+    return float(np.mean(got[:n] == x_int[:n])) if n else 0.0

@@ -259,22 +259,34 @@ def _fused_strip_constants(p: WaterfallParams, part: int):
 
 def fused_mf_waterfall_ok(p: WaterfallParams,
                           platform: str | None = None) -> bool:
-    """Applicability of the dual-output MF front kernel: the base
-    platform gate, a 128-aligned strip width, and the strip VMEM
-    budget (streamed weights make it far smaller than the resident
-    kernel's — every production geometry up to 48 kHz fits)."""
-    if not fused_waterfall_ok(p, platform=platform):
-        # reuse the platform probe; the resident-size term is stricter
-        # than this kernel needs, so re-check only on strip terms below
-        if platform is None:
-            try:
-                import jax as _jax
-                platform = _jax.default_backend()
-            except Exception:
-                return False
-        if platform not in ("tpu", "axon"):
+    """Applicability of the dual-output MF front kernel: platform, a
+    128-aligned strip width, and the per-step strip VMEM estimate
+    (double-buffered blocks/weights/outs + pr/pi scratch at a nominal
+    15-s slot).  Streamed weight strips make the budget far smaller
+    than the resident kernel's at production rates (~7 MB at 12 kHz
+    4x4); very large hops (fs >= ~40 kHz) push the per-strip weight
+    blocks over and fall back to the spectra path."""
+    if platform is None:
+        try:
+            import jax as _jax
+            platform = _jax.default_backend()
+        except Exception:
             return False
-    return _strip_part(p.num_freq_bins) is not None
+    if platform not in ("tpu", "axon"):
+        return False
+    part = _strip_part(p.num_freq_bins)
+    if part is None:
+        return False
+    tau = p.time_osr
+    ext = part + 2 * p.freq_osr
+    nb = int(round(15.0 * p.fs / p.hop))            # nominal 15-s slot
+    rows_in = -(-(nb + 2 * (tau - 1)) // _ROW_PAD) * _ROW_PAD
+    est = (2 * rows_in * p.hop * 2                  # blocks bf16 x2 buf
+           + 2 * 2 * p.hop * ext * 2                # cos/sin strips x2
+           + 2 * rows_in * ext * 4                  # pr/pi scratch
+           + 2 * 2 * rows_in * part * 4             # both outs x2 buf
+           + 4 * rows_in * ext * 4)                 # combine buffers
+    return est <= 14 * 1024 * 1024
 
 
 def _kernel_mf(p: WaterfallParams, num_frames: int, part: int,
