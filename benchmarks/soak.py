@@ -117,10 +117,23 @@ def main():
             # cell, and the Costas stencil's contrast peaks on the
             # +-2-sub-bin sidelobes of a strong tone (ops/sync.py), so a
             # correct decode may report up to ~2.5 cells off — the same
-            # convention the reference uses.
-            if dt > C.SYMBOL_PERIOD_S / osr + 1e-6:
+            # convention the reference uses.  Both tolerances FLOOR at a
+            # fraction of the physical symbol/tone: the stencil's
+            # localisation accuracy is set by the signal (~1/4 symbol,
+            # ~1/2 tone spacing), not by how finely the grid samples it
+            # — at osr 10 a "cell" is 16 ms / 0.625 Hz and correct
+            # decodes legitimately report 2-3 fine cells off (first
+            # high-osr soak, round 5).
+            # 1.5 cells: the true start quantises to the nearest cell
+            # (+-half cell) AND the winning candidate can sit one cell
+            # over (measured 1.13-cell report at osr 3)
+            tol_t = max(1.5 * C.SYMBOL_PERIOD_S / osr,
+                        C.SYMBOL_PERIOD_S / 4)
+            tol_f = max(2.5 * C.TONE_SPACING_HZ / osr,
+                        C.TONE_SPACING_HZ / 2)
+            if dt > tol_t + 1e-6:
                 why = f"time off by {dt:.3f} s"
-            elif df > 2.5 * C.TONE_SPACING_HZ / osr + 1e-6:
+            elif df > tol_f + 1e-6:
                 why = f"freq off by {df:.2f} Hz"
             elif r.snr_db is not None:
                 # real noise occupies fs/2; complex (I/Q) noise fs
