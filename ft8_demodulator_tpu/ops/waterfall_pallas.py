@@ -291,50 +291,60 @@ def fused_mf_waterfall_ok(p: WaterfallParams,
 
 def _kernel_mf(p: WaterfallParams, num_frames: int, part: int,
                rows_in: int, rows_db: int, rows_box: int, nbrows: int,
+               s_slots: int,
                blocks_ref, cos_ref, sin_ref, wc_ref, ws_ref,
                db_ref, box_ref):
     tau, phi = p.time_osr, p.freq_osr
     ext = part + 2 * phi
     scale = _fused_constants(p)[4]
 
-    bl = blocks_ref[...]                    # (rows_in, hop) bf16
+    # s_slots slots per grid step: the DFT matmuls see M = s_slots *
+    # rows_in against the streamed weight strip (M=376 at s_slots=1 ran
+    # ~25 % MXU efficiency at the DEEP geometry — weight loads dominate
+    # small-M passes), then the epilogue runs per slot on static slices
+    bl = blocks_ref[...]                    # (s_slots*rows_in, hop) bf16
     pr = jnp.dot(bl, cos_ref[0], preferred_element_type=jnp.float32)
     pi = jnp.dot(bl, sin_ref[0], preferred_element_type=jnp.float32)
 
-    # ONE combine serves both outputs: boxcar row j (window start
-    # t0 = j - (tau-1)) sums blocks j..j+tau-1 of the (tau-1)-top-padded
-    # block rows; the Hann frame t is boxcar row t + tau - 1.
-    ub = jnp.zeros((nbrows, ext), jnp.float32)
-    vb = ub
-    for s in range(tau):
-        c = wc_ref[0, s]
-        d = ws_ref[0, s]
-        prs = pr[s: s + nbrows]
-        pis = pi[s: s + nbrows]
-        ub = ub + prs * c - pis * d
-        vb = vb + prs * d + pis * c
+    for si in range(s_slots):
+        prs_all = pr[si * rows_in: (si + 1) * rows_in]
+        pis_all = pi[si * rows_in: (si + 1) * rows_in]
 
-    xb = ub[:, phi: phi + part]
-    yb = vb[:, phi: phi + part]
-    box_ref[0, :nbrows, :] = xb * xb + yb * yb
-    if rows_box > nbrows:
-        box_ref[0, nbrows:, :] = jnp.zeros((rows_box - nbrows, part),
-                                           jnp.float32)
+        # ONE combine serves both outputs: boxcar row j (window start
+        # t0 = j - (tau-1)) sums blocks j..j+tau-1 of the (tau-1)-top-
+        # padded block rows; the Hann frame t is boxcar row t + tau - 1.
+        ub = jnp.zeros((nbrows, ext), jnp.float32)
+        vb = ub
+        for s in range(tau):
+            c = wc_ref[0, s]
+            d = ws_ref[0, s]
+            prs = prs_all[s: s + nbrows]
+            pis = pis_all[s: s + nbrows]
+            ub = ub + prs * c - pis * d
+            vb = vb + prs * d + pis * c
 
-    ur = ub[tau - 1: tau - 1 + num_frames]
-    ui = vb[tau - 1: tau - 1 + num_frames]
+        xb = ub[:, phi: phi + part]
+        yb = vb[:, phi: phi + part]
+        box_ref[si, :nbrows, :] = xb * xb + yb * yb
+        if rows_box > nbrows:
+            box_ref[si, nbrows:, :] = jnp.zeros((rows_box - nbrows, part),
+                                                jnp.float32)
 
-    def hann(u):
-        return (0.5 * u[:, phi: phi + part]
-                - 0.25 * u[:, : part]
-                - 0.25 * u[:, 2 * phi: 2 * phi + part])
+        ur = ub[tau - 1: tau - 1 + num_frames]
+        ui = vb[tau - 1: tau - 1 + num_frames]
 
-    xr = hann(ur)
-    xi = hann(ui)
-    power = xr * xr + xi * xi
-    db_ref[0, :num_frames, :] = 10.0 * jnp.log10(_DB_FLOOR + power * scale)
-    if rows_db > num_frames:
-        db_ref[0, num_frames:, :] = jnp.full(
+        def hann(u):
+            return (0.5 * u[:, phi: phi + part]
+                    - 0.25 * u[:, : part]
+                    - 0.25 * u[:, 2 * phi: 2 * phi + part])
+
+        xr = hann(ur)
+        xi = hann(ui)
+        power = xr * xr + xi * xi
+        db_ref[si, :num_frames, :] = 10.0 * jnp.log10(_DB_FLOOR
+                                                      + power * scale)
+        if rows_db > num_frames:
+            db_ref[si, num_frames:, :] = jnp.full(
             (rows_db - num_frames, part), 10.0 * np.log10(_DB_FLOOR),
             jnp.float32)
 
@@ -367,13 +377,18 @@ def block_waterfall_mf_tf_fused_batch(waves: jnp.ndarray,
 
     cos_e, sin_e, wc_e, ws_e = _fused_strip_constants(p, part)
 
+    # slots per grid step: S=2 doubles the DFT matmul's M (weight loads
+    # amortise over twice the rows); the strip VMEM stays well inside
+    # budget at production geometries.  S must divide b.
+    s_slots = 2 if b % 2 == 0 else 1
+
     blocks = waves[..., : nb * p.hop].reshape(b, nb, p.hop)
     blocks = jnp.pad(blocks, ((0, 0), (tau - 1,
                                        rows_in - nb - (tau - 1)), (0, 0))) \
         .astype(jnp.bfloat16).reshape(b * rows_in, p.hop)
 
     kernel = functools.partial(_kernel_mf, p, num_frames, part, rows_in,
-                               rows_db, rows_box, nbrows)
+                               rows_db, rows_box, nbrows, s_slots)
     db, box = pl.pallas_call(
         kernel,
         out_shape=(
@@ -381,7 +396,7 @@ def block_waterfall_mf_tf_fused_batch(waves: jnp.ndarray,
             jax.ShapeDtypeStruct((b, rows_box, nbins), jnp.float32),
         ),
         in_specs=[
-            pl.BlockSpec((rows_in, p.hop), lambda i, j: (i, 0),
+            pl.BlockSpec((s_slots * rows_in, p.hop), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, p.hop, ext), lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -393,12 +408,12 @@ def block_waterfall_mf_tf_fused_batch(waves: jnp.ndarray,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, rows_db, part), lambda i, j: (i, 0, j),
+            pl.BlockSpec((s_slots, rows_db, part), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows_box, part), lambda i, j: (i, 0, j),
+            pl.BlockSpec((s_slots, rows_box, part), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
         ),
-        grid=(b, splits),
+        grid=(b // s_slots, splits),
         interpret=interpret,
     )(blocks, jnp.asarray(cos_e), jnp.asarray(sin_e), jnp.asarray(wc_e),
       jnp.asarray(ws_e))
