@@ -112,7 +112,23 @@ def _reduce_basis_packed(a: jnp.ndarray):
     pcol0 = used0.astype(jnp.int32)
     # (a scan with unroll=8 measured slightly SLOWER on v5e — the 174 pivot
     # steps are genuinely sequential vector work, not dispatch overhead)
-    a, _, pcol = jax.lax.fori_loop(0, _N, step, (a, used0, pcol0))
+    # Early exit once all 91 pivots are placed: the basis has rank
+    # exactly 91, and once `used` is full every later step has avail==0
+    # and provably changes nothing — so stopping is EXACT (identical
+    # reduced basis and pcol), and the expected stop column for a
+    # reliability-permuted dense basis is ~91 + O(1) of 174 (rank
+    # deficiency of the first 91+c columns decays as 2^-c).
+    def cond(state):
+        _, used, _, j = state
+        return (j < _N) & (jnp.sum(used) < jnp.uint32(_K))
+
+    def body(state):
+        a, used, pcol, j = state
+        a, used, pcol = step(j, (a, used, pcol))
+        return a, used, pcol, j + 1
+
+    j0 = pcol0[0] * 0        # scalar zero derived from `a` (vma, as above)
+    a, _, pcol, _ = jax.lax.while_loop(cond, body, (a, used0, pcol0, j0))
     return a, pcol
 
 
@@ -181,8 +197,28 @@ def _reduce_basis_pallas_batch(a_packed: jnp.ndarray,
 
         used0 = (row_iota >= _K).astype(jnp.uint32)      # padding rows used
         pcol0 = jnp.zeros((_KP, _LANES), jnp.int32)
-        state, _, pcol = jax.lax.fori_loop(
-            0, _N, step, (state, used0, pcol0))
+
+        # early exit once EVERY lane has all 91 pivots placed (used sums
+        # to _KP per lane, padding rows pre-counted): later steps have
+        # avail==0 on full-rank lanes and change nothing, so stopping
+        # when the whole tile is full-rank is EXACT.  Expected stop
+        # column ~91 + log2(LANES) + O(1) of 174 (per-lane deficiency
+        # after 91+c columns decays as 2^-c).
+        def cond(carry):
+            _, used, _, j = carry
+            # (uint32 0/1 summed through an int32 bitcast — Mosaic has
+            # no unsigned reductions; totals <= _KP are exact)
+            counts = jnp.sum(jax.lax.bitcast_convert_type(used, jnp.int32),
+                             axis=0)
+            return (j < _N) & jnp.any(counts < _KP)
+
+        def body(carry):
+            state, used, pcol, j = carry
+            state, used, pcol = step(j, (state, used, pcol))
+            return state, used, pcol, j + 1
+
+        state, _, pcol, _ = jax.lax.while_loop(
+            cond, body, (state, used0, pcol0, jnp.int32(0)))
         out_ref[:, :] = state
         pcol_ref[:, :] = pcol
 
