@@ -9,9 +9,15 @@ closest to the received soft values.  This is the classic decoder WSJT-X
 layers over BP for its deepest decodes.
 
 TPU shape: everything is fixed-shape and vmapped over candidates.  The
-elimination runs BIT-PACKED — each basis row is 6 uint32 words, so one of
-the 174 pivot steps is a handful of bitwise ops on a (batch, 91, 6) tensor
-instead of float ops on (batch, 91, 174) (measured ~30x less HBM traffic).
+elimination runs BIT-PACKED — each basis row is 6 uint32 words, so one
+pivot step is a handful of bitwise ops on a (batch, 91, 6) tensor
+instead of float ops on (batch, 91, 174) (measured ~30x less HBM
+traffic) — in NATURAL column order along a per-candidate reliability
+SCHEDULE (round 5: permuting the basis columns instead cost a
+per-candidate minor-axis gather + bit-pack before and a keyed
+un-permute sort after, together ~3x the elimination), and stops as
+soon as all 91 pivots are placed (~column 105 of 174 expected;
+provably exact — see _reduce_basis_packed).
 
 Acceptance is CRC-14 plus a soft-distance gate: every OSD output is a
 valid codeword by construction, so unlike BP there is no syndrome check.
@@ -68,6 +74,15 @@ def _unpack(words: jnp.ndarray) -> jnp.ndarray:
     return bits.reshape(*words.shape[:-1], _W * 32).astype(jnp.float32)
 
 
+def _pack_np(bits: np.ndarray) -> np.ndarray:
+    """Host-side :func:`_pack`: (..., <=192) {0,1} -> (..., 6) uint32."""
+    pad = _W * 32 - bits.shape[-1]
+    b = np.pad(bits.astype(np.uint64),
+               [(0, 0)] * (bits.ndim - 1) + [(0, pad)])
+    b = b.reshape(*bits.shape[:-1], _W, 32)
+    return (b << np.arange(32, dtype=np.uint64)).sum(-1).astype(np.uint32)
+
+
 def _xor_reduce_rows(a: jnp.ndarray) -> jnp.ndarray:
     """XOR-fold (91, W) -> (W,) via a padded binary tree."""
     rows = a
@@ -80,18 +95,32 @@ def _xor_reduce_rows(a: jnp.ndarray) -> jnp.ndarray:
     return rows[0]
 
 
-def _reduce_basis_packed(a: jnp.ndarray):
-    """Row-reduce the column-permuted packed basis a (91, W uint32).
+def _reduce_basis_packed(order: jnp.ndarray):
+    """Row-reduce the shared NATURAL-ORDER packed augmented basis, taking
+    pivot columns in the per-candidate reliability order `order` (174,)
+    int32 (most reliable first).
 
-    Returns (reduced packed basis, pivot column index per row).  The basis
-    has rank 91, so exactly 91 of the 174 steps place a pivot.
+    Returns (reduced packed basis (91, W) — natural column layout,
+    pcol (91,) pivot RANK per row — the position in `order` where the
+    row pivoted, pnat (91,) pivot NATURAL column per row).
+
+    Round 5: the elimination used to run on a column-PERMUTED copy of
+    the basis (sorted layout), which cost a per-candidate minor-axis
+    gather of the (91, 174) basis plus a per-candidate bit-pack before
+    it and a keyed un-permute sort after the tail — together ~3x the
+    elimination itself on v5e.  Taking the column SCHEDULE to the data
+    instead of permuting the data removes all three: the packed basis
+    is a module constant shared by every candidate, and all tail
+    quantities (distances, syndromes, the winning codeword) are
+    permutation-invariant so they read natural-order directly.
     """
     rows_idx = jnp.arange(_K)
 
     def step(j, state):
-        a, used, pcol = state
-        word = j >> 5
-        bit = (j & 31).astype(jnp.uint32)
+        a, used, pcol, pnat = state
+        c = order[j]                                     # natural column
+        word = c >> 5
+        bit = (c & 31).astype(jnp.uint32)
         col = (jax.lax.dynamic_index_in_dim(a, word, axis=1,
                                             keepdims=False) >> bit) \
             & jnp.uint32(1)                              # (91,)
@@ -102,14 +131,17 @@ def _reduce_basis_packed(a: jnp.ndarray):
         elim = (col * jnp.where(found, 1, 0)).at[i].set(0)  # rows to clear
         a = a ^ (elim[:, None].astype(jnp.uint32) * row[None, :])
         used = used.at[i].add(jnp.where(found, 1, 0))
-        pcol = jnp.where((rows_idx == i) & found, j, pcol)
-        return a, used, pcol
+        hit = (rows_idx == i) & found
+        pcol = jnp.where(hit, j, pcol)
+        pnat = jnp.where(hit, c, pnat)
+        return a, used, pcol, pnat
 
-    # derive the zero carries from `a` so they inherit its varying manual
-    # axes (shard_map vma) — literal zeros are replicated and fail the
-    # fori_loop carry-type check inside SPMD pipelines
-    used0 = a[:, 0] ^ a[:, 0]                 # (91,) uint32 zeros
-    pcol0 = used0.astype(jnp.int32)
+    # derive the zero carries from `order` so they inherit its varying
+    # manual axes (shard_map vma) — literal zeros are replicated and fail
+    # the loop carry-type check inside SPMD pipelines
+    zeros_k = order[:_K] * 0                  # (91,) int32 zeros
+    used0 = zeros_k.astype(jnp.uint32)
+    a0 = jnp.asarray(_STATE0_NAT) ^ used0[:, None]       # shared basis
     # (a scan with unroll=8 measured slightly SLOWER on v5e — the 174 pivot
     # steps are genuinely sequential vector work, not dispatch overhead)
     # Early exit once all 91 pivots are placed: the basis has rank
@@ -119,17 +151,18 @@ def _reduce_basis_packed(a: jnp.ndarray):
     # reliability-permuted dense basis is ~91 + O(1) of 174 (rank
     # deficiency of the first 91+c columns decays as 2^-c).
     def cond(state):
-        _, used, _, j = state
+        _, used, _, _, j = state
         return (j < _N) & (jnp.sum(used) < jnp.uint32(_K))
 
     def body(state):
-        a, used, pcol, j = state
-        a, used, pcol = step(j, (a, used, pcol))
-        return a, used, pcol, j + 1
+        a, used, pcol, pnat, j = state
+        a, used, pcol, pnat = step(j, (a, used, pcol, pnat))
+        return a, used, pcol, pnat, j + 1
 
-    j0 = pcol0[0] * 0        # scalar zero derived from `a` (vma, as above)
-    a, _, pcol, _ = jax.lax.while_loop(cond, body, (a, used0, pcol0, j0))
-    return a, pcol
+    j0 = zeros_k[0]          # scalar zero derived from `order` (vma)
+    a, _, pcol, pnat, _ = jax.lax.while_loop(
+        cond, body, (a0, used0, zeros_k, zeros_k, j0))
+    return a, pcol, pnat
 
 
 # ---------------------------------------------------------------------------
@@ -140,39 +173,63 @@ _KP = 96                 # 91 rows padded to a sublane multiple
 _LANES = 128             # candidates per grid step
 
 
-def _reduce_basis_pallas_batch(a_packed: jnp.ndarray,
-                               interpret: bool = False):
-    """Batched GF(2) elimination: a_packed (B, 91, W) -> (reduced, pcol).
+_ORD_ROWS = 176          # 174 schedule rows padded to a sublane multiple
 
-    Layout: candidates on lanes, the 6 words x 96 padded rows stacked on
-    sublanes, so the whole elimination state of 128 candidates is one
-    (576, 128) uint32 VMEM tile and all 174 pivot steps run on-chip.
+
+def _reduce_basis_pallas_batch(order: jnp.ndarray,
+                               interpret: bool = False):
+    """Batched natural-order GF(2) elimination.
+
+    order (B, 174) int32: per-candidate pivot-column schedule (natural
+    column indices, most reliable first).  Returns (reduced (B, 91, W)
+    uint32 — natural column layout, pcol (B, 91) pivot rank, pnat
+    (B, 91) pivot natural column); see :func:`_reduce_basis_packed`.
+
+    Layout: candidates on lanes; the elimination state of 128 candidates
+    is one (576, 128) uint32 VMEM tile initialised by broadcasting the
+    SHARED packed natural basis (one (576, 1) column input — no
+    per-candidate gather/pack ever happens); the schedule rides as a
+    (176, 128) int32 tile that rolls one row per step so the current
+    column is always a static row-0 read.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    batch = a_packed.shape[0]
+    batch = order.shape[0]
     pad_b = -(-batch // _LANES) * _LANES
-    a_p = jnp.pad(a_packed, ((0, pad_b - batch), (0, 0), (0, 0)))
-    a_p = jnp.pad(a_p, ((0, 0), (0, _KP - _K), (0, 0)))   # pad rows
-    # (B, 96, W) -> (B, W, 96) -> (B, W*96) -> (W*96, B)
-    state0 = jnp.swapaxes(a_p, 1, 2).reshape(pad_b, _W * _KP).T
-    state0 = state0.astype(jnp.uint32)
+    ordp = jnp.pad(order, ((0, pad_b - batch), (0, _ORD_ROWS - _N))) \
+        .T.astype(jnp.int32)                             # (176, padB)
+    # per-lane word index and single-bit mask, precomputed OUTSIDE the
+    # kernel: in-kernel per-lane variable shifts ((row >> bit[lane]) & 1)
+    # measured ~5x the whole elimination on v5e — Mosaic lowers variable
+    # shifts very poorly — while (row & mask[lane]) != 0 is two cheap
+    # vector ops.  (pad columns get word 0 / mask bit0: harmless no-op
+    # steps, see the chunk-tail note below.)
+    wsel = ordp >> 5                                     # (176, padB)
+    bmask = (jnp.uint32(1) << (ordp & 31).astype(jnp.uint32))
+    state_col = jnp.asarray(
+        np.pad(_STATE0_NAT, ((0, _KP - _K), (0, 0)))
+        .T.reshape(_W * _KP, 1))                         # (576, 1) uint32
 
-    def kernel(s_ref, out_ref, pcol_ref):
+    def kernel(s_ref, ord_ref, wsel_ref, mask_ref, out_ref, pcol_ref,
+               pnat_ref):
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (_KP, _LANES), 0)
-        state = s_ref[:, :]                              # (W*96, LANES)
+        state0 = jnp.broadcast_to(s_ref[:, :], (_W * _KP, _LANES))
 
-        def step(j, carry):
-            state, used, pcol = carry
-            w = j >> 5
-            bit = (j & 31).astype(jnp.uint32)
+        def step(j, k, ords, wsels, masks, carry):
+            state, used, pcol, pnat = carry
+            c = ords[k]                                  # (LANES,) natural
+            w = wsels[k]
+            mask = masks[k]
             blocks = state.reshape(_W, _KP, _LANES)
-            # static 6-way select (Mosaic has no dynamic_slice on values)
+            # static 6-way select against the per-LANE word index
+            # (Mosaic has no dynamic_slice on values)
             word_rows = blocks[0]
             for wi in range(1, _W):
-                word_rows = jnp.where(w == wi, blocks[wi], word_rows)
-            col = (word_rows >> bit) & jnp.uint32(1)
+                word_rows = jnp.where((w == wi)[None, :], blocks[wi],
+                                      word_rows)
+            col = jnp.where((word_rows & mask[None, :]) > 0,
+                            jnp.uint32(1), jnp.uint32(0))
             avail = col * (jnp.uint32(1) - used)
             # first available row per lane as a float min-index reduction
             # (Mosaic argmax supports only f32; indices <= 95 are exact)
@@ -192,8 +249,10 @@ def _reduce_basis_pallas_batch(a_packed: jnp.ndarray,
             new_blocks = blocks ^ (elim[None, :, :] * rowvals[:, None, :])
             state = new_blocks.reshape(_W * _KP, _LANES)
             used = used | (onehot * found[None, :])
-            pcol = jnp.where((onehot > 0) & (found[None, :] > 0), j, pcol)
-            return state, used, pcol
+            hit = (onehot > 0) & (found[None, :] > 0)
+            pcol = jnp.where(hit, j, pcol)
+            pnat = jnp.where(hit, c[None, :], pnat)
+            return state, used, pcol, pnat
 
         used0 = (row_iota >= _K).astype(jnp.uint32)      # padding rows used
         pcol0 = jnp.zeros((_KP, _LANES), jnp.int32)
@@ -203,48 +262,72 @@ def _reduce_basis_pallas_batch(a_packed: jnp.ndarray,
         # avail==0 on full-rank lanes and change nothing, so stopping
         # when the whole tile is full-rank is EXACT.  Expected stop
         # column ~91 + log2(LANES) + O(1) of 174 (per-lane deficiency
-        # after 91+c columns decays as 2^-c).
+        # after 91+c columns decays as 2^-c).  The loop walks CHUNKS of
+        # 8 schedule rows (one aligned sublane slice per chunk, 8
+        # unrolled static-row steps — a per-step rolled/variable-index
+        # schedule read measured several x slower); a chunk that
+        # straddles the stop point just runs no-op steps (full-rank =>
+        # avail == 0 everywhere), so chunking is exact too.
         def cond(carry):
-            _, used, _, j = carry
+            _, used, _, _, ch = carry
             # (uint32 0/1 summed through an int32 bitcast — Mosaic has
             # no unsigned reductions; totals <= _KP are exact)
             counts = jnp.sum(jax.lax.bitcast_convert_type(used, jnp.int32),
                              axis=0)
-            return (j < _N) & jnp.any(counts < _KP)
+            return (ch * 8 < _N) & jnp.any(counts < _KP)
 
         def body(carry):
-            state, used, pcol, j = carry
-            state, used, pcol = step(j, (state, used, pcol))
-            return state, used, pcol, j + 1
+            state, used, pcol, pnat, ch = carry
+            r0 = pl.multiple_of(ch * 8, 8)
+            ords = ord_ref[pl.ds(r0, 8), :]
+            wsels = wsel_ref[pl.ds(r0, 8), :]
+            masks = mask_ref[pl.ds(r0, 8), :]
+            st = (state, used, pcol, pnat)
+            for k in range(8):
+                st = step(ch * 8 + k, k, ords, wsels, masks, st)
+            state, used, pcol, pnat = st
+            return state, used, pcol, pnat, ch + 1
 
-        state, _, pcol, _ = jax.lax.while_loop(
-            cond, body, (state, used0, pcol0, jnp.int32(0)))
+        state, _, pcol, pnat, _ = jax.lax.while_loop(
+            cond, body, (state0, used0, pcol0, pcol0, jnp.int32(0)))
         out_ref[:, :] = state
         pcol_ref[:, :] = pcol
+        pnat_ref[:, :] = pnat
 
     grid = (pad_b // _LANES,)
-    out, pcol = pl.pallas_call(
+    out, pcol, pnat = pl.pallas_call(
         kernel,
         grid=grid,
         out_shape=(
-            jax.ShapeDtypeStruct(state0.shape, jnp.uint32),
+            jax.ShapeDtypeStruct((_W * _KP, pad_b), jnp.uint32),
+            jax.ShapeDtypeStruct((_KP, pad_b), jnp.int32),
             jax.ShapeDtypeStruct((_KP, pad_b), jnp.int32),
         ),
-        in_specs=[pl.BlockSpec((_W * _KP, _LANES), lambda b: (0, b),
-                               memory_space=pltpu.VMEM)],
+        in_specs=[
+            pl.BlockSpec((_W * _KP, 1), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ORD_ROWS, _LANES), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ORD_ROWS, _LANES), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ORD_ROWS, _LANES), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+        ],
         out_specs=(
             pl.BlockSpec((_W * _KP, _LANES), lambda b: (0, b),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_KP, _LANES), lambda b: (0, b),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((_KP, _LANES), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(state0)
+    )(state_col, ordp, wsel, bmask)
 
     # back to (B, 91, W) / (B, 91)
     red = out.T.reshape(pad_b, _W, _KP)[:batch, :, :_K]
     red = jnp.swapaxes(red, 1, 2)
-    return red, pcol.T[:batch, :_K]
+    return red, pcol.T[:batch, :_K], pnat.T[:batch, :_K]
 
 
 def _osd_pallas_ok() -> bool:
@@ -265,25 +348,30 @@ def _triple_indices(q: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return idx[:, 0], idx[:, 1], idx[:, 2]
 
 
-def _osd_tail(llr_sorted: jnp.ndarray, order: jnp.ndarray, a: jnp.ndarray,
-              pcol: jnp.ndarray, lam: float, order2: int = 0,
+def _osd_tail(llr: jnp.ndarray, a: jnp.ndarray, pcol: jnp.ndarray,
+              pnat: jnp.ndarray, lam: float, order2: int = 0,
               order3: int = 0):
     """Order-0/1 (+ partial order-2) search given one candidate's reduced
     packed basis.
 
-    llr_sorted (174,) LLRs in reliability order, order (174,) the natural
-    bit index at each sorted position, a (91, W) packed SYNDROME-AUGMENTED
-    reduced basis (bit columns 174..187 carry each row's natural-order
-    CRC syndrome — they rode along through the elimination's row XORs for
-    free), pcol (91,) pivot columns.  Returns (plain, ok).
+    llr (174,) NATURAL-order LLRs, a (91, W) packed SYNDROME-AUGMENTED
+    reduced basis in natural column layout (bit columns 174..187 carry
+    each row's CRC syndrome — they rode along through the elimination's
+    row XORs for free), pcol (91,) pivot RANKS (position in the
+    reliability order — the order-2 least-reliable-pivot selection keys
+    on these), pnat (91,) pivot natural columns.  Returns (plain, ok).
+
+    Everything the search computes — distances, syndromes, the winning
+    codeword — is permutation-invariant, so since round 5 the whole tail
+    works in natural bit order: no sorted-space copies and no keyed
+    un-permute sort at the end (that sort alone was a top entry of the
+    deep-mode profile).
 
     Gather-free formulation: the only unpacked per-flip arrays are the 91
     basis rows (needed anyway); flip distances are order-0 distance plus a
     linear correction A @ (w * (1 - 2*d0)); CRC validity reads straight
     out of the augmented syndrome columns (synd(base XOR a_f) = synd(base)
-    XOR synd(a_f)); and the single winning codeword returns to natural bit
-    order via a keyed lax.sort.  Per-candidate minor-axis gathers
-    (r[order], S[:, order], win[argsort(order)]) measured ~45 % of
+    XOR synd(a_f)).  Per-candidate minor-axis gathers measured ~45 % of
     deep-mode device time as XLA gathers — none remain.
 
     order2 > 0 additionally tries XOR-pairs of the `order2` LEAST-reliable
@@ -292,30 +380,30 @@ def _osd_tail(llr_sorted: jnp.ndarray, order: jnp.ndarray, a: jnp.ndarray,
     is a_i XOR a_j, whose overlap correction is one tiny (P,174)x(174,P)
     matmul: dist_ij = dist0 + d_i + d_j - 2 * (a_i*a_j) . u.
     """
-    w_sorted = jnp.abs(llr_sorted)
-    r_sorted = (llr_sorted > 0).astype(jnp.float32)
+    w_nat = jnp.abs(llr)
+    r_nat = (llr > 0).astype(jnp.float32)
 
     # pivot-position values via one-hot multiply-reduce (not a gather)
-    q = (pcol[:, None] == jnp.arange(_N)[None, :]).astype(jnp.float32)
-    pivot_llr = jnp.sum(q * llr_sorted[None, :], axis=-1)  # (91,)
+    q = (pnat[:, None] == jnp.arange(_N)[None, :]).astype(jnp.float32)
+    pivot_llr = jnp.sum(q * llr[None, :], axis=-1)       # (91,)
 
     # order-0 codeword: XOR of basis rows whose pivot bit is set in r
     sel = (pivot_llr > 0).astype(jnp.uint32)             # (91,)
     base_p = _xor_reduce_rows(a * sel[:, None])          # (W,) packed
     base_full = _unpack(base_p)                          # (192,)
     a_full = _unpack(a)                                  # (91, 192)
-    base = base_full[:_N]                                # (174,) sorted
-    a_bits = a_full[:, :_N]                              # (91, 174) sorted
+    base = base_full[:_N]                                # (174,) natural
+    a_bits = a_full[:, :_N]                              # (91, 174) natural
 
     # distances: d0 = base XOR hard decision; flipping basis row f toggles
     # exactly its set bits, so dist_f = dist_0 + A_f . (w * (1 - 2*d0))
-    d0 = jnp.abs(base - r_sorted)                        # (174,) 0/1
-    dist0 = jnp.sum(w_sorted * d0)
+    d0 = jnp.abs(base - r_nat)                           # (174,) 0/1
+    dist0 = jnp.sum(w_nat * d0)
     # exact f32 (feeds the soft-distance gate whose genuine/false-accept
     # margin is ~0.32 vs 0.35); a multiply-reduce on the VPU — as a
     # matmul this is N=1 (1/128 of every MXU pass, x6 at HIGHEST) and was
     # a top entry of the deep-mode profile
-    u = w_sorted * (1.0 - 2.0 * d0)
+    u = w_nat * (1.0 - 2.0 * d0)
     delta = jnp.sum(a_bits * u, axis=-1)                 # (91,)
     dist = jnp.concatenate([dist0[None], dist0 + delta])  # (92,)
 
@@ -379,7 +467,7 @@ def _osd_tail(llr_sorted: jnp.ndarray, order: jnp.ndarray, a: jnp.ndarray,
         dist = jnp.concatenate([dist, dist3])
         crc_ok = jnp.concatenate([crc_ok, crc3 & (ones3 > 0.5)])
 
-    nonpivot_mass = jnp.sum(w_sorted) - jnp.sum(jnp.abs(pivot_llr))
+    nonpivot_mass = jnp.sum(w_nat) - jnp.sum(jnp.abs(pivot_llr))
     gate = dist <= lam * nonpivot_mass
     ok_each = crc_ok & gate
     # pick the smallest-distance accepted candidate
@@ -387,7 +475,7 @@ def _osd_tail(llr_sorted: jnp.ndarray, order: jnp.ndarray, a: jnp.ndarray,
     best = jnp.argmin(masked)
     ok = jnp.isfinite(masked[best])
 
-    # materialise only the winner in natural bit order
+    # materialise only the winner — already in natural bit order
     flip = jnp.where((best > 0) & (best <= _K),
                      a_bits[jnp.clip(best - 1, 0, _K - 1)],
                      jnp.zeros((_N,), jnp.float32))
@@ -402,10 +490,7 @@ def _osd_tail(llr_sorted: jnp.ndarray, order: jnp.ndarray, a: jnp.ndarray,
         flip3 = jnp.mod(a3[jnp.asarray(ti)[tri]] + a3[jnp.asarray(tj)[tri]]
                         + a3[jnp.asarray(tk)[tri]], 2.0)
         flip = jnp.where(best > _K + len(pi), flip3, flip)
-    win_sorted = jnp.mod(base + flip, 2.0)
-    # back to natural bit order: sort the winner keyed by `order` (the
-    # inverse permutation as one keyed lax.sort, not an argsort + gather)
-    _, win_nat = jax.lax.sort((order, win_sorted), num_keys=1)
+    win_nat = jnp.mod(base + flip, 2.0)
     return win_nat.astype(jnp.int32), ok
 
 
@@ -420,9 +505,16 @@ def _syndrome_matrix() -> np.ndarray:
 
 # fixed per-row syndromes of the (natural-order) basis rows, packed along
 # as extra bit columns through the GF(2) elimination (91, 14)
-_ROW_SYNDROMES = jnp.asarray(
-    (_syndrome_matrix().astype(np.int64) @ _basis().astype(np.int64).T)
-    .T % 2).astype(jnp.uint8)
+_ROW_SYNDROMES_NP = ((_syndrome_matrix().astype(np.int64)
+                      @ _basis().astype(np.int64).T).T % 2).astype(np.uint8)
+_ROW_SYNDROMES = jnp.asarray(_ROW_SYNDROMES_NP)
+# the SHARED packed natural-order augmented basis (91, 6): bit columns
+# 0..173 are the basis, 174..187 each row's CRC syndrome.  Every
+# candidate's elimination starts from this one constant since round 5 —
+# the per-candidate column-permuted copy (a minor-axis gather + a
+# per-candidate bit-pack) is gone.
+_STATE0_NAT = _pack_np(
+    np.concatenate([_basis(), _ROW_SYNDROMES_NP], axis=-1))
 _CRC_MATRIX_77_T = jnp.asarray(C.CRC_MATRIX_77.T, dtype=jnp.float32)
 _CRC_WEIGHTS = jnp.asarray(2 ** np.arange(C.CRC_BITS - 1, -1, -1),
                            dtype=jnp.int32)
@@ -462,36 +554,41 @@ def _osd_core(flat: jnp.ndarray, lam: float, force_jnp: bool,
               order2: int, order3: int):
     """(B, 174) LLRs -> (plain (B, 174) int32, accepted (B,) bool).
 
-    The row-independent OSD body (sort -> permuted packed basis ->
-    GF(2) elimination -> order-0/1/2/3 tail); callers own reshapes and
-    argument validation.
+    The row-independent OSD body (reliability sort -> natural-order
+    GF(2) elimination along the sorted column schedule ->
+    order-0/1/2/3 tail); callers own reshapes and argument validation.
     """
-    # one multi-operand sort yields the reliability order AND the sorted
-    # LLR values (argsort lowers to this same sort; the llr payload rides
-    # free and saves the r[order]/w[order] minor-axis gathers downstream)
-    # iota derived from flat so it carries flat's varying manual axes
-    # (LLRs are finite by construction; see normalize_llrs)
+    # ONE sort, and only for the column SCHEDULE: the elimination and
+    # the tail both work on the shared natural-order basis since round 5
+    # (the per-candidate permuted basis copy, its bit-pack, and the
+    # tail's keyed un-permute sort together measured ~3x the elimination
+    # itself on v5e).  iota derived from flat so it carries flat's
+    # varying manual axes (LLRs are finite by construction; see
+    # normalize_llrs); lax.sort is stable, so exact-|llr| ties keep
+    # natural index order — the same schedule the permuted form used.
     iota = (flat * 0.0).astype(jnp.int32) + jnp.arange(_N, dtype=jnp.int32)
-    _, llr_sorted, order = jax.lax.sort(
-        (-jnp.abs(flat), flat, iota), dimension=-1, num_keys=1)
-    # per-candidate column permutation of the shared basis, augmented with
-    # each row's fixed natural-order CRC syndrome (columns 174..188 — the
-    # packed width stays 6 words, and the elimination's row XORs keep the
-    # syndromes exact for every reduced row)
-    a_bits = jnp.swapaxes(_BASIS_BITS[:, order], 0, 1)   # (B, 91, 174)
-    aug = jnp.broadcast_to(_ROW_SYNDROMES[None],
-                           (a_bits.shape[0], _K, C.CRC_BITS))
-    a_packed = _pack(jnp.concatenate([a_bits, aug], axis=-1))  # (B, 91, W)
+    _, order = jax.lax.sort((-jnp.abs(flat), iota), dimension=-1,
+                            num_keys=1)
 
     if _osd_pallas_ok() and not force_jnp:
-        red, pcol = _reduce_basis_pallas_batch(a_packed)
+        red, pcol, pnat = _reduce_basis_pallas_batch(order)
     else:
-        red, pcol = jax.vmap(_reduce_basis_packed)(a_packed)
+        red, pcol, pnat = jax.vmap(_reduce_basis_packed)(order)
 
     plain, ok = jax.vmap(
-        lambda l, o, a, p: _osd_tail(l, o, a, p, lam, order2, order3)
-    )(llr_sorted, order, red, pcol)
+        lambda l, a, p, pn: _osd_tail(l, a, p, pn, lam, order2, order3)
+    )(flat, red, pcol, pnat)
     return plain, ok
+
+
+def _auto_chunk(rows: int) -> int:
+    """Default OSD chunk for a `rows`-row group: 512 when the group is
+    at least that big (chip A/B at 2560 need=all rows: 81.5 vs 149
+    us/slot for chunk 512 vs 128 — the sort/tail stages pipeline far
+    better at 512 width; one flat 2560 chunk regresses to 155), else
+    the 128-lane minimum so small groups (single-slot decode_slot
+    retries) never pay 4x their row count."""
+    return 512 if rows >= 512 else _LANES
 
 
 @functools.partial(jax.jit, static_argnames=("lam", "force_jnp", "order2",
@@ -500,7 +597,7 @@ def osd_decode_masked(llrs: jnp.ndarray, need: jnp.ndarray,
                       lam: float = DEFAULT_LAMBDA, force_jnp: bool = False,
                       order2: int = DEFAULT_ORDER2,
                       order3: int = DEFAULT_ORDER3,
-                      chunk: int = _LANES):
+                      chunk: int | None = None):
     """OSD only the rows where `need` is True; other rows cost nothing.
 
     (..., 174) LLRs + (...,) bool -> (plain (..., 174) int32, ok (...,)
@@ -526,6 +623,8 @@ def osd_decode_masked(llrs: jnp.ndarray, need: jnp.ndarray,
     flat = llrs.reshape(-1, _N)
     needf = need.reshape(-1)
     r = flat.shape[0]
+    if chunk is None:
+        chunk = _auto_chunk(r)
     pad_r = -(-r // chunk) * chunk
 
     # stable sort: needed rows first, original order preserved within

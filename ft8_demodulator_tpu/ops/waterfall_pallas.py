@@ -121,6 +121,7 @@ def _fused_constants(p: WaterfallParams):
 
 
 def _kernel(p: WaterfallParams, num_frames: int, nbins: int, rows: int,
+            s_slots: int, out_dtype,
             blocks_ref, cos_ref, sin_ref, wc_ref, ws_ref, out_ref):
     tau, phi = p.time_osr, p.freq_osr
     splits = _splits(nbins)
@@ -128,40 +129,43 @@ def _kernel(p: WaterfallParams, num_frames: int, nbins: int, rows: int,
     ext_w = part + 2 * phi
     scale = _fused_constants(p)[4]
 
-    bl = blocks_ref[0]
-    for h in range(splits):
-        e0 = h * part
-        pr = jnp.dot(bl, cos_ref[:, e0: e0 + ext_w],
-                     preferred_element_type=jnp.float32)
-        pi = jnp.dot(bl, sin_ref[:, e0: e0 + ext_w],
-                     preferred_element_type=jnp.float32)
+    for si in range(s_slots):
+        bl = blocks_ref[si]
+        for h in range(splits):
+            e0 = h * part
+            pr = jnp.dot(bl, cos_ref[:, e0: e0 + ext_w],
+                         preferred_element_type=jnp.float32)
+            pi = jnp.dot(bl, sin_ref[:, e0: e0 + ext_w],
+                         preferred_element_type=jnp.float32)
 
-        ur = jnp.zeros((num_frames, ext_w), jnp.float32)
-        ui = ur
-        for s in range(tau):
-            prs = pr[s: s + num_frames]
-            pis = pi[s: s + num_frames]
-            c = wc_ref[s, e0: e0 + ext_w]
-            d = ws_ref[s, e0: e0 + ext_w]
-            ur = ur + prs * c - pis * d
-            ui = ui + prs * d + pis * c
+            ur = jnp.zeros((num_frames, ext_w), jnp.float32)
+            ui = ur
+            for s in range(tau):
+                prs = pr[s: s + num_frames]
+                pis = pi[s: s + num_frames]
+                c = wc_ref[s, e0: e0 + ext_w]
+                d = ws_ref[s, e0: e0 + ext_w]
+                ur = ur + prs * c - pis * d
+                ui = ui + prs * d + pis * c
 
-        def hann(u):
-            return (0.5 * u[:, phi: phi + part]
-                    - 0.25 * u[:, : part]
-                    - 0.25 * u[:, 2 * phi: 2 * phi + part])
+            def hann(u):
+                return (0.5 * u[:, phi: phi + part]
+                        - 0.25 * u[:, : part]
+                        - 0.25 * u[:, 2 * phi: 2 * phi + part])
 
-        xr = hann(ur)
-        xi = hann(ui)
-        power = xr * xr + xi * xi
-        out_ref[0, :num_frames, e0: e0 + part] = \
-            10.0 * jnp.log10(_DB_FLOOR + power * scale)
-        # rows >= num_frames exist only for sublane alignment; a defined
-        # finite value means downstream reductions can never see NaNs
-        if rows > num_frames:
-            out_ref[0, num_frames:, e0: e0 + part] = jnp.full(
-                (rows - num_frames, part), 10.0 * np.log10(_DB_FLOOR),
-                jnp.float32)
+            xr = hann(ur)
+            xi = hann(ui)
+            power = xr * xr + xi * xi
+            out_ref[si, :num_frames, e0: e0 + part] = (
+                10.0 * jnp.log10(_DB_FLOOR + power * scale)
+            ).astype(out_dtype)
+            # rows >= num_frames exist only for sublane alignment; a
+            # defined finite value means downstream reductions can never
+            # see NaNs
+            if rows > num_frames:
+                out_ref[si, num_frames:, e0: e0 + part] = jnp.full(
+                    (rows - num_frames, part), 10.0 * np.log10(_DB_FLOOR),
+                    out_dtype)
 
 
 def _base_strip_part(p: WaterfallParams) -> int | None:
@@ -182,9 +186,13 @@ def _kernel_strips(p: WaterfallParams, num_frames: int, part: int,
                    blocks_ref, cos_ref, sin_ref, wc_ref, ws_ref, out_ref):
     """Strip-scheduled base kernel body: s_slots slots x one column strip
     per grid step.  The DFT matmuls see M = s_slots * rows against the
-    strip's weight slice — M=192 (one slot) measured ~60 % of the MXU
-    model bound at hop 960 because per-tile weight loads do not amortise
-    over so few rows; s_slots=2 lifts M to 384+ (round-5 A/B)."""
+    strip's weight slice.  Round-5 chip A/B: the strip schedule LOSES to
+    the resident kernel at every strip width (16.1/14.3/22.7 us/slot at
+    part 384/640/128 vs 12.7 resident, standalone batch 256) — the
+    ~2-3 us per-grid-step overhead of the extra strip steps outweighs
+    the M=384 matmul amortisation.  Kept only as the fallback for
+    geometries whose resident matrices exceed VMEM (fs >= 20 kHz at
+    osr 2x2), which previously had NO fused path at all."""
     tau, phi = p.time_osr, p.freq_osr
     ext = part + 2 * phi
     scale = _fused_constants(p)[4]
@@ -224,10 +232,13 @@ def _kernel_strips(p: WaterfallParams, num_frames: int, part: int,
 
 
 @functools.partial(jax.jit, static_argnames=("p", "num_frames",
-                                             "interpret"))
+                                             "interpret", "_s_slots",
+                                             "_out_dtype"))
 def block_waterfall_tf_fused_batch(waves: jnp.ndarray, p: WaterfallParams,
                                    num_frames: int,
-                                   interpret: bool = False) -> jnp.ndarray:
+                                   interpret: bool = False,
+                                   _s_slots: int = 1,
+                                   _out_dtype: str = "f32") -> jnp.ndarray:
     """Real audio (B, n) -> time-major dB waterfalls (B, num_frames, nbins).
 
     Value-equivalent to ``vmap(_block_waterfall_tf(_block_spectrum(.)))``
@@ -238,23 +249,28 @@ def block_waterfall_tf_fused_batch(waves: jnp.ndarray, p: WaterfallParams,
     Two schedules, identical outputs (same matmul operands per strip,
     strip boundaries only split the N axis — no accumulation change):
 
-    * STRIP (default when nbins has a 128-multiple divisor): grid
-      (splits, b // s_slots) with the slot axis FASTEST — each weight
-      strip pair is DMA'd once per batch and stays while every
-      s_slots-sized slot group streams past it; the matmuls see
-      M = s_slots * rows instead of one slot's rows (M=192 measured
-      ~60 % of the MXU bound at hop 960; M=384 is the round-5 fix for
-      VERDICT r4 weak #2).  Blocks are re-read once per strip — bf16,
-      ~1.4 MB/slot extra at 12 kHz, hidden under the matmuls.
-    * RESIDENT (fallback): both full-width bf16 DFT matrices live in
-      VMEM across a (b,) grid, one slot per step (the round-4 kernel).
+    * RESIDENT (default whenever both full-width bf16 DFT matrices fit
+      the VMEM budget): one (b,) grid over slots, weights loaded once.
+    * STRIP (fallback for bigger geometries, e.g. fs >= 20 kHz at
+      osr 2x2, which previously had no fused path): weight column
+      strips streamed over a second grid axis.  Chip A/B (round 5,
+      batch 256 standalone): 16.1/14.3/22.7 us/slot at part
+      384/640/128 vs 12.7 resident — the extra per-grid-step overhead
+      outweighs the M=384 matmul amortisation, so strips are never
+      chosen when resident fits.
+
+    _s_slots / _out_dtype ("f32"|"bf16") are experiment knobs for the
+    resident schedule (slots per grid step / output grid precision);
+    defaults are the shipped configuration.
     """
     nbins = p.num_freq_bins
     nb = num_frames + p.time_osr - 1
     rows = -(-nb // _ROW_PAD) * _ROW_PAD
     b = waves.shape[0]
 
-    part = _base_strip_part(p)
+    kx = nbins + 2 * p.freq_osr
+    resident_fits = 2 * p.hop * kx * 2 <= _MAX_RESIDENT_BYTES
+    part = None if resident_fits else _base_strip_part(p)
     if part is not None:
         s_slots = 2 if b % 2 == 0 else 1
         splits = nbins // part
@@ -296,20 +312,23 @@ def block_waterfall_tf_fused_batch(waves: jnp.ndarray, p: WaterfallParams,
 
     cos_m, sin_m, wc, ws, _ = _fused_constants(p)
 
+    s_slots = _s_slots if b % _s_slots == 0 else 1
+    out_dt = jnp.bfloat16 if _out_dtype == "bf16" else jnp.float32
     blocks = waves[..., : nb * p.hop].reshape(b, nb, p.hop)
     blocks = jnp.pad(blocks, ((0, 0), (0, rows - nb), (0, 0))) \
         .astype(jnp.bfloat16)
 
-    kernel = functools.partial(_kernel, p, num_frames, nbins, rows)
+    kernel = functools.partial(_kernel, p, num_frames, nbins, rows,
+                               s_slots, out_dt)
     grid_out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, rows, nbins), jnp.float32),
-        in_specs=[pl.BlockSpec((1, rows, p.hop), lambda i: (i, 0, 0),
+        out_shape=jax.ShapeDtypeStruct((b, rows, nbins), out_dt),
+        in_specs=[pl.BlockSpec((s_slots, rows, p.hop), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-        out_specs=pl.BlockSpec((1, rows, nbins), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((s_slots, rows, nbins), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        grid=(b,),
+        grid=(b // s_slots,),
         interpret=interpret,
     )(blocks, cos_m, sin_m, jnp.asarray(wc), jnp.asarray(ws))
     return grid_out[:, :num_frames]
@@ -406,7 +425,7 @@ def fused_mf_waterfall_ok(p: WaterfallParams,
 
 def _kernel_mf(p: WaterfallParams, num_frames: int, part: int,
                rows_in: int, rows_db: int, rows_box: int, nbrows: int,
-               s_slots: int,
+               s_slots: int, out_dt,
                blocks_ref, cos_ref, sin_ref, wc_ref, ws_ref,
                db_ref, box_ref):
     tau, phi = p.time_osr, p.freq_osr
@@ -440,10 +459,10 @@ def _kernel_mf(p: WaterfallParams, num_frames: int, part: int,
 
         xb = ub[:, phi: phi + part]
         yb = vb[:, phi: phi + part]
-        box_ref[si, :nbrows, :] = xb * xb + yb * yb
+        box_ref[si, :nbrows, :] = (xb * xb + yb * yb).astype(out_dt)
         if rows_box > nbrows:
             box_ref[si, nbrows:, :] = jnp.zeros((rows_box - nbrows, part),
-                                                jnp.float32)
+                                                out_dt)
 
         ur = ub[tau - 1: tau - 1 + num_frames]
         ui = vb[tau - 1: tau - 1 + num_frames]
@@ -456,19 +475,23 @@ def _kernel_mf(p: WaterfallParams, num_frames: int, part: int,
         xr = hann(ur)
         xi = hann(ui)
         power = xr * xr + xi * xi
-        db_ref[si, :num_frames, :] = 10.0 * jnp.log10(_DB_FLOOR
-                                                      + power * scale)
+        db_ref[si, :num_frames, :] = (
+            10.0 * jnp.log10(_DB_FLOOR + power * scale)).astype(out_dt)
         if rows_db > num_frames:
             db_ref[si, num_frames:, :] = jnp.full(
-            (rows_db - num_frames, part), 10.0 * np.log10(_DB_FLOOR),
-            jnp.float32)
+                (rows_db - num_frames, part), 10.0 * np.log10(_DB_FLOOR),
+                out_dt)
 
 
 @functools.partial(jax.jit, static_argnames=("p", "num_frames",
-                                             "interpret"))
+                                             "interpret", "_s_slots",
+                                             "_part", "_out_dtype"))
 def block_waterfall_mf_tf_fused_batch(waves: jnp.ndarray,
                                       p: WaterfallParams, num_frames: int,
-                                      interpret: bool = False):
+                                      interpret: bool = False,
+                                      _s_slots: int = 2,
+                                      _part: int | None = None,
+                                      _out_dtype: str = "f32"):
     """Real audio (B, n) -> (Hann dB grids (B, num_frames, nbins),
     boxcar power grids (B, num_frames + 2*(tau-1), nbins)).
 
@@ -477,6 +500,10 @@ def block_waterfall_mf_tf_fused_batch(waves: jnp.ndarray,
     slot, each up to MXU accumulation split order (the usual bf16
     operand rounding is identical).  Requires the block geometry and a
     128-aligned strip width (`fused_mf_waterfall_ok`).
+
+    _s_slots / _part / _out_dtype ("f32"|"bf16") are experiment knobs
+    (slots per grid step, strip width, output grid precision); defaults
+    are the shipped configuration.
     """
     tau = p.time_osr
     nbins = p.num_freq_bins
@@ -486,7 +513,7 @@ def block_waterfall_mf_tf_fused_batch(waves: jnp.ndarray,
     rows_db = -(-num_frames // _ROW_PAD) * _ROW_PAD
     rows_box = -(-nbrows // _ROW_PAD) * _ROW_PAD
     b = waves.shape[0]
-    part = _strip_part(nbins)
+    part = _part if _part is not None else _strip_part(nbins)
     splits = nbins // part
     ext = part + 2 * p.freq_osr
 
@@ -495,7 +522,8 @@ def block_waterfall_mf_tf_fused_batch(waves: jnp.ndarray,
     # slots per grid step: S=2 doubles the DFT matmul's M (weight loads
     # amortise over twice the rows); the strip VMEM stays well inside
     # budget at production geometries.  S must divide b.
-    s_slots = 2 if b % 2 == 0 else 1
+    s_slots = _s_slots if b % _s_slots == 0 else 1
+    out_dt = jnp.bfloat16 if _out_dtype == "bf16" else jnp.float32
 
     blocks = waves[..., : nb * p.hop].reshape(b, nb, p.hop)
     blocks = jnp.pad(blocks, ((0, 0), (tau - 1,
@@ -503,12 +531,12 @@ def block_waterfall_mf_tf_fused_batch(waves: jnp.ndarray,
         .astype(jnp.bfloat16).reshape(b * rows_in, p.hop)
 
     kernel = functools.partial(_kernel_mf, p, num_frames, part, rows_in,
-                               rows_db, rows_box, nbrows, s_slots)
+                               rows_db, rows_box, nbrows, s_slots, out_dt)
     db, box = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((b, rows_db, nbins), jnp.float32),
-            jax.ShapeDtypeStruct((b, rows_box, nbins), jnp.float32),
+            jax.ShapeDtypeStruct((b, rows_db, nbins), out_dt),
+            jax.ShapeDtypeStruct((b, rows_box, nbins), out_dt),
         ),
         in_specs=[
             pl.BlockSpec((s_slots * rows_in, p.hop), lambda i, j: (i, 0),
