@@ -431,6 +431,20 @@ def _use_fused_waterfall(p: WaterfallParams) -> bool:
 
 
 _MF_FRONT_ENV = __import__("os").environ.get("FT8_MF_FRONT", "").lower()
+_GRID_DTYPE_ENV = __import__("os").environ.get("FT8_GRID_DTYPE", "").lower()
+
+
+@functools.lru_cache(maxsize=1)
+def _grid_dtype() -> str:
+    """Precision of the fused kernels' output grids: "f32" (default) or
+    "bf16" (experiment knob — halves the grid HBM traffic that the
+    sync/select/LLR stages re-read; every grid consumer is a DEFAULT-
+    precision matmul whose operands get bf16-cast anyway, so the only
+    numeric change is dB-value rounding ~0.25 dB, the same class as the
+    certified one-pass arms).  FT8_GRID_DTYPE overrides."""
+    from ..utils.backend import resolve_backend
+    return resolve_backend(_GRID_DTYPE_ENV, accel_default="f32",
+                           cpu_default="f32", allowed=("f32", "bf16"))
 
 
 @functools.lru_cache(maxsize=32)
@@ -451,7 +465,7 @@ def _use_fused_mf(p: WaterfallParams) -> bool:
     if _dft_backend() != "pallas":
         return False
     from ..ops.waterfall_pallas import fused_mf_waterfall_ok
-    return fused_mf_waterfall_ok(p)
+    return fused_mf_waterfall_ok(p, out_dtype=_grid_dtype())
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -513,7 +527,7 @@ def decode_slots(waves: jnp.ndarray, p: WaterfallParams, num_frames: int,
 
         def front_chunk(wchunk):
             mags, boxes = block_waterfall_mf_tf_fused_batch(
-                wchunk, p, num_frames)
+                wchunk, p, num_frames, _out_dtype=_grid_dtype())
 
             def rest(m, bx):
                 scores = sync_scores_tf(m, g)
@@ -551,7 +565,8 @@ def decode_slots(waves: jnp.ndarray, p: WaterfallParams, num_frames: int,
         from ..ops.waterfall_pallas import block_waterfall_tf_fused_batch
 
         def front_chunk(wchunk):
-            mags = block_waterfall_tf_fused_batch(wchunk, p, num_frames)
+            mags = block_waterfall_tf_fused_batch(
+                wchunk, p, num_frames, _out_dtype=_grid_dtype())
             return jax.vmap(lambda m: _front_from_mag_tf(
                 m, g, max_candidates, min_score))(mags)
 

@@ -188,9 +188,9 @@ def _reduce_basis_pallas_batch(order: jnp.ndarray,
     Layout: candidates on lanes; the elimination state of 128 candidates
     is one (576, 128) uint32 VMEM tile initialised by broadcasting the
     SHARED packed natural basis (one (576, 1) column input — no
-    per-candidate gather/pack ever happens); the schedule rides as a
-    (176, 128) int32 tile that rolls one row per step so the current
-    column is always a static row-0 read.
+    per-candidate gather/pack ever happens); the schedule (column index
+    + word index tiles) is read in aligned 8-row chunks, one dynamic
+    sublane slice per 8 unrolled steps.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -199,28 +199,29 @@ def _reduce_basis_pallas_batch(order: jnp.ndarray,
     pad_b = -(-batch // _LANES) * _LANES
     ordp = jnp.pad(order, ((0, pad_b - batch), (0, _ORD_ROWS - _N))) \
         .T.astype(jnp.int32)                             # (176, padB)
-    # per-lane word index and single-bit mask, precomputed OUTSIDE the
-    # kernel: in-kernel per-lane variable shifts ((row >> bit[lane]) & 1)
-    # measured ~5x the whole elimination on v5e — Mosaic lowers variable
-    # shifts very poorly — while (row & mask[lane]) != 0 is two cheap
-    # vector ops.  (pad columns get word 0 / mask bit0: harmless no-op
-    # steps, see the chunk-tail note below.)
+    # per-lane word index precomputed outside the kernel.  (Round-5
+    # kernel A/B at 2560 rows, us/slot: chunk+varshift 37.5,
+    # chunk+mask 39.1, roll+varshift 40.4, roll+mask 44.4 — and the
+    # STATIC sorted-space schedule runs 7.6: the per-lane DYNAMIC
+    # column schedule itself costs ~5x regardless of formulation; this
+    # is the best dynamic variant found.  The static schedule needs the
+    # per-candidate permuted basis, whose gather+pack cost ~32 us/slot
+    # in XLA — a wash at the elimination, but natural order also
+    # removes the tail's un-permute and keeps the tail gather-free.)
     wsel = ordp >> 5                                     # (176, padB)
-    bmask = (jnp.uint32(1) << (ordp & 31).astype(jnp.uint32))
     state_col = jnp.asarray(
         np.pad(_STATE0_NAT, ((0, _KP - _K), (0, 0)))
         .T.reshape(_W * _KP, 1))                         # (576, 1) uint32
 
-    def kernel(s_ref, ord_ref, wsel_ref, mask_ref, out_ref, pcol_ref,
-               pnat_ref):
+    def kernel(s_ref, ord_ref, wsel_ref, out_ref, pcol_ref, pnat_ref):
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (_KP, _LANES), 0)
         state0 = jnp.broadcast_to(s_ref[:, :], (_W * _KP, _LANES))
 
-        def step(j, k, ords, wsels, masks, carry):
+        def step(j, k, ords, wsels, carry):
             state, used, pcol, pnat = carry
             c = ords[k]                                  # (LANES,) natural
             w = wsels[k]
-            mask = masks[k]
+            bit = (c & 31).astype(jnp.uint32)
             blocks = state.reshape(_W, _KP, _LANES)
             # static 6-way select against the per-LANE word index
             # (Mosaic has no dynamic_slice on values)
@@ -228,8 +229,7 @@ def _reduce_basis_pallas_batch(order: jnp.ndarray,
             for wi in range(1, _W):
                 word_rows = jnp.where((w == wi)[None, :], blocks[wi],
                                       word_rows)
-            col = jnp.where((word_rows & mask[None, :]) > 0,
-                            jnp.uint32(1), jnp.uint32(0))
+            col = (word_rows >> bit[None, :]) & jnp.uint32(1)
             avail = col * (jnp.uint32(1) - used)
             # first available row per lane as a float min-index reduction
             # (Mosaic argmax supports only f32; indices <= 95 are exact)
@@ -281,10 +281,9 @@ def _reduce_basis_pallas_batch(order: jnp.ndarray,
             r0 = pl.multiple_of(ch * 8, 8)
             ords = ord_ref[pl.ds(r0, 8), :]
             wsels = wsel_ref[pl.ds(r0, 8), :]
-            masks = mask_ref[pl.ds(r0, 8), :]
             st = (state, used, pcol, pnat)
             for k in range(8):
-                st = step(ch * 8 + k, k, ords, wsels, masks, st)
+                st = step(ch * 8 + k, k, ords, wsels, st)
             state, used, pcol, pnat = st
             return state, used, pcol, pnat, ch + 1
 
@@ -310,8 +309,6 @@ def _reduce_basis_pallas_batch(order: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_ORD_ROWS, _LANES), lambda b: (0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_ORD_ROWS, _LANES), lambda b: (0, b),
-                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((_W * _KP, _LANES), lambda b: (0, b),
@@ -322,7 +319,7 @@ def _reduce_basis_pallas_batch(order: jnp.ndarray,
                          memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(state_col, ordp, wsel, bmask)
+    )(state_col, ordp, wsel)
 
     # back to (B, 91, W) / (B, 91)
     red = out.T.reshape(pad_b, _W, _KP)[:batch, :, :_K]
@@ -335,11 +332,6 @@ def _osd_pallas_ok() -> bool:
         return jax.devices()[0].platform in ("tpu", "axon")
     except Exception:
         return False
-
-
-def _pair_indices(p: int) -> tuple[np.ndarray, np.ndarray]:
-    i, j = np.triu_indices(p, k=1)
-    return i.astype(np.int32), j.astype(np.int32)
 
 
 def _triple_indices(q: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -425,20 +417,32 @@ def _osd_tail(llr: jnp.ndarray, a: jnp.ndarray, pcol: jnp.ndarray,
 
     if order2 > 0:
         hp = jax.lax.Precision.HIGHEST
-        pi, pj = _pair_indices(order2)
-        _, rows = jax.lax.top_k(pcol, order2)    # least-reliable pivot rows
+        P = order2
+        _, rows = jax.lax.top_k(pcol, P)         # least-reliable pivot rows
         a_sub = a_bits[rows]                              # (P, 174)
         d_sub = delta[rows]
-        ov = jnp.matmul(a_sub * u, a_sub.T, precision=hp)  # overlap . u
-        dist2 = dist0 + d_sub[pi] + d_sub[pj] - 2.0 * ov[pi, pj]
-        sa_sub = sa[:, rows]
-        synd2 = jnp.mod(sb[:, None] + sa_sub[:, pi] + sa_sub[:, pj], 2.0)
-        crc2 = jnp.sum(synd2, axis=0) == 0
-        ov2 = jnp.matmul(a_sub * v2, a_sub.T, precision=hp)
         dn_sub = dones[rows]
-        ones2 = ones0 + dn_sub[pi] + dn_sub[pj] - 2.0 * ov2[pi, pj]
-        dist = jnp.concatenate([dist, dist2])
-        crc_ok = jnp.concatenate([crc_ok, crc2 & (ones2 > 0.5)])
+        sa_sub = sa[:, rows]                              # (14, P)
+        ov = jnp.matmul(a_sub * u, a_sub.T, precision=hp)  # overlap . u
+        ov2 = jnp.matmul(a_sub * v2, a_sub.T, precision=hp)
+        # FULL P x P pair matrices, upper triangle gated: the round-4
+        # form gathered the C(P,2) pairs with per-candidate fancy
+        # indexing (d_sub[pi], ov[pi, pj], sa_sub[:, pi], ...) which
+        # measured ~40 us/slot at the DEEP batch on v5e — outer sums +
+        # a static triangle mask cost nothing and keep every value.
+        dist2_m = dist0 + d_sub[:, None] + d_sub[None, :] - 2.0 * ov
+        ones2_m = ones0 + dn_sub[:, None] + dn_sub[None, :] - 2.0 * ov2
+        # pair CRC via INT-packed syndromes: synd(base ^ a_i ^ a_j) == 0
+        # iff s_i XOR s_j == s_base — one integer compare per pair
+        # (exact: 14-bit syndromes, f32->int conversions lossless)
+        pw = jnp.asarray(2.0 ** np.arange(C.CRC_BITS), jnp.float32)
+        s_int = jnp.sum(sa_sub * pw[:, None], axis=0).astype(jnp.int32)
+        sb_int = jnp.sum(sb * pw).astype(jnp.int32)
+        crc2_m = (s_int[:, None] ^ s_int[None, :]) == sb_int
+        upper = jnp.asarray(np.triu(np.ones((P, P), bool), 1))
+        ok2_m = crc2_m & (ones2_m > 0.5) & upper
+        dist = jnp.concatenate([dist, dist2_m.reshape(P * P)])
+        crc_ok = jnp.concatenate([crc_ok, ok2_m.reshape(P * P)])
 
     if order3 > 0:
         # partial order-3: XOR-triples of the `order3` least-reliable pivot
@@ -473,23 +477,35 @@ def _osd_tail(llr: jnp.ndarray, a: jnp.ndarray, pcol: jnp.ndarray,
     # pick the smallest-distance accepted candidate
     masked = jnp.where(ok_each, dist, jnp.inf)
     best = jnp.argmin(masked)
-    ok = jnp.isfinite(masked[best])
+    ok = jnp.isfinite(jnp.min(masked))
 
-    # materialise only the winner — already in natural bit order
-    flip = jnp.where((best > 0) & (best <= _K),
-                     a_bits[jnp.clip(best - 1, 0, _K - 1)],
-                     jnp.zeros((_N,), jnp.float32))
+    # materialise only the winner — already in natural bit order; every
+    # selection is a one-hot multiply-reduce (per-candidate dynamic row
+    # reads are batched gathers, measured ~18 us/slot in this tail)
+    sel1 = ((jnp.arange(_K) == best - 1) & (best > 0)
+            & (best <= _K)).astype(jnp.float32)
+    flip = jnp.sum(a_bits * sel1[:, None], axis=0)
+    n2 = order2 * order2
     if order2 > 0:
-        pair = jnp.clip(best - (_K + 1), 0, len(pi) - 1)
-        i_sel = jnp.asarray(pi)[pair]
-        j_sel = jnp.asarray(pj)[pair]
-        flip2 = jnp.mod(a_sub[i_sel] + a_sub[j_sel], 2.0)
-        flip = jnp.where((best > _K) & (best <= _K + len(pi)), flip2, flip)
+        in2 = (best > _K) & (best <= _K + n2)
+        q2 = jnp.clip(best - (_K + 1), 0, n2 - 1)
+        i_sel = q2 // order2
+        j_sel = q2 % order2
+        rng_p = jnp.arange(order2)
+        sel2 = (((rng_p == i_sel) | (rng_p == j_sel)) & in2) \
+            .astype(jnp.float32)
+        # i_sel != j_sel always (upper-triangle entries only pass the
+        # gate), so the two selected rows sum in {0, 1, 2} -> mod 2
+        flip2 = jnp.mod(jnp.sum(a_sub * sel2[:, None], axis=0), 2.0)
+        flip = jnp.where(in2, flip2, flip)
     if order3 > 0:
-        tri = jnp.clip(best - (_K + 1 + len(pi)), 0, len(ti) - 1)
-        flip3 = jnp.mod(a3[jnp.asarray(ti)[tri]] + a3[jnp.asarray(tj)[tri]]
-                        + a3[jnp.asarray(tk)[tri]], 2.0)
-        flip = jnp.where(best > _K + len(pi), flip3, flip)
+        tri = jnp.clip(best - (_K + 1 + n2), 0, len(ti) - 1)
+        rng_q = jnp.arange(order3)
+        sel3 = ((rng_q == jnp.asarray(ti)[tri])
+                | (rng_q == jnp.asarray(tj)[tri])
+                | (rng_q == jnp.asarray(tk)[tri])).astype(jnp.float32)
+        flip3 = jnp.mod(jnp.sum(a3 * sel3[:, None], axis=0), 2.0)
+        flip = jnp.where(best > _K + n2, flip3, flip)
     win_nat = jnp.mod(base + flip, 2.0)
     return win_nat.astype(jnp.int32), ok
 

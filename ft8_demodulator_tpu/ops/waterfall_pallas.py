@@ -366,12 +366,21 @@ def block_waterfall_tf_fused(wave: jnp.ndarray, p: WaterfallParams,
 # out grids would not fit resident.
 
 
-def _strip_part(nbins: int) -> int | None:
+def _strip_part(nbins: int, out_dtype: str = "f32") -> int | None:
     """Column-strip width: Mosaic requires the out-block minor dim be a
     multiple of 128 (or the full array width), so pick a 128-multiple
-    dividing nbins; 384 first (halo costs ~2 % extra lanes, scratch
-    stays small).  None -> no clean division (small grids fall back)."""
-    for part in (384, 256, 512, 640, 128):
+    dividing nbins.  None -> no clean division (small grids fall back).
+
+    Width by output dtype (round-5 chip A/B at the DEEP geometry,
+    standalone us/slot): f32 prefers 384 (640 overflows scoped VMEM);
+    bf16 prefers 640 (47.0) — halving the out buffers makes the wider
+    strip fit, and FEWER grid steps beat narrower ones (the ~2-3 us
+    per-step overhead measured on the base kernel), while bf16 at 384
+    REGRESSES (70.1 vs 63.7 f32: 768-byte strided HBM write runs
+    combine poorly; 640's 1280-byte runs do)."""
+    prefs = (640, 384, 256, 512, 128) if out_dtype == "bf16" \
+        else (384, 256, 512, 640, 128)
+    for part in prefs:
         if nbins % part == 0:
             return part
     return None
@@ -392,7 +401,8 @@ def _fused_strip_constants(p: WaterfallParams, part: int):
 
 
 def fused_mf_waterfall_ok(p: WaterfallParams,
-                          platform: str | None = None) -> bool:
+                          platform: str | None = None,
+                          out_dtype: str = "f32") -> bool:
     """Applicability of the dual-output MF front kernel: platform, a
     128-aligned strip width, and the per-step strip VMEM estimate
     (double-buffered blocks/weights/outs + pr/pi scratch at a nominal
@@ -408,17 +418,18 @@ def fused_mf_waterfall_ok(p: WaterfallParams,
             return False
     if platform not in ("tpu", "axon"):
         return False
-    part = _strip_part(p.num_freq_bins)
+    part = _strip_part(p.num_freq_bins, out_dtype)
     if part is None:
         return False
     tau = p.time_osr
     ext = part + 2 * p.freq_osr
+    out_b = 2 if out_dtype == "bf16" else 4
     nb = int(round(15.0 * p.fs / p.hop))            # nominal 15-s slot
     rows_in = -(-(nb + 2 * (tau - 1)) // _ROW_PAD) * _ROW_PAD
     est = (2 * rows_in * p.hop * 2                  # blocks bf16 x2 buf
            + 2 * 2 * p.hop * ext * 2                # cos/sin strips x2
            + 2 * rows_in * ext * 4                  # pr/pi scratch
-           + 2 * 2 * rows_in * part * 4             # both outs x2 buf
+           + 2 * 2 * rows_in * part * out_b         # both outs x2 buf
            + 4 * rows_in * ext * 4)                 # combine buffers
     return est <= 14 * 1024 * 1024
 
@@ -513,7 +524,7 @@ def block_waterfall_mf_tf_fused_batch(waves: jnp.ndarray,
     rows_db = -(-num_frames // _ROW_PAD) * _ROW_PAD
     rows_box = -(-nbrows // _ROW_PAD) * _ROW_PAD
     b = waves.shape[0]
-    part = _part if _part is not None else _strip_part(nbins)
+    part = _part if _part is not None else _strip_part(nbins, _out_dtype)
     splits = nbins // part
     ext = part + 2 * p.freq_osr
 
