@@ -12,10 +12,11 @@ TPU shape: everything is fixed-shape and vmapped over candidates.  The
 elimination runs BIT-PACKED — each basis row is 6 uint32 words, so one
 pivot step is a handful of bitwise ops on a (batch, 91, 6) tensor
 instead of float ops on (batch, 91, 174) (measured ~30x less HBM
-traffic) — in NATURAL column order along a per-candidate reliability
-SCHEDULE (round 5: permuting the basis columns instead cost a
-per-candidate minor-axis gather + bit-pack before and a keyed
-un-permute sort after, together ~3x the elimination), and stops as
+traffic) — with a STATIC column schedule over the column-PERMUTED
+basis, which is built by ONE exact MXU matmul (_permute_pack: basis @
+per-candidate power-of-two half-word weights; round 5 — the XLA
+gather+bit-pack it replaces cost ~32 us/slot and every
+dynamic-schedule kernel tried cost ~5x the static one), and stops as
 soon as all 91 pivots are placed (~column 105 of 174 expected;
 provably exact — see _reduce_basis_packed).
 
@@ -95,32 +96,57 @@ def _xor_reduce_rows(a: jnp.ndarray) -> jnp.ndarray:
     return rows[0]
 
 
-def _reduce_basis_packed(order: jnp.ndarray):
-    """Row-reduce the shared NATURAL-ORDER packed augmented basis, taking
-    pivot columns in the per-candidate reliability order `order` (174,)
-    int32 (most reliable first).
+def _permute_pack(ranks: jnp.ndarray) -> jnp.ndarray:
+    """(B, 174) column ranks -> (B, 91, 6) column-PERMUTED packed
+    augmented basis, via ONE shared MXU matmul (exact).
 
-    Returns (reduced packed basis (91, W) — natural column layout,
-    pcol (91,) pivot RANK per row — the position in `order` where the
-    row pivoted, pnat (91,) pivot NATURAL column per row).
+    ranks[b, n] is natural column n's position in candidate b's
+    reliability order.  Half-word h of permuted row k is
 
-    Round 5: the elimination used to run on a column-PERMUTED copy of
-    the basis (sorted layout), which cost a per-candidate minor-axis
-    gather of the (91, 174) basis plus a per-candidate bit-pack before
-    it and a keyed un-permute sort after the tail — together ~3x the
-    elimination itself on v5e.  Taking the column SCHEDULE to the data
-    instead of permuting the data removes all three: the packed basis
-    is a module constant shared by every candidate, and all tail
-    quantities (distances, syndromes, the winning codeword) are
-    permutation-invariant so they read natural-order directly.
+        sum_n  basis[k, n] * 2^(ranks[n] mod 16) * [ranks[n] >> 4 == h]
+
+    — a (91, 174) @ (174, B*12) matmul of exactly-representable
+    operands (0/1 basis, powers 2^0..2^15) whose partial sums stay
+    below 2^16, so DEFAULT (one bf16 pass, f32 accumulation) is EXACT.
+    The fixed CRC syndromes (packed bits 174..187, never permuted) add
+    as a per-row constant before the half-words combine.
+
+    Round-5 history: the permuted basis was first built as a
+    per-candidate minor-axis gather + bit-pack (~32 us/slot on v5e);
+    then the elimination was rewritten to walk a per-lane column
+    SCHEDULE over the shared natural basis (no permute at all) — but
+    every dynamic-schedule kernel formulation measured ~5x the static
+    one (37.5 vs 7.6 us/slot best-of-four).  This matmul permute keeps
+    the STATIC kernel and costs ~1 MXU pass of (91, 174, 12B) work.
+    """
+    h_idx = ranks >> 4                                   # (B, 174)
+    # 2^(rank mod 16) via an INTEGER shift — jnp.exp2 is an XLA
+    # polynomial approximation (measured 2^-6 absolute error at 2^15,
+    # which corrupts the packed words); int shifts are exact
+    pow2 = (jnp.int32(1) << (ranks & 15)).astype(jnp.float32)
+    w2p = jnp.where(
+        h_idx[..., None] == jnp.arange(2 * _W)[None, None, :],
+        pow2[..., None], 0.0)                            # (B, 174, 12)
+    half = jnp.einsum("kn,bnh->bkh", jnp.asarray(_BASIS_F32), w2p,
+                      precision=jax.lax.Precision.DEFAULT)  # (B, 91, 12)
+    half = half + jnp.asarray(_SYND_HALF)[None]
+    half_i = half.astype(jnp.int32).astype(jnp.uint32)
+    return half_i[..., 0::2] | (half_i[..., 1::2] << 16)  # (B, 91, 6)
+
+
+def _reduce_basis_packed(a: jnp.ndarray):
+    """Row-reduce the column-permuted packed basis a (91, W uint32).
+
+    Returns (reduced packed basis, pivot column index per row — the
+    RANK in the candidate's reliability order).  The basis has rank 91,
+    so exactly 91 of the 174 steps place a pivot.
     """
     rows_idx = jnp.arange(_K)
 
     def step(j, state):
-        a, used, pcol, pnat = state
-        c = order[j]                                     # natural column
-        word = c >> 5
-        bit = (c & 31).astype(jnp.uint32)
+        a, used, pcol = state
+        word = j >> 5
+        bit = (j & 31).astype(jnp.uint32)
         col = (jax.lax.dynamic_index_in_dim(a, word, axis=1,
                                             keepdims=False) >> bit) \
             & jnp.uint32(1)                              # (91,)
@@ -131,17 +157,14 @@ def _reduce_basis_packed(order: jnp.ndarray):
         elim = (col * jnp.where(found, 1, 0)).at[i].set(0)  # rows to clear
         a = a ^ (elim[:, None].astype(jnp.uint32) * row[None, :])
         used = used.at[i].add(jnp.where(found, 1, 0))
-        hit = (rows_idx == i) & found
-        pcol = jnp.where(hit, j, pcol)
-        pnat = jnp.where(hit, c, pnat)
-        return a, used, pcol, pnat
+        pcol = jnp.where((rows_idx == i) & found, j, pcol)
+        return a, used, pcol
 
-    # derive the zero carries from `order` so they inherit its varying
-    # manual axes (shard_map vma) — literal zeros are replicated and fail
-    # the loop carry-type check inside SPMD pipelines
-    zeros_k = order[:_K] * 0                  # (91,) int32 zeros
-    used0 = zeros_k.astype(jnp.uint32)
-    a0 = jnp.asarray(_STATE0_NAT) ^ used0[:, None]       # shared basis
+    # derive the zero carries from `a` so they inherit its varying manual
+    # axes (shard_map vma) — literal zeros are replicated and fail the
+    # loop carry-type check inside SPMD pipelines
+    used0 = a[:, 0] ^ a[:, 0]                 # (91,) uint32 zeros
+    pcol0 = used0.astype(jnp.int32)
     # (a scan with unroll=8 measured slightly SLOWER on v5e — the 174 pivot
     # steps are genuinely sequential vector work, not dispatch overhead)
     # Early exit once all 91 pivots are placed: the basis has rank
@@ -151,18 +174,17 @@ def _reduce_basis_packed(order: jnp.ndarray):
     # reliability-permuted dense basis is ~91 + O(1) of 174 (rank
     # deficiency of the first 91+c columns decays as 2^-c).
     def cond(state):
-        _, used, _, _, j = state
+        _, used, _, j = state
         return (j < _N) & (jnp.sum(used) < jnp.uint32(_K))
 
     def body(state):
-        a, used, pcol, pnat, j = state
-        a, used, pcol, pnat = step(j, (a, used, pcol, pnat))
-        return a, used, pcol, pnat, j + 1
+        a, used, pcol, j = state
+        a, used, pcol = step(j, (a, used, pcol))
+        return a, used, pcol, j + 1
 
-    j0 = zeros_k[0]          # scalar zero derived from `order` (vma)
-    a, _, pcol, pnat, _ = jax.lax.while_loop(
-        cond, body, (a0, used0, zeros_k, zeros_k, j0))
-    return a, pcol, pnat
+    j0 = pcol0[0]            # scalar zero derived from `a` (vma)
+    a, _, pcol, _ = jax.lax.while_loop(cond, body, (a, used0, pcol0, j0))
+    return a, pcol
 
 
 # ---------------------------------------------------------------------------
@@ -173,63 +195,43 @@ _KP = 96                 # 91 rows padded to a sublane multiple
 _LANES = 128             # candidates per grid step
 
 
-_ORD_ROWS = 176          # 174 schedule rows padded to a sublane multiple
-
-
-def _reduce_basis_pallas_batch(order: jnp.ndarray,
+def _reduce_basis_pallas_batch(a_packed: jnp.ndarray,
                                interpret: bool = False):
-    """Batched natural-order GF(2) elimination.
+    """Batched GF(2) elimination: a_packed (B, 91, W) -> (reduced, pcol).
 
-    order (B, 174) int32: per-candidate pivot-column schedule (natural
-    column indices, most reliable first).  Returns (reduced (B, 91, W)
-    uint32 — natural column layout, pcol (B, 91) pivot rank, pnat
-    (B, 91) pivot natural column); see :func:`_reduce_basis_packed`.
-
-    Layout: candidates on lanes; the elimination state of 128 candidates
-    is one (576, 128) uint32 VMEM tile initialised by broadcasting the
-    SHARED packed natural basis (one (576, 1) column input — no
-    per-candidate gather/pack ever happens); the schedule (column index
-    + word index tiles) is read in aligned 8-row chunks, one dynamic
-    sublane slice per 8 unrolled steps.
+    Layout: candidates on lanes, the 6 words x 96 padded rows stacked on
+    sublanes, so the whole elimination state of 128 candidates is one
+    (576, 128) uint32 VMEM tile and the pivot steps run on-chip with a
+    STATIC column schedule (the packed basis arrives column-permuted
+    from :func:`_permute_pack`).  Round-5 kernel A/B: dynamic per-lane
+    column schedules measured 37.5-44.4 us/slot vs 7.6 static at the
+    DEEP batch — the static schedule is why the permute matmul exists.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    batch = order.shape[0]
+    batch = a_packed.shape[0]
     pad_b = -(-batch // _LANES) * _LANES
-    ordp = jnp.pad(order, ((0, pad_b - batch), (0, _ORD_ROWS - _N))) \
-        .T.astype(jnp.int32)                             # (176, padB)
-    # per-lane word index precomputed outside the kernel.  (Round-5
-    # kernel A/B at 2560 rows, us/slot: chunk+varshift 37.5,
-    # chunk+mask 39.1, roll+varshift 40.4, roll+mask 44.4 — and the
-    # STATIC sorted-space schedule runs 7.6: the per-lane DYNAMIC
-    # column schedule itself costs ~5x regardless of formulation; this
-    # is the best dynamic variant found.  The static schedule needs the
-    # per-candidate permuted basis, whose gather+pack cost ~32 us/slot
-    # in XLA — a wash at the elimination, but natural order also
-    # removes the tail's un-permute and keeps the tail gather-free.)
-    wsel = ordp >> 5                                     # (176, padB)
-    state_col = jnp.asarray(
-        np.pad(_STATE0_NAT, ((0, _KP - _K), (0, 0)))
-        .T.reshape(_W * _KP, 1))                         # (576, 1) uint32
+    a_p = jnp.pad(a_packed, ((0, pad_b - batch), (0, 0), (0, 0)))
+    a_p = jnp.pad(a_p, ((0, 0), (0, _KP - _K), (0, 0)))   # pad rows
+    # (B, 96, W) -> (B, W, 96) -> (B, W*96) -> (W*96, B)
+    state0 = jnp.swapaxes(a_p, 1, 2).reshape(pad_b, _W * _KP).T
+    state0 = state0.astype(jnp.uint32)
 
-    def kernel(s_ref, ord_ref, wsel_ref, out_ref, pcol_ref, pnat_ref):
+    def kernel(s_ref, out_ref, pcol_ref):
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (_KP, _LANES), 0)
-        state0 = jnp.broadcast_to(s_ref[:, :], (_W * _KP, _LANES))
+        state = s_ref[:, :]                              # (W*96, LANES)
 
-        def step(j, k, ords, wsels, carry):
-            state, used, pcol, pnat = carry
-            c = ords[k]                                  # (LANES,) natural
-            w = wsels[k]
-            bit = (c & 31).astype(jnp.uint32)
+        def step(j, carry):
+            state, used, pcol = carry
+            w = j >> 5
+            bit = (j & 31).astype(jnp.uint32)
             blocks = state.reshape(_W, _KP, _LANES)
-            # static 6-way select against the per-LANE word index
-            # (Mosaic has no dynamic_slice on values)
+            # static 6-way select (Mosaic has no dynamic_slice on values)
             word_rows = blocks[0]
             for wi in range(1, _W):
-                word_rows = jnp.where((w == wi)[None, :], blocks[wi],
-                                      word_rows)
-            col = (word_rows >> bit[None, :]) & jnp.uint32(1)
+                word_rows = jnp.where(w == wi, blocks[wi], word_rows)
+            col = (word_rows >> bit) & jnp.uint32(1)
             avail = col * (jnp.uint32(1) - used)
             # first available row per lane as a float min-index reduction
             # (Mosaic argmax supports only f32; indices <= 95 are exact)
@@ -249,10 +251,8 @@ def _reduce_basis_pallas_batch(order: jnp.ndarray,
             new_blocks = blocks ^ (elim[None, :, :] * rowvals[:, None, :])
             state = new_blocks.reshape(_W * _KP, _LANES)
             used = used | (onehot * found[None, :])
-            hit = (onehot > 0) & (found[None, :] > 0)
-            pcol = jnp.where(hit, j, pcol)
-            pnat = jnp.where(hit, c[None, :], pnat)
-            return state, used, pcol, pnat
+            pcol = jnp.where((onehot > 0) & (found[None, :] > 0), j, pcol)
+            return state, used, pcol
 
         used0 = (row_iota >= _K).astype(jnp.uint32)      # padding rows used
         pcol0 = jnp.zeros((_KP, _LANES), jnp.int32)
@@ -262,69 +262,48 @@ def _reduce_basis_pallas_batch(order: jnp.ndarray,
         # avail==0 on full-rank lanes and change nothing, so stopping
         # when the whole tile is full-rank is EXACT.  Expected stop
         # column ~91 + log2(LANES) + O(1) of 174 (per-lane deficiency
-        # after 91+c columns decays as 2^-c).  The loop walks CHUNKS of
-        # 8 schedule rows (one aligned sublane slice per chunk, 8
-        # unrolled static-row steps — a per-step rolled/variable-index
-        # schedule read measured several x slower); a chunk that
-        # straddles the stop point just runs no-op steps (full-rank =>
-        # avail == 0 everywhere), so chunking is exact too.
+        # after 91+c columns decays as 2^-c).
         def cond(carry):
-            _, used, _, _, ch = carry
+            _, used, _, j = carry
             # (uint32 0/1 summed through an int32 bitcast — Mosaic has
             # no unsigned reductions; totals <= _KP are exact)
             counts = jnp.sum(jax.lax.bitcast_convert_type(used, jnp.int32),
                              axis=0)
-            return (ch * 8 < _N) & jnp.any(counts < _KP)
+            return (j < _N) & jnp.any(counts < _KP)
 
         def body(carry):
-            state, used, pcol, pnat, ch = carry
-            r0 = pl.multiple_of(ch * 8, 8)
-            ords = ord_ref[pl.ds(r0, 8), :]
-            wsels = wsel_ref[pl.ds(r0, 8), :]
-            st = (state, used, pcol, pnat)
-            for k in range(8):
-                st = step(ch * 8 + k, k, ords, wsels, st)
-            state, used, pcol, pnat = st
-            return state, used, pcol, pnat, ch + 1
+            state, used, pcol, j = carry
+            state, used, pcol = step(j, (state, used, pcol))
+            return state, used, pcol, j + 1
 
-        state, _, pcol, pnat, _ = jax.lax.while_loop(
-            cond, body, (state0, used0, pcol0, pcol0, jnp.int32(0)))
+        state, _, pcol, _ = jax.lax.while_loop(
+            cond, body, (state, used0, pcol0, jnp.int32(0)))
         out_ref[:, :] = state
         pcol_ref[:, :] = pcol
-        pnat_ref[:, :] = pnat
 
     grid = (pad_b // _LANES,)
-    out, pcol, pnat = pl.pallas_call(
+    out, pcol = pl.pallas_call(
         kernel,
         grid=grid,
         out_shape=(
-            jax.ShapeDtypeStruct((_W * _KP, pad_b), jnp.uint32),
-            jax.ShapeDtypeStruct((_KP, pad_b), jnp.int32),
+            jax.ShapeDtypeStruct(state0.shape, jnp.uint32),
             jax.ShapeDtypeStruct((_KP, pad_b), jnp.int32),
         ),
-        in_specs=[
-            pl.BlockSpec((_W * _KP, 1), lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_ORD_ROWS, _LANES), lambda b: (0, b),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_ORD_ROWS, _LANES), lambda b: (0, b),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[pl.BlockSpec((_W * _KP, _LANES), lambda b: (0, b),
+                               memory_space=pltpu.VMEM)],
         out_specs=(
             pl.BlockSpec((_W * _KP, _LANES), lambda b: (0, b),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_KP, _LANES), lambda b: (0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_KP, _LANES), lambda b: (0, b),
-                         memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(state_col, ordp, wsel)
+    )(state0)
 
     # back to (B, 91, W) / (B, 91)
     red = out.T.reshape(pad_b, _W, _KP)[:batch, :, :_K]
     red = jnp.swapaxes(red, 1, 2)
-    return red, pcol.T[:batch, :_K], pnat.T[:batch, :_K]
+    return red, pcol.T[:batch, :_K]
 
 
 def _osd_pallas_ok() -> bool:
@@ -340,31 +319,27 @@ def _triple_indices(q: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return idx[:, 0], idx[:, 1], idx[:, 2]
 
 
-def _osd_tail(llr: jnp.ndarray, a: jnp.ndarray, pcol: jnp.ndarray,
-              pnat: jnp.ndarray, lam: float, order2: int = 0,
+def _osd_tail(llr_sorted: jnp.ndarray, order: jnp.ndarray, a: jnp.ndarray,
+              pcol: jnp.ndarray, lam: float, order2: int = 0,
               order3: int = 0):
     """Order-0/1 (+ partial order-2) search given one candidate's reduced
     packed basis.
 
-    llr (174,) NATURAL-order LLRs, a (91, W) packed SYNDROME-AUGMENTED
-    reduced basis in natural column layout (bit columns 174..187 carry
-    each row's CRC syndrome — they rode along through the elimination's
-    row XORs for free), pcol (91,) pivot RANKS (position in the
-    reliability order — the order-2 least-reliable-pivot selection keys
-    on these), pnat (91,) pivot natural columns.  Returns (plain, ok).
-
-    Everything the search computes — distances, syndromes, the winning
-    codeword — is permutation-invariant, so since round 5 the whole tail
-    works in natural bit order: no sorted-space copies and no keyed
-    un-permute sort at the end (that sort alone was a top entry of the
-    deep-mode profile).
+    llr_sorted (174,) LLRs in reliability order, order (174,) the natural
+    bit index at each sorted position, a (91, W) packed SYNDROME-
+    AUGMENTED reduced basis in SORTED column layout (bit columns 174..187
+    carry each row's CRC syndrome — they rode along through the
+    elimination's row XORs for free), pcol (91,) pivot columns (= pivot
+    RANKS; the order-2 least-reliable-pivot selection keys on these).
+    Returns (plain — natural bit order, ok).
 
     Gather-free formulation: the only unpacked per-flip arrays are the 91
     basis rows (needed anyway); flip distances are order-0 distance plus a
     linear correction A @ (w * (1 - 2*d0)); CRC validity reads straight
     out of the augmented syndrome columns (synd(base XOR a_f) = synd(base)
-    XOR synd(a_f)).  Per-candidate minor-axis gathers measured ~45 % of
-    deep-mode device time as XLA gathers — none remain.
+    XOR synd(a_f)); the single winning codeword returns to natural bit
+    order via one keyed lax.sort.  Per-candidate minor-axis gathers
+    measured ~45 % of deep-mode device time as XLA gathers — none remain.
 
     order2 > 0 additionally tries XOR-pairs of the `order2` LEAST-reliable
     pivot rows (WSJT-X's deeper OSD searches; pairs of low-reliability
@@ -372,20 +347,20 @@ def _osd_tail(llr: jnp.ndarray, a: jnp.ndarray, pcol: jnp.ndarray,
     is a_i XOR a_j, whose overlap correction is one tiny (P,174)x(174,P)
     matmul: dist_ij = dist0 + d_i + d_j - 2 * (a_i*a_j) . u.
     """
-    w_nat = jnp.abs(llr)
-    r_nat = (llr > 0).astype(jnp.float32)
+    w_nat = jnp.abs(llr_sorted)
+    r_nat = (llr_sorted > 0).astype(jnp.float32)
 
     # pivot-position values via one-hot multiply-reduce (not a gather)
-    q = (pnat[:, None] == jnp.arange(_N)[None, :]).astype(jnp.float32)
-    pivot_llr = jnp.sum(q * llr[None, :], axis=-1)       # (91,)
+    q = (pcol[:, None] == jnp.arange(_N)[None, :]).astype(jnp.float32)
+    pivot_llr = jnp.sum(q * llr_sorted[None, :], axis=-1)  # (91,)
 
     # order-0 codeword: XOR of basis rows whose pivot bit is set in r
     sel = (pivot_llr > 0).astype(jnp.uint32)             # (91,)
     base_p = _xor_reduce_rows(a * sel[:, None])          # (W,) packed
     base_full = _unpack(base_p)                          # (192,)
     a_full = _unpack(a)                                  # (91, 192)
-    base = base_full[:_N]                                # (174,) natural
-    a_bits = a_full[:, :_N]                              # (91, 174) natural
+    base = base_full[:_N]                                # (174,) sorted
+    a_bits = a_full[:, :_N]                              # (91, 174) sorted
 
     # distances: d0 = base XOR hard decision; flipping basis row f toggles
     # exactly its set bits, so dist_f = dist_0 + A_f . (w * (1 - 2*d0))
@@ -479,9 +454,9 @@ def _osd_tail(llr: jnp.ndarray, a: jnp.ndarray, pcol: jnp.ndarray,
     best = jnp.argmin(masked)
     ok = jnp.isfinite(jnp.min(masked))
 
-    # materialise only the winner — already in natural bit order; every
-    # selection is a one-hot multiply-reduce (per-candidate dynamic row
-    # reads are batched gathers, measured ~18 us/slot in this tail)
+    # materialise only the winner; every selection is a one-hot
+    # multiply-reduce (per-candidate dynamic row reads are batched
+    # gathers, measured ~18 us/slot in this tail)
     sel1 = ((jnp.arange(_K) == best - 1) & (best > 0)
             & (best <= _K)).astype(jnp.float32)
     flip = jnp.sum(a_bits * sel1[:, None], axis=0)
@@ -506,7 +481,10 @@ def _osd_tail(llr: jnp.ndarray, a: jnp.ndarray, pcol: jnp.ndarray,
                 | (rng_q == jnp.asarray(tk)[tri])).astype(jnp.float32)
         flip3 = jnp.mod(jnp.sum(a3 * sel3[:, None], axis=0), 2.0)
         flip = jnp.where(best > _K + n2, flip3, flip)
-    win_nat = jnp.mod(base + flip, 2.0)
+    win_sorted = jnp.mod(base + flip, 2.0)
+    # back to natural bit order: sort the winner keyed by `order` (the
+    # inverse permutation as one keyed lax.sort, not an argsort + gather)
+    _, win_nat = jax.lax.sort((order, win_sorted), num_keys=1)
     return win_nat.astype(jnp.int32), ok
 
 
@@ -524,13 +502,16 @@ def _syndrome_matrix() -> np.ndarray:
 _ROW_SYNDROMES_NP = ((_syndrome_matrix().astype(np.int64)
                       @ _basis().astype(np.int64).T).T % 2).astype(np.uint8)
 _ROW_SYNDROMES = jnp.asarray(_ROW_SYNDROMES_NP)
-# the SHARED packed natural-order augmented basis (91, 6): bit columns
-# 0..173 are the basis, 174..187 each row's CRC syndrome.  Every
-# candidate's elimination starts from this one constant since round 5 —
-# the per-candidate column-permuted copy (a minor-axis gather + a
-# per-candidate bit-pack) is gone.
-_STATE0_NAT = _pack_np(
-    np.concatenate([_basis(), _ROW_SYNDROMES_NP], axis=-1))
+# permute-pack matmul constants (see _permute_pack): the f32 basis and
+# the fixed per-row syndrome contribution to each packed HALF-WORD
+# (syndrome bits live at packed positions 174..187 and never permute)
+_BASIS_F32 = _basis().astype(np.float32)                 # (91, 174)
+_SYND_HALF = np.zeros((_K, 2 * _W), np.float32)
+for _r, _row in enumerate(_ROW_SYNDROMES_NP):
+    for _b, _bit in enumerate(_row):
+        _p = _N + _b
+        _SYND_HALF[_r, _p >> 4] += float(int(_bit) << (_p & 15))
+del _r, _row, _b, _bit, _p
 _CRC_MATRIX_77_T = jnp.asarray(C.CRC_MATRIX_77.T, dtype=jnp.float32)
 _CRC_WEIGHTS = jnp.asarray(2 ** np.arange(C.CRC_BITS - 1, -1, -1),
                            dtype=jnp.int32)
@@ -570,30 +551,31 @@ def _osd_core(flat: jnp.ndarray, lam: float, force_jnp: bool,
               order2: int, order3: int):
     """(B, 174) LLRs -> (plain (B, 174) int32, accepted (B,) bool).
 
-    The row-independent OSD body (reliability sort -> natural-order
-    GF(2) elimination along the sorted column schedule ->
-    order-0/1/2/3 tail); callers own reshapes and argument validation.
+    The row-independent OSD body (reliability sort -> matmul
+    permute+pack -> static-schedule GF(2) elimination -> order-0/1/2/3
+    tail); callers own reshapes and argument validation.
     """
-    # ONE sort, and only for the column SCHEDULE: the elimination and
-    # the tail both work on the shared natural-order basis since round 5
-    # (the per-candidate permuted basis copy, its bit-pack, and the
-    # tail's keyed un-permute sort together measured ~3x the elimination
-    # itself on v5e).  iota derived from flat so it carries flat's
-    # varying manual axes (LLRs are finite by construction; see
-    # normalize_llrs); lax.sort is stable, so exact-|llr| ties keep
-    # natural index order — the same schedule the permuted form used.
+    # one multi-operand sort yields the reliability order AND the sorted
+    # LLR values; a second keyed sort inverts the permutation to the
+    # per-column RANKS that drive the permute-pack matmul
+    # (_permute_pack) — both sorts measured ~0.6 us/slot on v5e, while
+    # the gather/pack they replace measured ~32.  iota derived from
+    # flat so it carries flat's varying manual axes (LLRs are finite by
+    # construction; see normalize_llrs)
     iota = (flat * 0.0).astype(jnp.int32) + jnp.arange(_N, dtype=jnp.int32)
-    _, order = jax.lax.sort((-jnp.abs(flat), iota), dimension=-1,
-                            num_keys=1)
+    _, llr_sorted, order = jax.lax.sort(
+        (-jnp.abs(flat), flat, iota), dimension=-1, num_keys=1)
+    _, ranks = jax.lax.sort((order, iota), dimension=-1, num_keys=1)
+    a_packed = _permute_pack(ranks)                      # (B, 91, W)
 
     if _osd_pallas_ok() and not force_jnp:
-        red, pcol, pnat = _reduce_basis_pallas_batch(order)
+        red, pcol = _reduce_basis_pallas_batch(a_packed)
     else:
-        red, pcol, pnat = jax.vmap(_reduce_basis_packed)(order)
+        red, pcol = jax.vmap(_reduce_basis_packed)(a_packed)
 
     plain, ok = jax.vmap(
-        lambda l, a, p, pn: _osd_tail(l, a, p, pn, lam, order2, order3)
-    )(flat, red, pcol, pnat)
+        lambda l, o, a, p: _osd_tail(l, o, a, p, lam, order2, order3)
+    )(llr_sorted, order, red, pcol)
     return plain, ok
 
 

@@ -88,10 +88,17 @@ def test_pallas_elimination_matches_jnp_interpret():
     rng = np.random.default_rng(8)
     llr = jnp.asarray((rng.standard_normal((9, 174)) * 3).astype(np.float32))
     order = jnp.argsort(-jnp.abs(llr), axis=-1).astype(jnp.int32)
-    r1, p1, n1 = jax.vmap(O._reduce_basis_packed)(order)
-    r2, p2, n2 = O._reduce_basis_pallas_batch(order, interpret=True)
-    assert bool(jnp.all(r1 == r2)) and bool(jnp.all(p1 == p2)) \
-        and bool(jnp.all(n1 == n2))
+    ranks = jnp.argsort(order, axis=-1).astype(jnp.int32)
+    a_packed = O._permute_pack(ranks)
+    # the matmul permute+pack must equal the reference gather + bit-pack
+    ref_bits = jnp.swapaxes(O._BASIS_BITS[:, order], 0, 1)
+    aug = jnp.broadcast_to(jnp.asarray(O._ROW_SYNDROMES_NP)[None],
+                           (9, 91, 14))
+    ref_packed = O._pack(jnp.concatenate([ref_bits, aug], axis=-1))
+    assert bool(jnp.all(a_packed == ref_packed))
+    r1, p1 = jax.vmap(O._reduce_basis_packed)(a_packed)
+    r2, p2 = O._reduce_basis_pallas_batch(a_packed, interpret=True)
+    assert bool(jnp.all(r1 == r2)) and bool(jnp.all(p1 == p2))
 
 
 def test_osd_order2_recovers_double_pivot_errors():
