@@ -55,6 +55,7 @@ SNRS = (-14.0, -20.0, -24.0)
 
 ARMS = {
     "grid_gated": {},                                  # shipping defaults
+    "grid_bf16": {"FT8_GRID_DTYPE": "bf16"},           # bf16 grids (r5b)
     "spectra_gated": {"FT8_MF_FRONT": "spectra"},
     "spectra_ungated": {"FT8_MF_FRONT": "spectra", "FT8_OSD_GATE": "off"},
 }

@@ -89,6 +89,16 @@ ARMS = {
                     "FT8_LLR_PRECISION": "default",
                     "FT8_SYNC_BACKEND": "mxu",
                     "FT8_DFT_BACKEND": "pallas"},
+    # round-5 bf16-grid arm: the fused kernel STORES the dB grid in
+    # bf16 (~0.25 dB quantisation; every consumer matmul casts its
+    # operands to bf16 at DEFAULT anyway, so only the stored rounding
+    # differs).  Halves the grid HBM traffic re-read by sync/select/LLR.
+    "grid_bf16": {"FT8_DFT_PRECISION": "default",
+                  "FT8_BP_PRECISION": "default",
+                  "FT8_LLR_PRECISION": "default",
+                  "FT8_SYNC_BACKEND": "mxu",
+                  "FT8_DFT_BACKEND": "pallas",
+                  "FT8_GRID_DTYPE": "bf16"},
 }
 
 

@@ -329,7 +329,7 @@ def decode_slot(wave: jnp.ndarray, p: WaterfallParams, num_frames: int,
             from ..ops.waterfall_pallas import \
                 block_waterfall_mf_tf_fused_batch
             mag_b, box_b = block_waterfall_mf_tf_fused_batch(
-                wave[None], p, num_frames)
+                wave[None], p, num_frames, _out_dtype=_grid_dtype())
             mag_tf, box_tf = mag_b[0], box_b[0]
         elif mf_first or not _use_fused_waterfall(p):
             # spectra-path mf_first reuses the raw block spectra for the
@@ -337,8 +337,10 @@ def decode_slot(wave: jnp.ndarray, p: WaterfallParams, num_frames: int,
             spec = _block_spectrum(wave, p, num_frames)
             mag_tf = _block_waterfall_tf(spec, p, num_frames)
         else:
-            from ..ops.waterfall_pallas import block_waterfall_tf_fused
-            mag_tf = block_waterfall_tf_fused(wave, p, num_frames)
+            from ..ops.waterfall_pallas import \
+                block_waterfall_tf_fused_batch
+            mag_tf = block_waterfall_tf_fused_batch(
+                wave[None], p, num_frames, _out_dtype=_grid_dtype())[0]
         scores = sync_scores_tf(mag_tf, g)
         abs_time, abs_freq, score, cand_valid = find_candidates_tf(
             scores, g, max_candidates, min_score)
