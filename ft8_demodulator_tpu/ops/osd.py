@@ -75,15 +75,6 @@ def _unpack(words: jnp.ndarray) -> jnp.ndarray:
     return bits.reshape(*words.shape[:-1], _W * 32).astype(jnp.float32)
 
 
-def _pack_np(bits: np.ndarray) -> np.ndarray:
-    """Host-side :func:`_pack`: (..., <=192) {0,1} -> (..., 6) uint32."""
-    pad = _W * 32 - bits.shape[-1]
-    b = np.pad(bits.astype(np.uint64),
-               [(0, 0)] * (bits.ndim - 1) + [(0, pad)])
-    b = b.reshape(*bits.shape[:-1], _W, 32)
-    return (b << np.arange(32, dtype=np.uint64)).sum(-1).astype(np.uint32)
-
-
 def _xor_reduce_rows(a: jnp.ndarray) -> jnp.ndarray:
     """XOR-fold (91, W) -> (W,) via a padded binary tree."""
     rows = a
@@ -501,7 +492,6 @@ def _syndrome_matrix() -> np.ndarray:
 # as extra bit columns through the GF(2) elimination (91, 14)
 _ROW_SYNDROMES_NP = ((_syndrome_matrix().astype(np.int64)
                       @ _basis().astype(np.int64).T).T % 2).astype(np.uint8)
-_ROW_SYNDROMES = jnp.asarray(_ROW_SYNDROMES_NP)
 # permute-pack matmul constants (see _permute_pack): the f32 basis and
 # the fixed per-row syndrome contribution to each packed HALF-WORD
 # (syndrome bits live at packed positions 174..187 and never permute)
@@ -512,9 +502,6 @@ for _r, _row in enumerate(_ROW_SYNDROMES_NP):
         _p = _N + _b
         _SYND_HALF[_r, _p >> 4] += float(int(_bit) << (_p & 15))
 del _r, _row, _b, _bit, _p
-_CRC_MATRIX_77_T = jnp.asarray(C.CRC_MATRIX_77.T, dtype=jnp.float32)
-_CRC_WEIGHTS = jnp.asarray(2 ** np.arange(C.CRC_BITS - 1, -1, -1),
-                           dtype=jnp.int32)
 
 
 DEFAULT_ORDER2 = 16
