@@ -107,20 +107,28 @@ def test_fused_front_decode_set_identical(rng):
 
 def test_fused_waterfall_applicability_guard():
     """Geometry/platform gate (code-review r4 finding): the fused kernel
-    keeps both bf16 DFT matrices VMEM-resident, and fs >= 20 kHz at
-    osr 2x2 exceeds the measured budget (20.5 MB resident fails Mosaic
-    compilation on v5e; 7.4 MB at 12 kHz 4x4 compiles) — decode must
-    fall back to the XLA pair there instead of failing to compile."""
-    from ft8_demodulator_tpu.ops.waterfall_pallas import fused_waterfall_ok
+    keeps both bf16 DFT matrices VMEM-resident when they fit (20.5 MB
+    resident fails Mosaic compilation on v5e; 7.4 MB at 12 kHz 4x4
+    compiles).  Since round 5 geometries past the resident budget are
+    served by the STRIP schedule (streamed weight columns) whenever
+    nbins has a 128-multiple divisor whose strip pair fits VMEM — e.g.
+    the 20 kHz off-air capture rate, which previously fell back to the
+    XLA pair; only geometries failing BOTH schedules return False."""
+    from ft8_demodulator_tpu.ops.waterfall_pallas import (
+        _base_strip_part, fused_waterfall_ok)
 
     ok = lambda fs, osr: fused_waterfall_ok(
         waterfall_params(fs, *osr), platform="tpu")
     assert ok(12000.0, (2, 2))
     assert ok(12000.0, (4, 4))
     assert ok(2000.0, (2, 2))
-    assert not ok(20000.0, (2, 2))     # the off-air WAV capture rate
-    assert not ok(24000.0, (2, 2))
-    assert not ok(20000.0, (4, 4))
+    # resident exceeds VMEM at 20 kHz 2x2, but the strip schedule serves
+    assert _base_strip_part(waterfall_params(20000.0, 2, 2)) is not None
+    assert ok(20000.0, (2, 2))
+    # no 128-multiple strip width divides nbins=8000 within the strip
+    # VMEM budget AND resident is far over -> genuinely not servable
+    assert _base_strip_part(waterfall_params(50000.0, 2, 2)) is None
+    assert not ok(50000.0, (2, 2))
     # never on CPU (interpret mode is test-only) or GPU (pltpu spaces)
     assert not fused_waterfall_ok(waterfall_params(12000.0, 2, 2),
                                   platform="cpu")
