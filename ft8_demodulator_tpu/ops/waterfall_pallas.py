@@ -172,9 +172,16 @@ def _base_strip_part(p: WaterfallParams) -> int | None:
     """Column-strip width for the strip-scheduled BASE kernel: the
     largest 128-multiple dividing nbins whose double-buffered cos|sin
     strip pair stays under ~4 MB of VMEM (bigger hops force narrower
-    strips).  None -> no clean division (resident fallback)."""
+    strips).  None -> no usable width.
+
+    The floor is 256, not 128: each strip step costs ~2-3 us of
+    per-grid-step overhead, and at width 128 the step count makes the
+    schedule LOSE to the plain XLA spectra+epilogue pair (measured at
+    20 kHz osr 2x2, batch 64: strip-128 51.3 vs XLA 45.6 us/slot; at
+    12 kHz, where widths >= 384 exist, strips beat XLA ~2x) — below
+    256 the XLA fallback is the better fused-less path."""
     ext_bytes = lambda part: 2 * 2 * p.hop * (part + 2 * p.freq_osr) * 2
-    for part in (640, 512, 384, 256, 128):
+    for part in (640, 512, 384, 256):
         if p.num_freq_bins % part == 0 \
                 and ext_bytes(part) <= 4 * 1024 * 1024:
             return part

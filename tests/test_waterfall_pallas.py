@@ -111,9 +111,10 @@ def test_fused_waterfall_applicability_guard():
     resident fails Mosaic compilation on v5e; 7.4 MB at 12 kHz 4x4
     compiles).  Since round 5 geometries past the resident budget are
     served by the STRIP schedule (streamed weight columns) whenever
-    nbins has a 128-multiple divisor whose strip pair fits VMEM — e.g.
-    the 20 kHz off-air capture rate, which previously fell back to the
-    XLA pair; only geometries failing BOTH schedules return False."""
+    nbins has a >=256 divisor that is a 128 multiple and whose strip
+    pair fits VMEM; geometries where only width-128 strips would fit
+    (e.g. the 20 kHz off-air capture rate: strip-128 measured SLOWER
+    than the XLA pair, 51.3 vs 45.6 us/slot) still fall back to XLA."""
     from ft8_demodulator_tpu.ops.waterfall_pallas import (
         _base_strip_part, fused_waterfall_ok)
 
@@ -122,13 +123,15 @@ def test_fused_waterfall_applicability_guard():
     assert ok(12000.0, (2, 2))
     assert ok(12000.0, (4, 4))
     assert ok(2000.0, (2, 2))
-    # resident exceeds VMEM at 20 kHz 2x2, but the strip schedule serves
-    assert _base_strip_part(waterfall_params(20000.0, 2, 2)) is not None
-    assert ok(20000.0, (2, 2))
-    # no 128-multiple strip width divides nbins=8000 within the strip
-    # VMEM budget AND resident is far over -> genuinely not servable
-    assert _base_strip_part(waterfall_params(50000.0, 2, 2)) is None
-    assert not ok(50000.0, (2, 2))
+    # 20 kHz 2x2: resident exceeds VMEM and only width-128 strips
+    # divide nbins=3200 -> XLA pair stays (measured faster there)
+    assert _base_strip_part(waterfall_params(20000.0, 2, 2)) is None
+    assert not ok(20000.0, (2, 2))
+    # 24 kHz 2x2: nbins=3840 admits width-256 strips -> the fused strip
+    # path serves a geometry the resident kernel never could
+    assert _base_strip_part(waterfall_params(24000.0, 2, 2)) == 256
+    assert ok(24000.0, (2, 2))
+    assert not ok(50000.0, (2, 2))     # neither schedule fits
     # never on CPU (interpret mode is test-only) or GPU (pltpu spaces)
     assert not fused_waterfall_ok(waterfall_params(12000.0, 2, 2),
                                   platform="cpu")
