@@ -556,7 +556,9 @@ def deep():
                 + K_ * 174 * 96 * 6 * 8,
             bytes=K_ * 174 * f32 * 4,
             note="coarse: BP at max iterations + packed GF(2) basis "
-                 "reduction (174 steps x 96x6 words) per candidate"),
+                 "reduction per candidate (round-5b pipeline: matmul "
+                 "basis permute + static-schedule early-exit kernel + "
+                 "pair-matrix order-2 tail)"),
     }
 
     # monotonicity repair: a prefix can measure FASTER than a shorter one
