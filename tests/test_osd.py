@@ -101,6 +101,51 @@ def test_pallas_elimination_matches_jnp_interpret():
     assert bool(jnp.all(r1 == r2)) and bool(jnp.all(p1 == p2))
 
 
+def test_elimination_early_exit_is_exact():
+    """The rank-91 early exit must yield EXACTLY the full-174-step
+    result (the claim in _reduce_basis_packed: once `used` is full,
+    every later step has avail==0 and changes nothing)."""
+    import jax
+
+    from ft8_demodulator_tpu.ops import osd as O
+
+    def reduce_full(a):
+        """_reduce_basis_packed without the early exit: all 174 steps."""
+        rows_idx = jnp.arange(O._K)
+
+        def step(j, state):
+            a, used, pcol = state
+            word = j >> 5
+            bit = (j & 31).astype(jnp.uint32)
+            col = (jax.lax.dynamic_index_in_dim(
+                a, word, axis=1, keepdims=False) >> bit) & jnp.uint32(1)
+            avail = col * (1 - used)
+            i = jnp.argmax(avail)
+            found = avail[i] > 0
+            row = a[i]
+            elim = (col * jnp.where(found, 1, 0)).at[i].set(0)
+            a = a ^ (elim[:, None].astype(jnp.uint32) * row[None, :])
+            used = used.at[i].add(jnp.where(found, 1, 0))
+            pcol = jnp.where((rows_idx == i) & found, j, pcol)
+            return a, used, pcol
+
+        used0 = a[:, 0] ^ a[:, 0]
+        a, _, pcol = jax.lax.fori_loop(
+            0, O._N, step, (a, used0, used0.astype(jnp.int32)))
+        return a, pcol
+
+    rng = np.random.default_rng(21)
+    llr = jnp.asarray((rng.standard_normal((7, 174)) * 3)
+                      .astype(np.float32))
+    order = jnp.argsort(-jnp.abs(llr), axis=-1).astype(jnp.int32)
+    ranks = jnp.argsort(order, axis=-1).astype(jnp.int32)
+    a_packed = O._permute_pack(ranks)
+    r_fast, p_fast = jax.vmap(O._reduce_basis_packed)(a_packed)
+    r_full, p_full = jax.vmap(reduce_full)(a_packed)
+    assert bool(jnp.all(r_fast == r_full))
+    assert bool(jnp.all(p_fast == p_full))
+
+
 def test_osd_order2_recovers_double_pivot_errors():
     """Construct LLRs where TWO low-reliability pivot bits are wrong: the
     order-1 search cannot fix both with one flip, partial order-2 can."""
